@@ -1,0 +1,307 @@
+"""Typed experiment configuration + argparse adapter.
+
+Preserves the full CLI surface of the reference's single argparse parser
+(ref: fumi/utils/utils.py:19-229) — every flag name, default, and quirk —
+while exposing a frozen, hashable dataclass suitable for use as a jit
+static argument.
+
+Flag-name quirks preserved from the reference (documented, not "fixed"):
+- ``--epochs`` means "number of meta-batches" for episodic models
+  (ref: fumi/utils/utils.py:56-59), and "number of epochs" for CLIP.
+- ``--num_shots_test`` is the *query*-set size for the train split; val and
+  test splits always use ``int(100 / num_ways)`` queries per class
+  (ref: fumi/dataset/data.py:165,182).
+- ``--seed`` default is 123 (ref: fumi/utils/utils.py:201), but dataset
+  split identity is governed by a fixed seed 0
+  (ref: fumi/dataset/data.py:320-322,377-386).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+TEXT_ENCODERS = ("glove", "w2v", "RNN", "RNNhid", "BERT", "rand", "precomputed")
+TEXT_TYPES = ("label", "description", "common_name")
+MODELS = ("maml", "fumi", "am3", "clip")
+OPTIMIZERS = ("adam", "SGD", "adamw", "adamw_lin_schedule")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen experiment config. Field names mirror reference CLI flags."""
+
+    # wandb / logging surface (ref: utils.py:24-31, 211-214, 226-228)
+    wandb_entity: str = "multimodal-image-cls"
+    wandb_project: str = "fumi"
+    wandb_experiment: str = "debug"
+    wandb_offline: bool = False
+
+    # data config (ref: utils.py:32-53)
+    dataset: str = "inat-anim"
+    data_dir: str = "./data"
+    checkpoint: Optional[str] = None
+    log_dir: str = "./results"
+    remove_stop_words: bool = False
+    colab: bool = False
+
+    # optimizer config (ref: utils.py:55-77)
+    epochs: int = 50000  # number of meta-batches for episodic models
+    optim: str = "adam"
+    lr: float = 3e-5
+    momentum: float = 0.9
+    batch_size: int = 4  # tasks per meta-batch
+    weight_decay: float = 5e-4
+    num_warmup_steps: int = 10
+
+    # dataloader config (ref: utils.py:79-104)
+    num_shots: int = 5
+    num_ways: int = 5
+    num_shots_test: int = 32  # query size on the *train* split
+    augment: bool = False
+    num_workers: int = 0
+    image_embedding_model: str = "resnet-152"
+
+    # model config (ref: utils.py:106-192)
+    model: str = "fumi"
+    prototype_dim: int = 64
+    im_encoder: str = "precomputed"
+    im_emb_dim: int = 2048
+    im_hid_dim: Tuple[int, ...] = (256, 64)
+    text_encoder: str = "BERT"
+    pooling_strat: str = "mean"
+    fine_tune: bool = False
+    text_type: Tuple[str, ...] = ("description",)
+    text_emb_dim: int = 768
+    text_hid_dim: int = 256
+    dropout: float = 0.25
+    step_size: float = 0.01
+    first_order: bool = False
+    num_train_adapt_steps: int = 5
+    num_test_adapt_steps: int = 100
+    init_all_layers: bool = False
+    norm_hypernet: bool = False
+    hypernet_bias_init: bool = False
+    lamda_fixed: Optional[int] = None
+
+    # clip config (ref: utils.py:194-198)
+    clip_latent_dim: int = 512
+
+    # run config (ref: utils.py:200-228)
+    seed: int = 123
+    patience: int = 10000
+    eval_freq: int = 2500
+    evaluate: bool = False
+    num_ep_test: int = 1000
+    disable_cuda: bool = False  # kept for CLI parity; no-op on TPU
+
+    # --- TPU-native extensions (absent from the reference) ---
+    # Mesh shape: episode-data-parallel x model axes. dp size of 0/None means
+    # "all local devices on the dp axis".
+    mesh_dp: int = 0
+    mesh_mp: int = 1
+    # Device-side episodic sampling (one fused XLA program). Off = host-side
+    # numpy sampler with reference-faithful semantics.
+    device_sampler: bool = True
+    # Compute dtype for episodic math (params stay fp32).
+    compute_dtype: str = "float32"
+    debug_nans: bool = False
+    profile_dir: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def num_query_train(self) -> int:
+        """Query-set size per class on the train split (ref: data.py:148)."""
+        return self.num_shots_test
+
+    @property
+    def num_query_eval(self) -> int:
+        """Query size per class on val/test splits (ref: data.py:165,182)."""
+        return int(100 / self.num_ways)
+
+    @property
+    def max_test_batches(self) -> int:
+        """Test-loop batch budget (ref: fumi/main.py:48)."""
+        return int(self.num_ep_test / self.batch_size)
+
+    def validate(self) -> "Config":
+        """Argument validation matching fumi/main.py:34-44."""
+        if self.image_embedding_model not in ("resnet-152", "resnet-34"):
+            raise ValueError(
+                "Image embedding model must be one of resnet-152 resnet-34")
+        if self.image_embedding_model == "resnet-152" and self.im_emb_dim != 2048:
+            raise ValueError(
+                "Resnet-152 outputs 2048-dimensional embeddings, hence "
+                "--im_emb_dim should be set to 2048")
+        if self.image_embedding_model == "resnet-34" and self.im_emb_dim != 512:
+            raise ValueError(
+                "Resnet-34 outputs 512-dimensional embeddings, hence "
+                "--im_emb_dim should be set to 512")
+        if self.model not in MODELS:
+            raise ValueError(f"unknown model {self.model!r}; one of {MODELS}")
+        if self.text_encoder not in TEXT_ENCODERS:
+            raise NameError(
+                f"{self.text_encoder} not allowed as text encoder")
+        for t in self.text_type:
+            if t not in TEXT_TYPES:
+                raise NameError("Invalid text type used")
+        if self.optim not in OPTIMIZERS:
+            raise NotImplementedError(f"optimizer {self.optim!r}")
+        return self
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse parser with the exact reference flag surface.
+
+    Mirrors fumi/utils/utils.py:19-229 (names, defaults, help text intent),
+    plus a small set of ``--tpu_*``-prefixed extensions.
+    """
+    p = argparse.ArgumentParser(description="Multimodal image classification")
+
+    # data config
+    p.add_argument("--wandb_entity", type=str, default="multimodal-image-cls")
+    p.add_argument("--wandb_project", type=str, default="fumi")
+    p.add_argument("--dataset", type=str, default="inat-anim",
+                   help="Dataset to use (inat-anim, supervised-inat-anim)")
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default="./results")
+    p.add_argument("--remove_stop_words", action="store_true")
+    p.add_argument("--colab", action="store_true")
+
+    # optimizer config
+    p.add_argument("--epochs", type=int, default=50000,
+                   help="Number of meta-learning batches to train for")
+    p.add_argument("--optim", type=str, default="adam")
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="Number of tasks in mini-batch")
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--num_warmup_steps", type=int, default=10)
+
+    # dataloader config
+    p.add_argument("--num_shots", type=int, default=5)
+    p.add_argument("--num_ways", type=int, default=5)
+    p.add_argument("--num_shots_test", type=int, default=32,
+                   help="Number of examples per class in query set")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--image_embedding_model", type=str, default="resnet-152")
+
+    # model config
+    p.add_argument("--model", type=str, default="fumi")
+    p.add_argument("--prototype_dim", type=int, default=64)
+    p.add_argument("--im_encoder", type=str, default="precomputed")
+    p.add_argument("--im_emb_dim", type=int, default=2048)
+    p.add_argument("--im_hid_dim", type=int, nargs="+", default=[256, 64])
+    p.add_argument("--text_encoder", type=str, default="BERT",
+                   choices=list(TEXT_ENCODERS))
+    p.add_argument("--pooling_strat", type=str, default="mean")
+    p.add_argument("--fine_tune", action="store_true")
+    p.add_argument("--text_type", type=str, nargs="+",
+                   default=["description"])
+    p.add_argument("--text_emb_dim", type=int, default=768)
+    p.add_argument("--text_hid_dim", type=int, default=256)
+    p.add_argument("--dropout", type=float, default=0.25)
+    p.add_argument("--step_size", type=float, default=0.01)
+    p.add_argument("--first_order", action="store_true")
+    p.add_argument("--num_train_adapt_steps", type=int, default=5)
+    p.add_argument("--num_test_adapt_steps", type=int, default=100)
+    p.add_argument("--init_all_layers", action="store_true")
+    p.add_argument("--norm_hypernet", action="store_true")
+    p.add_argument("--hypernet_bias_init", action="store_true")
+    p.add_argument("--lamda_fixed", default=None, type=int)
+
+    # clip config
+    p.add_argument("--clip_latent_dim", type=int, default=512)
+
+    # run config
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--patience", type=int, default=10000)
+    p.add_argument("--eval_freq", type=int, default=2500)
+    p.add_argument("--wandb_experiment", type=str, default="debug")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--num_ep_test", type=int, default=1000)
+    p.add_argument("--disable_cuda", action="store_true")
+    p.add_argument("--wandb_offline", action="store_true")
+
+    # --- TPU-native extensions ---
+    p.add_argument("--tpu_mesh_dp", type=int, default=0,
+                   help="episode-parallel mesh axis size (0 = all devices)")
+    p.add_argument("--tpu_mesh_mp", type=int, default=1,
+                   help="model mesh axis size")
+    p.add_argument("--tpu_host_sampler", action="store_true",
+                   help="use host-side numpy episodic sampler instead of the "
+                        "fused device sampler")
+    p.add_argument("--tpu_compute_dtype", type=str, default="float32")
+    p.add_argument("--tpu_debug_nans", action="store_true")
+    p.add_argument("--tpu_profile_dir", type=str, default=None)
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    cfg = Config(
+        wandb_entity=args.wandb_entity,
+        wandb_project=args.wandb_project,
+        wandb_experiment=args.wandb_experiment,
+        wandb_offline=args.wandb_offline,
+        dataset=args.dataset,
+        data_dir=args.data_dir,
+        checkpoint=args.checkpoint,
+        log_dir=args.log_dir,
+        remove_stop_words=args.remove_stop_words,
+        colab=args.colab,
+        epochs=args.epochs,
+        optim=args.optim,
+        lr=args.lr,
+        momentum=args.momentum,
+        batch_size=args.batch_size,
+        weight_decay=args.weight_decay,
+        num_warmup_steps=args.num_warmup_steps,
+        num_shots=args.num_shots,
+        num_ways=args.num_ways,
+        num_shots_test=args.num_shots_test,
+        augment=args.augment,
+        num_workers=args.num_workers,
+        image_embedding_model=args.image_embedding_model,
+        model=args.model,
+        prototype_dim=args.prototype_dim,
+        im_encoder=args.im_encoder,
+        im_emb_dim=args.im_emb_dim,
+        im_hid_dim=tuple(args.im_hid_dim),
+        text_encoder=args.text_encoder,
+        pooling_strat=args.pooling_strat,
+        fine_tune=args.fine_tune,
+        text_type=tuple(args.text_type),
+        text_emb_dim=args.text_emb_dim,
+        text_hid_dim=args.text_hid_dim,
+        dropout=args.dropout,
+        step_size=args.step_size,
+        first_order=args.first_order,
+        num_train_adapt_steps=args.num_train_adapt_steps,
+        num_test_adapt_steps=args.num_test_adapt_steps,
+        init_all_layers=args.init_all_layers,
+        norm_hypernet=args.norm_hypernet,
+        hypernet_bias_init=args.hypernet_bias_init,
+        lamda_fixed=args.lamda_fixed,
+        clip_latent_dim=args.clip_latent_dim,
+        seed=args.seed,
+        patience=args.patience,
+        eval_freq=args.eval_freq,
+        evaluate=args.evaluate,
+        num_ep_test=args.num_ep_test,
+        disable_cuda=args.disable_cuda,
+        mesh_dp=args.tpu_mesh_dp,
+        mesh_mp=args.tpu_mesh_mp,
+        device_sampler=not args.tpu_host_sampler,
+        compute_dtype=args.tpu_compute_dtype,
+        debug_nans=args.tpu_debug_nans,
+        profile_dir=args.tpu_profile_dir,
+    )
+    return cfg.validate()

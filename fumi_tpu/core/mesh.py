@@ -1,0 +1,66 @@
+"""Device-mesh and sharding setup.
+
+The reference is strictly single-device (ref: fumi/main.py:145-146; no
+torch.distributed anywhere). Here parallelism is first-class: a 2-D
+``jax.sharding.Mesh`` with axes
+
+- ``"dp"`` — episode/task data parallelism: the meta-batch of B tasks is
+  sharded along this axis; meta-gradients are ``psum``-reduced over ICI
+  (replacing the reference's implicit single-device accumulation,
+  ref: fumi/models/fumi.py:187-193).
+- ``"mp"`` — a model axis, trivial (size 1) for these small MLP/hypernet
+  models but kept available for sharding larger frozen encoders.
+
+Use :func:`make_mesh` for real devices and
+``jax.sharding.Mesh(np.array(jax.devices()[:n]).reshape(...), ...)``
+directly in tests (with ``--xla_force_host_platform_device_count``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+MP_AXIS = "mp"
+
+
+def make_mesh(dp: int = 0, mp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """Build a (dp, mp) mesh. ``dp == 0`` means "use all devices / mp"."""
+    devices = devices if devices is not None else jax.devices()
+    if dp <= 0:
+        dp = max(1, len(devices) // mp)
+    n = dp * mp
+    if n > len(devices):
+        raise ValueError(
+            f"mesh ({dp}x{mp}) needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(dp, mp)
+    return Mesh(dev_array, (DP_AXIS, MP_AXIS))
+
+
+def episode_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (task/meta-batch) axis of episode leaves over dp."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_episode_leaf_spec() -> P:
+    return P(DP_AXIS)
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def put_episode(episode, mesh: Mesh):
+    """Place an episode with its task axis sharded over dp."""
+    sharding = episode_sharding(mesh)
+    return jax.device_put(episode, sharding)

@@ -1,0 +1,152 @@
+"""The inner-loop meta-gradient engine.
+
+The reference adapts each task in a sequential Python loop, building a
+second-order autograd graph through every inner step
+(ref: fumi/models/maml.py:158-177, fumi/models/fumi.py:148-176, using
+torchmeta's ``gradient_update_parameters``). Here the whole meta-batch
+compiles to ONE XLA program:
+
+- one inner SGD step = ``jax.grad`` + pytree update,
+- ``lax.scan`` over the (static) number of adaptation steps,
+- ``vmap`` over the tasks of the meta-batch,
+- outer ``jax.grad`` differentiates through the scan (2nd order);
+  ``--first_order`` applies ``stop_gradient`` to the inner grads, exactly
+  torch's ``first_order=True`` detach (torchmeta gradient_based.py).
+
+Each inner step is wrapped in ``jax.checkpoint`` so reverse-mode through the
+scan rematerialises step activations instead of storing them — the TPU
+replacement for torch's retained ``create_graph`` graph. Evaluation (e.g. the
+100-step test-time adaptation, ref: utils.py:176-179) runs the same scan
+without an outer grad, so no reverse carries are kept at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fumi_tpu.core.episode import Episode
+from fumi_tpu.ops.fewshot import cross_entropy
+
+
+def sgd_inner_update(params, grads, step_size: float):
+    """θ' = θ − α·∇ℓ, the torchmeta ``gradient_update_parameters`` update."""
+    return jax.tree_util.tree_map(lambda p, g: p - step_size * g,
+                                  params, grads)
+
+
+def _accuracy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Query accuracy (ref: maml.py:196-198 / fumi.py:329-331)."""
+    preds = jnp.argmax(logits, axis=-1)
+    return jnp.mean((preds == targets).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# MAML
+# ---------------------------------------------------------------------------
+
+def maml_episode_loss(apply_fn: Callable,
+                      params,
+                      episode: Episode,
+                      *,
+                      n_steps: int,
+                      step_size: float,
+                      first_order: bool):
+    """Mean outer loss over the meta-batch (ref: maml.py:134-193).
+
+    Each task adapts a private copy of ``params`` for ``n_steps`` inner SGD
+    steps on its support set, then contributes the query cross-entropy.
+
+    Returns ``(outer_loss, aux)`` with aux = {"acc", "preds"}; outer_loss is
+    differentiable w.r.t. ``params`` (2nd order unless ``first_order``).
+    """
+
+    def task_loss(s_x, s_y, q_x, q_y):
+        @jax.checkpoint
+        def inner(p, _):
+            def support_loss(p_):
+                return cross_entropy(apply_fn(p_, s_x), s_y)
+            grads = jax.grad(support_loss)(p)
+            if first_order:
+                grads = jax.lax.stop_gradient(grads)
+            return sgd_inner_update(p, grads, step_size), None
+
+        adapted, _ = jax.lax.scan(inner, params, None, length=n_steps)
+        q_logits = apply_fn(adapted, q_x)
+        loss = cross_entropy(q_logits, q_y)
+        acc = _accuracy(jax.lax.stop_gradient(q_logits), q_y)
+        preds = jnp.argmax(q_logits, axis=-1).astype(jnp.int32)
+        return loss, acc, preds
+
+    losses, accs, preds = jax.vmap(task_loss)(
+        episode.support_im, episode.support_y,
+        episode.query_im, episode.query_y)
+    # ref divides summed task losses by the meta-batch size (maml.py:185-186)
+    outer_loss = jnp.mean(losses)
+    return outer_loss, {"acc": jnp.mean(accs), "preds": preds}
+
+
+# ---------------------------------------------------------------------------
+# FuMI
+# ---------------------------------------------------------------------------
+
+def fumi_episode_loss(model,  # fumi_tpu.models.fumi.FUMI
+                      params,
+                      episode: Episode,
+                      *,
+                      n_steps: int,
+                      step_size: float,
+                      rng: jax.Array,
+                      train: bool):
+    """Mean outer loss over the meta-batch (ref: fumi.py:115-196).
+
+    Per task: the hypernetwork emits the generated head from the per-class
+    support text (ref: fumi.py:156,198-212); the inner loop then jointly
+    adapts (base im_net params, generated head) by SGD on the support
+    cross-entropy. Both updates are ALWAYS second-order, matching the
+    reference (manual ``create_graph=True`` step on the hyper output,
+    ref: fumi.py:165-168, and hardcoded ``first_order=False`` for the base
+    net, ref: fumi.py:172-176 — ``--first_order`` is intentionally ignored).
+
+    Both gradients are taken at the same pre-update point, so one joint
+    ``jax.grad`` over the pair reproduces the reference trajectories.
+    """
+
+    def task_loss(s_text, s_x, s_y, q_x, q_y, task_rng):
+        k_hyper, k_steps, k_query = jax.random.split(task_rng, 3)
+        hyper0 = model.get_hyper_params(params, s_text, s_y, rng=k_hyper)
+        im0 = params["im_net"]
+
+        @jax.checkpoint
+        def inner(carry, step_rng):
+            im_p, hyp = carry
+
+            def support_loss(im_p_, hyp_):
+                logits = model.im_forward(im_p_, hyp_, s_x,
+                                          rng=step_rng, train=train)
+                return cross_entropy(logits, s_y)
+
+            g_im, g_hyp = jax.grad(support_loss, argnums=(0, 1))(im_p, hyp)
+            return (sgd_inner_update(im_p, g_im, step_size),
+                    hyp - step_size * g_hyp), None
+
+        step_rngs = jax.random.split(k_steps, n_steps)
+        (im_T, hyp_T), _ = jax.lax.scan(inner, (im0, hyper0), step_rngs)
+
+        q_logits = model.im_forward(im_T, hyp_T, q_x,
+                                    rng=k_query, train=train)
+        loss = cross_entropy(q_logits, q_y)
+        acc = _accuracy(jax.lax.stop_gradient(q_logits), q_y)
+        preds = jnp.argmax(q_logits, axis=-1).astype(jnp.int32)
+        return loss, acc, preds
+
+    B = episode.support_im.shape[0]
+    task_rngs = jax.random.split(rng, B)
+    losses, accs, preds = jax.vmap(task_loss)(
+        episode.support_text, episode.support_im, episode.support_y,
+        episode.query_im, episode.query_y, task_rngs)
+    outer_loss = jnp.mean(losses)  # ref: fumi.py:187-188
+    return outer_loss, {"acc": jnp.mean(accs), "preds": preds}

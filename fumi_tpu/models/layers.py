@@ -1,0 +1,70 @@
+"""Parameter initializers and primitive layers.
+
+Pure functions over param pytrees (dicts of jnp arrays) — the JAX-native
+replacement for the reference's ``nn.Module``/torchmeta ``MetaModule``
+functional-forward machinery (ref: fumi/models/maml.py:8,25-33). Explicit
+params make inner-loop adaptation a plain pytree update.
+
+Initializers reproduce torch defaults so training dynamics match the
+reference:
+- ``nn.Linear``: weight ~ U(−1/√fan_in, 1/√fan_in) (kaiming_uniform with
+  a=√5) and bias ~ U(−1/√fan_in, 1/√fan_in).
+- ``nn.LSTM``: every param ~ U(−1/√hidden, 1/√hidden).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int,
+                dtype=jnp.float32) -> Params:
+    """torch ``nn.Linear`` default init. Weight stored (out, in) like torch."""
+    bound = 1.0 / math.sqrt(in_dim)
+    wk, bk = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wk, (out_dim, in_dim), dtype,
+                                minval=-bound, maxval=bound),
+        "b": jax.random.uniform(bk, (out_dim,), dtype,
+                                minval=-bound, maxval=bound),
+    }
+
+
+def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ Wᵀ + b, with W shaped (out, in)."""
+    return jnp.matmul(x, params["w"].T,
+                      preferred_element_type=x.dtype) + params["b"]
+
+
+def dropout(key: jax.Array, x: jnp.ndarray, rate: float,
+            train: bool) -> jnp.ndarray:
+    """Inverted dropout, torch semantics (identity in eval mode)."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def mlp_init(key: jax.Array, dims: Sequence[int]) -> Tuple[Params, ...]:
+    """Stack of linear params for dims [d0, d1, ..., dn]."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return tuple(linear_init(k, dims[i], dims[i + 1])
+                 for i, k in enumerate(keys))
+
+
+def normc_init(key: jax.Array, shape: Tuple[int, ...], gain: float = 1.0,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """Column-normalized normal init (ref: fumi/utils/hypernet_init.py:23-25).
+
+    ``w ~ N(0,1); w *= gain / sqrt(sum(w², axis=1, keepdims=True))``.
+    """
+    w = jax.random.normal(key, shape, dtype)
+    return w * gain / jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))

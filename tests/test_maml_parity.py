@@ -1,0 +1,127 @@
+"""MAML inner-loop meta-gradient parity vs an independent torch
+implementation of the reference semantics (fumi/models/maml.py:134-193,
+torchmeta gradient_update_parameters)."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from fumi_tpu.core.episode import Episode
+from fumi_tpu.metalearn import maml_episode_loss
+from fumi_tpu.models import mlp
+
+B, N, K, Q, D, H = 2, 3, 2, 4, 8, 6
+STEPS, LR = 3, 0.1
+
+
+def make_episode(rng):
+    s_im = rng.randn(B, N * K, D).astype(np.float32)
+    q_im = rng.randn(B, N * Q, D).astype(np.float32)
+    s_y = np.tile(np.repeat(np.arange(N), K)[None], (B, 1)).astype(np.int64)
+    q_y = np.tile(np.repeat(np.arange(N), Q)[None], (B, 1)).astype(np.int64)
+    for b in range(B):
+        rng.shuffle(s_y[b]); rng.shuffle(q_y[b])
+    return s_im, s_y, q_im, q_y
+
+
+def to_episode(s_im, s_y, q_im, q_y):
+    return Episode(
+        support_im=jnp.asarray(s_im),
+        support_text=jnp.zeros((B, N * K, 1), jnp.float32),
+        support_text_mask=None,
+        support_ids=jnp.zeros((B, N * K), jnp.int32),
+        support_y=jnp.asarray(s_y.astype(np.int32)),
+        query_im=jnp.asarray(q_im),
+        query_ids=jnp.zeros((B, N * Q), jnp.int32),
+        query_y=jnp.asarray(q_y.astype(np.int32)),
+    )
+
+
+def torch_maml(params_np, s_im, s_y, q_im, q_y, first_order):
+    """Independent torch restatement of ref maml.py:158-186."""
+    tparams = [(torch.tensor(p["w"], requires_grad=True),
+                torch.tensor(p["b"], requires_grad=True))
+               for p in params_np]
+
+    def fwd(ps, x):
+        for (w, b) in ps[:-1]:
+            x = torch.relu(torch.nn.functional.linear(x, w, b))
+        w, b = ps[-1]
+        return torch.nn.functional.linear(x, w, b)
+
+    outer_loss = torch.tensor(0.0)
+    for t in range(B):
+        ps = [(w, b) for (w, b) in tparams]
+        for _ in range(STEPS):
+            logit = fwd(ps, torch.tensor(s_im[t]))
+            inner = torch.nn.functional.cross_entropy(
+                logit, torch.tensor(s_y[t]))
+            flat = [p for pair in ps for p in pair]
+            grads = torch.autograd.grad(inner, flat,
+                                        create_graph=not first_order)
+            if first_order:
+                grads = [g.detach() for g in grads]
+            ps = [(flat[2 * i] - LR * grads[2 * i],
+                   flat[2 * i + 1] - LR * grads[2 * i + 1])
+                  for i in range(len(ps))]
+        q_logit = fwd(ps, torch.tensor(q_im[t]))
+        outer_loss = outer_loss + torch.nn.functional.cross_entropy(
+            q_logit, torch.tensor(q_y[t]))
+    outer_loss = outer_loss / B
+    outer_loss.backward()
+    grads = [(w.grad.numpy(), b.grad.numpy()) for (w, b) in tparams]
+    return float(outer_loss.detach()), grads
+
+
+def run_case(first_order):
+    rng = np.random.RandomState(7)
+    s_im, s_y, q_im, q_y = make_episode(rng)
+    episode = to_episode(s_im, s_y, q_im, q_y)
+
+    params = mlp.init(jax.random.PRNGKey(0), D, N, (H,))
+    params_np = [{k: np.asarray(v) for k, v in p.items()} for p in params]
+
+    def loss_fn(p):
+        loss, aux = maml_episode_loss(mlp.apply, p, episode,
+                                      n_steps=STEPS, step_size=LR,
+                                      first_order=first_order)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    t_loss, t_grads = torch_maml(params_np, s_im, s_y, q_im, q_y, first_order)
+
+    assert abs(float(loss) - t_loss) < 1e-5, (float(loss), t_loss)
+    for jg, (tw, tb) in zip(grads, t_grads):
+        np.testing.assert_allclose(np.asarray(jg["w"]), tw,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jg["b"]), tb,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_second_order_matches_torch():
+    run_case(first_order=False)
+
+
+def test_first_order_matches_torch():
+    run_case(first_order=True)
+
+
+def test_first_vs_second_order_differ():
+    """Sanity: the two modes must give different meta-gradients."""
+    rng = np.random.RandomState(7)
+    s_im, s_y, q_im, q_y = make_episode(rng)
+    episode = to_episode(s_im, s_y, q_im, q_y)
+    params = mlp.init(jax.random.PRNGKey(0), D, N, (H,))
+
+    def g(first_order):
+        def loss_fn(p):
+            return maml_episode_loss(mlp.apply, p, episode, n_steps=STEPS,
+                                     step_size=LR,
+                                     first_order=first_order)[0]
+        return jax.grad(loss_fn)(params)
+
+    g2, g1 = g(False), g(True)
+    diff = max(float(jnp.max(jnp.abs(a["w"] - b["w"])))
+               for a, b in zip(g2, g1))
+    assert diff > 1e-6
