@@ -1,0 +1,61 @@
+"""Synthetic episodic data for tests and benchmarks.
+
+Class-clustered Gaussian image embeddings with text features correlated to
+the class mean, so few-shot learners have real signal to adapt to. Plays the
+role of the reference's hand-made ones-tensors smoke data
+(ref: fumi/models/am3.py:385-392) but learnable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fumi_tpu.data.class_set import ClassSet
+
+
+def synthetic_class_set(num_classes: int = 20,
+                        images_per_class: int = 40,
+                        im_dim: int = 64,
+                        text_dim: int = 32,
+                        text_tokens: bool = False,
+                        vocab_size: int = 128,
+                        text_len: int = 12,
+                        noise: float = 0.5,
+                        seed: int = 0) -> Tuple[ClassSet, np.ndarray,
+                                                np.ndarray]:
+    """Returns (class_set, image_table, image_ids).
+
+    Image embeddings: class mean ~ N(0, I), samples mean + noise·N(0, I).
+    Text features: a linear projection of the class mean (+ small noise), or
+    random token ids when ``text_tokens``.
+    """
+    rng = np.random.RandomState(seed)
+    C, M = num_classes, images_per_class
+    means = rng.randn(C, im_dim).astype(np.float32)
+    image_table = (means[:, None, :] +
+                   noise * rng.randn(C, M, im_dim)).astype(np.float32)
+    image_table = image_table.reshape(C * M, im_dim)
+    image_ids = np.arange(C * M, dtype=np.int32)
+
+    proj = rng.randn(im_dim, text_dim).astype(np.float32) / np.sqrt(im_dim)
+    if text_tokens:
+        text = rng.randint(1, vocab_size, size=(C, text_len)).astype(np.int32)
+        text_mask = np.ones((C, text_len), dtype=np.int32)
+    else:
+        text = (means @ proj +
+                0.1 * rng.randn(C, text_dim)).astype(np.float32)
+        text_mask = None
+
+    rows = np.arange(C * M, dtype=np.int32).reshape(C, M)
+    counts = np.full((C,), M, dtype=np.int32)
+    cs = ClassSet(
+        categories=np.arange(C),
+        class_image_rows=rows,
+        class_counts=counts,
+        text_features=text,
+        text_mask=text_mask,
+        descriptions=[f"synthetic class {i}" for i in range(C)],
+    )
+    return cs, image_table, image_ids

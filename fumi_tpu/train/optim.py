@@ -1,0 +1,69 @@
+"""Optimizer factories — optax transforms matching the reference's torch/HF
+optimizers (ref: fumi/utils/utils.py:277-299) update-for-update:
+
+- ``adam``: torch.optim.Adam with L2 ``weight_decay`` — torch adds ``wd·θ``
+  to the gradient BEFORE the Adam moments (coupled L2, not AdamW), betas
+  (0.9, 0.999), eps 1e-8, bias correction on.
+- ``SGD``: torch.optim.SGD with momentum + coupled L2; torch's first-step
+  momentum buffer is the raw gradient (optax ``trace`` matches).
+- ``adamw``: transformers' AdamW — decoupled decay with HF defaults
+  (weight_decay=0.0, eps=1e-6, bias correction).
+- ``adamw_lin_schedule``: HF AdamW + ``get_linear_schedule_with_warmup``
+  (linear 0→lr over ``num_warmup_steps``, then linear decay to 0 at
+  ``epochs``). The reference returns an ``(opt, scheduler)`` tuple; only the
+  AM3 harness actually steps the scheduler (ref: am3.py:195-196) — MAML/FuMI
+  unpack it but never call ``scheduler.step()`` (ref: fumi.py:230-235). The
+  harness reproduces that by passing ``schedule_active=False`` for those
+  model families.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import optax
+
+
+def linear_warmup_schedule(lr: float, num_warmup_steps: int,
+                           num_training_steps: int) -> optax.Schedule:
+    """transformers.get_linear_schedule_with_warmup semantics."""
+    def schedule(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.maximum(num_warmup_steps, 1)
+        frac_warm = step / warm
+        denom = jnp.maximum(num_training_steps - num_warmup_steps, 1)
+        frac_decay = jnp.maximum(
+            0.0, (num_training_steps - step) / denom)
+        return lr * jnp.where(step < num_warmup_steps, frac_warm, frac_decay)
+    return schedule
+
+
+def init_optim(optim: str, lr: float, weight_decay: float = 5e-4,
+               momentum: float = 0.9, num_warmup_steps: int = 10,
+               epochs: int = 50000,
+               schedule_active: bool = True) -> optax.GradientTransformation:
+    """Build the optax transform for a reference optimizer name."""
+    if optim == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-lr),
+        )
+    if optim == "SGD":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=False),
+            optax.scale(-lr),
+        )
+    if optim == "adamw":
+        # HF AdamW defaults: eps=1e-6, weight_decay=0.0
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.0)
+    if optim == "adamw_lin_schedule":
+        if schedule_active:
+            sched = linear_warmup_schedule(lr, num_warmup_steps, epochs)
+            return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-6,
+                               weight_decay=0.0)
+        # scheduler created but never stepped (MAML/FuMI quirk): constant lr
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.0)
+    raise NotImplementedError(f"optimizer {optim!r}")

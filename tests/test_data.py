@@ -1,0 +1,191 @@
+"""Data layer tests: split-policy parity, samplers, vocab, end-to-end
+pipeline over a tiny fake iNat-Anim artifact set."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.core.episode import EpisodeSpec
+from fumi_tpu.data import (DeviceEpisodeSampler, HostEpisodeSampler,
+                           synthetic_class_set)
+from fumi_tpu.data import vocab
+from fumi_tpu.data.inat_anim import (load_inat_anim, split_categories,
+                                     compose_descriptions)
+
+
+def test_split_policy_matches_reference_quirk():
+    """ref data.py:377-393: seed-0 shuffle, 60/20/20, np.sort DISCARDED."""
+    N = 50
+    rng = np.random.RandomState(0)
+    cats = np.arange(N)
+    rng.shuffle(cats)
+    np.testing.assert_array_equal(split_categories(N, "train"),
+                                  cats[:30])
+    np.testing.assert_array_equal(split_categories(N, "val"), cats[30:40])
+    np.testing.assert_array_equal(split_categories(N, "test"), cats[40:])
+    # splits are disjoint and cover all categories
+    allc = np.concatenate([split_categories(N, s)
+                           for s in ("train", "val", "test")])
+    assert sorted(allc.tolist()) == list(range(N))
+    # NOT sorted (shuffled order preserved)
+    assert not np.all(np.diff(split_categories(N, "train")) > 0)
+
+
+def test_vocab_tokenize_gensim_compatible():
+    assert vocab.tokenize("Hello, world! it's 42 a-b c_d") == \
+        ["Hello", "world", "it", "s", "a", "b", "c_d"]
+    # gensim pattern: digits are excluded at every position
+    assert vocab.tokenize("4x abc4") == ["x", "abc"]
+
+
+def test_stop_word_removal():
+    out = vocab.remove_stop_words("the quick brown fox is not here")
+    assert out == "quick brown fox"
+
+
+def test_encode_padded():
+    d = vocab.Dictionary([["a", "b"], ["c"]])
+    d.add_document([vocab.PAD_WORD])
+    toks, mask = vocab.encode_padded(["a b c", "c"], d)
+    assert toks.shape == mask.shape
+    assert mask[0].sum() == 3 and mask[1].sum() == 1
+    assert toks[1, 1] == d[vocab.PAD_WORD]
+
+
+SPEC = EpisodeSpec(batch_size=4, num_ways=5, num_shots=3, num_query=6,
+                   im_dim=64, text_dim=32)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return synthetic_class_set(num_classes=12, images_per_class=20,
+                               im_dim=64, text_dim=32)
+
+
+def _check_episode(ep, cs, image_table, spec):
+    B, NK, NQ = spec.batch_size, spec.support_len, spec.query_len
+    assert ep.support_im.shape == (B, NK, spec.im_dim)
+    assert ep.query_im.shape == (B, NQ, spec.im_dim)
+    assert ep.support_text.shape == (B, NK, spec.text_dim)
+    np.testing.assert_array_equal(
+        np.asarray(ep.support_y),
+        np.tile(np.repeat(np.arange(spec.num_ways), spec.num_shots)[None],
+                (B, 1)))
+    # support/query ids disjoint within each task; no dup within class draw
+    ids = np.asarray(ep.support_ids)
+    qids = np.asarray(ep.query_ids)
+    for b in range(B):
+        assert len(set(ids[b]) & set(qids[b])) == 0
+        assert len(set(ids[b].tolist() + qids[b].tolist())) == \
+            NK + NQ  # sampling without replacement
+
+    # images actually come from the right class: embedding rows must match
+    table = np.asarray(image_table)
+    s_im = np.asarray(ep.support_im)
+    for b in range(B):
+        for j in range(NK):
+            row = ids[b, j]
+            np.testing.assert_allclose(s_im[b, j], table[row], rtol=1e-6)
+
+
+def test_device_sampler(synth):
+    cs, table, ids = synth
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, SPEC)
+    ep = jax.jit(sampler.sample)(jax.random.PRNGKey(0))
+    _check_episode(ep, cs, table, SPEC)
+    # distinct classes per task: text rows must be distinct
+    text = np.asarray(ep.support_text).reshape(
+        SPEC.batch_size, SPEC.num_ways, SPEC.num_shots, -1)
+    for b in range(SPEC.batch_size):
+        per_class = text[b, :, 0, :]
+        assert len(np.unique(per_class.round(6), axis=0)) == SPEC.num_ways
+
+    # different keys -> different episodes
+    ep2 = jax.jit(sampler.sample)(jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(ep.support_ids),
+                              np.asarray(ep2.support_ids))
+    # same key -> identical (determinism)
+    ep3 = jax.jit(sampler.sample)(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(ep.support_ids),
+                                  np.asarray(ep3.support_ids))
+
+
+def test_host_sampler(synth):
+    cs, table, ids = synth
+    sampler = HostEpisodeSampler(table, ids, cs, SPEC, seed=0)
+    ep = sampler.sample()
+    _check_episode(ep, cs, table, SPEC)
+
+
+def test_host_sampler_rejects_small_classes(synth):
+    cs, table, ids = synth
+    small = EpisodeSpec(batch_size=2, num_ways=3, num_shots=15, num_query=10,
+                        im_dim=64, text_dim=32)
+    with pytest.raises(ValueError):
+        HostEpisodeSampler(table, ids, cs, small)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline over a tiny fake iNat-Anim
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fake_inat_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("inat")
+    rng = np.random.RandomState(0)
+    C, per, D = 10, 30, 16
+    cats = [{"id": i, "name": f"species_{i}",
+             "common_name": f"common {i}",
+             "description": f"the animal number {i} lives in habitat {i}"}
+            for i in range(C)]
+    images, annotations = [], []
+    for i in range(C * per):
+        images.append({"id": i})
+        annotations.append({"category_id": i % C})
+    with open(os.path.join(root, "inat_anim.json"), "w") as f:
+        json.dump({"categories": cats, "images": images,
+                   "annotations": annotations}, f)
+    emb = rng.randn(C * per, D).astype(np.float32)
+    with h5py.File(os.path.join(root, "image_embeddings_resnet-152.hdf5"),
+                   "w") as f:
+        f.create_dataset("images", data=emb)
+    # fake precomputed BERT artifact for all C categories
+    np.save(os.path.join(root, "text_embeddings_bert_description.npy"),
+            rng.randn(C, 8).astype(np.float32))
+    return str(root)
+
+
+def test_load_inat_anim_bert_artifact(fake_inat_dir):
+    data = load_inat_anim(fake_inat_dir, text_encoder="BERT")
+    assert set(data.splits) == {"train", "val", "test"}
+    assert data.image_table.shape == (300, 16)
+    tr = data.splits["train"]
+    assert tr.num_classes == 6
+    assert data.splits["val"].num_classes == 2
+    assert data.splits["test"].num_classes == 2
+    assert tr.text_features.shape == (6, 8)
+    # class tables point at images of the right category
+    for ci in range(tr.num_classes):
+        cat = tr.categories[ci]
+        rows = tr.class_image_rows[ci, :tr.class_counts[ci]]
+        assert all(r % 10 == cat for r in rows)
+
+
+def test_load_inat_anim_word_tokens(fake_inat_dir):
+    data = load_inat_anim(fake_inat_dir, text_encoder="glove")
+    tr = data.splits["train"]
+    assert tr.text_is_tokens
+    assert data.dictionary is not None
+    assert vocab.PAD_WORD in data.dictionary.token2id
+    # descriptions compose in text_type order
+    d2 = load_inat_anim(fake_inat_dir, text_encoder="glove",
+                        text_type=("label", "common_name"))
+    cat0 = d2.splits["train"].categories[0]
+    assert d2.splits["train"].descriptions[0] == \
+        f"species_{cat0} common {cat0}"

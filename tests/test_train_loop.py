@@ -1,0 +1,115 @@
+"""End-to-end episodic training on synthetic data for each model family:
+the harness runs, learns above chance, checkpoints, and restores."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.core.episode import EpisodeSpec
+from fumi_tpu.data import DeviceEpisodeSampler, HostEpisodeSampler, \
+    synthetic_class_set
+from fumi_tpu.train import checkpoint as ckpt_lib
+from fumi_tpu.train.logging import MetricWriter
+from fumi_tpu.train.loop import training_run
+from fumi_tpu.train.loop import test_loop as run_test_loop
+from fumi_tpu.train.steps import make_steps
+
+IM_DIM, TXT_DIM = 32, 16
+
+
+def small_cfg(model, **kw):
+    base = dict(
+        model=model, im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
+        im_hid_dim=(32, 16), prototype_dim=16, text_hid_dim=16,
+        num_ways=3, num_shots=3, num_shots_test=5,
+        num_train_adapt_steps=3, num_test_adapt_steps=5,
+        batch_size=4, epochs=60, eval_freq=30, patience=0,
+        num_ep_test=16, lr=1e-2, optim="adam", dropout=0.0,
+        text_encoder="precomputed", step_size=0.1,
+        image_embedding_model="resnet-152",
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    return cfg
+
+
+def build_samplers(cfg, device=True, seed=0):
+    cs, table, ids = synthetic_class_set(
+        num_classes=12, images_per_class=40, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=seed)
+    train_spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                             cfg.num_query_train, IM_DIM, TXT_DIM)
+    eval_spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                            cfg.num_query_eval, IM_DIM, TXT_DIM)
+    if device:
+        mk = lambda spec: DeviceEpisodeSampler(
+            jnp.asarray(table), jnp.asarray(ids), cs, spec)
+    else:
+        mk = lambda spec: HostEpisodeSampler(table, ids, cs, spec, seed=seed)
+    return mk(train_spec), mk(eval_spec)
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_family_learns(model, tmp_path):
+    cfg = small_cfg(model)
+    train_s, eval_s = build_samplers(cfg)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    writer = MetricWriter(str(tmp_path), use_wandb=False)
+
+    # before training
+    before = run_test_loop(cfg, steps, steps.params, eval_s, 3,
+                       jax.random.PRNGKey(5))
+    params = training_run(cfg, steps, train_s, eval_s, writer,
+                          str(tmp_path / "run"), jax.random.PRNGKey(1))
+    after = run_test_loop(cfg, steps, params, eval_s, 3, jax.random.PRNGKey(5))
+    writer.finish()
+
+    assert after["acc"] > max(before["acc"], 1.0 / cfg.num_ways + 0.05), \
+        (before["acc"], after["acc"])
+    assert after["loss"] < before["loss"]
+
+
+def test_host_sampler_path(tmp_path):
+    cfg = small_cfg("maml", epochs=20, eval_freq=10)
+    train_s, eval_s = build_samplers(cfg, device=False)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    writer = MetricWriter(str(tmp_path), use_wandb=False)
+    params = training_run(cfg, steps, train_s, eval_s, writer,
+                          str(tmp_path / "run"), jax.random.PRNGKey(1))
+    writer.finish()
+    m = run_test_loop(cfg, steps, params, eval_s, 2, jax.random.PRNGKey(5))
+    assert "acc" in m and "loss" in m
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg("fumi", epochs=5, eval_freq=3)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    opt_state = steps.opt.init(steps.params)
+    run_dir = str(tmp_path / "ck")
+    ckpt_lib.save_checkpoint(run_dir, steps.params, opt_state,
+                             batch_idx=7, best_loss=1.5, is_best=True)
+    p2, s2, meta = ckpt_lib.load_checkpoint(run_dir, steps.params, opt_state,
+                                            best=True)
+    assert meta["batch_idx"] == 7
+    chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), steps.params, p2))
+    assert chex_equal
+
+
+def test_test_loop_runs_max_plus_one_batches(tmp_path):
+    """Quirk parity: test loops process max_num_batches+1 batches
+    (ref: am3.py:364-365)."""
+    cfg = small_cfg("am3")
+    _, eval_s = build_samplers(cfg)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+
+    calls = []
+    orig = steps.eval_step
+    def counting_eval(p, e, r):
+        calls.append(1)
+        return orig(p, e, r)
+    steps = steps._replace(eval_step=counting_eval)
+    run_test_loop(cfg, steps, steps.params, eval_s, 4, jax.random.PRNGKey(0))
+    assert len(calls) == 5
