@@ -1,0 +1,181 @@
+"""Benchmark: episodes/sec on the flagship FuMI config (5-way 5-shot,
+reference dims) — fused device-sampled train steps on the TPU vs a torch-CPU
+restatement of the reference's sequential episode step (the reference
+publishes no numbers and its full stack isn't runnable here, SURVEY §6; the
+baseline is the same math executed the way the reference executes it:
+eager torch, per-task Python loop, create_graph inner steps).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "episodes/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+
+# flagship config: reference defaults (ref: utils.py:80-179)
+IM_DIM, TXT_DIM = 2048, 768
+IM_HID = (256, 64)
+TXT_HID = 256
+N_WAY, K_SHOT, Q_TRAIN = 5, 5, 32
+BATCH = 4
+INNER_STEPS = 5
+STEP_SIZE = 0.01
+LR = 3e-5
+
+
+def bench_tpu(num_steps: int = 2000, chunk: int = 200) -> float:
+    """episodes/sec of the chunked (scan) fused sample+train driver — the
+    production training path (fumi_tpu/train/loop.py)."""
+    import jax
+    import jax.numpy as jnp
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+    from fumi_tpu.train.steps import (build_family, make_chunked_train,
+                                      make_opt)
+
+    cfg = Config(model="fumi", im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
+                 im_hid_dim=IM_HID, text_hid_dim=TXT_HID, num_ways=N_WAY,
+                 num_shots=K_SHOT, num_shots_test=Q_TRAIN,
+                 num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
+                 dropout=0.25, text_encoder="precomputed",
+                 step_size=STEP_SIZE, lr=LR, optim="adam")
+
+    cs, table, ids = synthetic_class_set(
+        num_classes=64, images_per_class=64, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=0)
+    spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, Q_TRAIN, IM_DIM, TXT_DIM)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+    chunked = make_chunked_train(family, opt, sampler, chunk)
+
+    params = family.params
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
+    jax.block_until_ready(ms["loss"])
+
+    iters = max(1, num_steps // chunk)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
+    jax.block_until_ready(ms["loss"])
+    dt = time.perf_counter() - t0
+    return iters * chunk * BATCH / dt
+
+
+def bench_torch_baseline(num_steps: int = 3) -> float:
+    """Reference-style eager torch CPU FuMI episode step, episodes/sec.
+
+    Same math as ref fumi.py:115-196: sequential loop over tasks, 5
+    create_graph inner steps jointly updating base params and the hypernet
+    output, outer backward + Adam."""
+    import torch
+    import torch.nn.functional as F
+    torch.manual_seed(0)
+
+    h1 = torch.nn.Linear(TXT_DIM, TXT_HID)
+    h2 = torch.nn.Linear(TXT_HID, IM_HID[-1] + 1)
+    im_layers = torch.nn.ModuleList([
+        torch.nn.Linear(IM_DIM, IM_HID[0]),
+        torch.nn.Linear(IM_HID[0], IM_HID[1]),
+    ])
+    all_params = (list(h1.parameters()) + list(h2.parameters()) +
+                  list(im_layers.parameters()))
+    opt = torch.optim.Adam(all_params, lr=LR)
+
+    def hyper_fwd(x):
+        return h2(torch.relu(h1(x)))
+
+    def im_forward(ps, hyper, x):
+        out = x
+        for (w, b) in ps:
+            out = torch.relu(F.linear(out, w, b))
+        return out @ hyper[:, :-1].T + hyper[:, -1]
+
+    rng = np.random.RandomState(0)
+    NK, NQ = N_WAY * K_SHOT, N_WAY * Q_TRAIN
+    s_im = torch.tensor(rng.randn(BATCH, NK, IM_DIM).astype(np.float32))
+    q_im = torch.tensor(rng.randn(BATCH, NQ, IM_DIM).astype(np.float32))
+    s_tx = torch.tensor(rng.randn(BATCH, N_WAY, TXT_DIM).astype(np.float32))
+    s_y = torch.tensor(np.tile(np.repeat(np.arange(N_WAY), K_SHOT)[None],
+                               (BATCH, 1)))
+    q_y = torch.tensor(np.tile(np.repeat(np.arange(N_WAY), Q_TRAIN)[None],
+                               (BATCH, 1)))
+
+    def one_meta_step():
+        outer = torch.tensor(0.0)
+        for t in range(BATCH):
+            hyper = hyper_fwd(s_tx[t])
+            ps = [(l.weight, l.bias) for l in im_layers]
+            for _ in range(INNER_STEPS):
+                logit = im_forward(ps, hyper, s_im[t])
+                inner = F.cross_entropy(logit, s_y[t])
+                g_h = torch.autograd.grad(inner, hyper, create_graph=True,
+                                          retain_graph=True)[0]
+                flat = [p for pair in ps for p in pair]
+                g_im = torch.autograd.grad(inner, flat, create_graph=True)
+                hyper = hyper - STEP_SIZE * g_h
+                ps = [(flat[2 * i] - STEP_SIZE * g_im[2 * i],
+                       flat[2 * i + 1] - STEP_SIZE * g_im[2 * i + 1])
+                      for i in range(len(ps))]
+            q_logit = im_forward(ps, hyper, q_im[t])
+            outer = outer + F.cross_entropy(q_logit, q_y[t])
+        outer = outer / BATCH
+        opt.zero_grad()
+        outer.backward()
+        opt.step()
+
+    one_meta_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        one_meta_step()
+    dt = time.perf_counter() - t0
+    return num_steps * BATCH / dt
+
+
+def get_baseline(refresh: bool = False) -> float:
+    if not refresh and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["episodes_per_sec"]
+    eps = bench_torch_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"episodes_per_sec": eps,
+                   "what": "torch-CPU reference-style FuMI episode step"},
+                  f)
+    return eps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--refresh-baseline", action="store_true")
+    args = ap.parse_args()
+
+    value = bench_tpu(args.steps)
+    baseline = get_baseline(args.refresh_baseline)
+    print(json.dumps({
+        "metric": "fumi_5way5shot_train_episodes_per_sec",
+        "value": round(value, 2),
+        "unit": "episodes/sec",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

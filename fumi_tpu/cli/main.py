@@ -1,0 +1,209 @@
+"""Experiment driver — the ``fumi/main.py`` equivalent.
+
+Preserves the reference driver's flow (ref: fumi/main.py:19-156): run/log
+setup, argument validation, dataset+model+optimizer construction, optional
+checkpoint restore, dispatch to the model family's training loop, final test
+metrics, and the prediction CSV artifact — which here is written for EVERY
+model family, not just AM3 (the reference computes FuMI's test predictions
+but discards them, ref: main.py:103-105; BASELINE.md asks for saved
+test-task predictions).
+
+TPU-native deltas: device selection becomes mesh construction (all local
+devices on the ``dp`` axis by default); episodic data lives in device tables
+with sampling fused into the train step; `--dataset synthetic` provides a
+self-contained smoke config.
+
+Usage:  python -m fumi_tpu.cli.main --model fumi --num_shots 5 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fumi_tpu.core.config import Config, config_from_args
+from fumi_tpu.core.episode import EpisodeSpec
+from fumi_tpu.core import mesh as mesh_lib
+from fumi_tpu.data.class_set import ClassSet
+from fumi_tpu.data.sampler import DeviceEpisodeSampler, HostEpisodeSampler
+from fumi_tpu.data.supervised import supervised_from_class_set
+from fumi_tpu.train import checkpoint as ckpt_lib
+from fumi_tpu.train import clip_loop
+from fumi_tpu.train.logging import MetricWriter
+from fumi_tpu.train.loop import test_loop, training_run
+from fumi_tpu.train.steps import make_opt, make_steps
+from fumi_tpu.train.optim import init_optim
+
+
+def _load_data(cfg: Config):
+    """Dataset dispatch (ref: data.py:25-86). Returns
+    (splits dict, image_table, image_ids, dictionary)."""
+    if cfg.dataset in ("inat-anim", "supervised-inat-anim"):
+        from fumi_tpu.data.inat_anim import load_inat_anim
+        data = load_inat_anim(
+            cfg.data_dir, text_encoder=cfg.text_encoder,
+            text_type=cfg.text_type,
+            remove_stop_words=cfg.remove_stop_words,
+            image_embedding_model=cfg.image_embedding_model)
+        dictionary = (data.dictionary.token2id
+                      if data.dictionary is not None else {})
+        return data.splits, data.image_table, data.image_ids, dictionary
+    if cfg.dataset == "synthetic":
+        from fumi_tpu.data.synthetic import synthetic_splits
+        splits, table, ids = synthetic_splits(
+            num_classes=32, images_per_class=64,
+            im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim, seed=cfg.seed)
+        return splits, table, ids, {}
+    raise NotImplementedError(f"dataset {cfg.dataset!r}")
+
+
+def _specs(cfg: Config, text_dim: int, tokens: bool):
+    train = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                        cfg.num_query_train, cfg.im_emb_dim, text_dim,
+                        text_is_tokens=tokens)
+    evals = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                        cfg.num_query_eval, cfg.im_emb_dim, text_dim,
+                        text_is_tokens=tokens)
+    return train, evals
+
+
+def _samplers(cfg: Config, splits, image_table, image_ids):
+    cs = splits["train"]
+    text_dim = cs.text_features.shape[-1]
+    tokens = cs.text_is_tokens
+    train_spec, eval_spec = _specs(cfg, text_dim, tokens)
+    if cfg.device_sampler:
+        table = jnp.asarray(image_table)
+        ids = jnp.asarray(image_ids)
+        return (DeviceEpisodeSampler(table, ids, splits["train"], train_spec),
+                DeviceEpisodeSampler(table, ids, splits["val"], eval_spec),
+                DeviceEpisodeSampler(table, ids, splits["test"], eval_spec))
+    return (HostEpisodeSampler(image_table, image_ids, splits["train"],
+                               train_spec, seed=cfg.seed),
+            HostEpisodeSampler(image_table, image_ids, splits["val"],
+                               eval_spec, seed=cfg.seed + 1),
+            HostEpisodeSampler(image_table, image_ids, splits["test"],
+                               eval_spec, seed=cfg.seed + 2))
+
+
+def _save_predictions_csv(cfg: Config, writer: MetricWriter,
+                          results_path: str, test_m: dict) -> Optional[str]:
+    """Prediction artifact (ref: main.py:128-136), for every family."""
+    if "preds" not in test_m:
+        return None
+    import pandas as pd
+    cols = {
+        "query_preds": test_m.get("preds"),
+        "query_targets": test_m.get("targets"),
+    }
+    if test_m.get("query_idx"):
+        cols["query_idx"] = test_m["query_idx"]
+    if test_m.get("support_idx"):
+        # support/query lengths differ; store as separate frame columns only
+        # when aligned — otherwise a side CSV
+        pass
+    df = pd.DataFrame({k: v for k, v in cols.items() if v is not None})
+    path = os.path.join(results_path, f"run_{writer.run_name}.csv")
+    df.to_csv(path)
+    if test_m.get("support_idx"):
+        side = pd.DataFrame({
+            "support_idx": test_m["support_idx"],
+            **({"support_lamda": test_m["support_lamdas"]}
+               if test_m.get("support_lamdas") else {}),
+        })
+        side.to_csv(os.path.join(results_path,
+                                 f"run_{writer.run_name}_support.csv"))
+    return path
+
+
+def main(cfg: Config) -> dict:
+    cfg = cfg.validate()
+    results_path = os.path.join(cfg.log_dir, "results")
+    os.makedirs(results_path, exist_ok=True)
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    writer = MetricWriter(
+        results_path, use_wandb=not cfg.wandb_offline,
+        offline=cfg.wandb_offline,
+        wandb_kwargs=dict(entity=cfg.wandb_entity, project=cfg.wandb_project,
+                          group=cfg.wandb_experiment,
+                          job_type="eval" if cfg.evaluate else "train"))
+
+    splits, image_table, image_ids, dictionary = _load_data(cfg)
+    run_dir = os.path.join(cfg.log_dir, "runs", writer.run_name)
+    os.makedirs(run_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_model, k_train, k_test = jax.random.split(key, 3)
+
+    # ---- CLIP: supervised path (ref: main.py:86-92,109-111) ----
+    if cfg.model == "clip":
+        if cfg.dataset not in ("supervised-inat-anim", "synthetic"):
+            raise NotImplementedError(
+                "CLIP requires --dataset supervised-inat-anim")
+        model, params = clip_loop.make_clip(cfg, k_model)
+        opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
+        data = {s: (supervised_from_class_set(splits[s]), image_table)
+                for s in ("train", "val", "test")}
+        if cfg.checkpoint:
+            params, _, _ = ckpt_lib.load_checkpoint(
+                cfg.checkpoint, params, opt.init(params), best=True)
+        if not cfg.evaluate:
+            params = clip_loop.training_run(
+                cfg, model, params, opt, data["train"], data["val"],
+                writer, run_dir, np.random.RandomState(cfg.seed))
+        test_acc = clip_loop.evaluate(cfg, model, params, data["test"])
+        print(f"\n TEST: test acc: {test_acc}")
+        writer.log({"test/acc": test_acc})
+        writer.finish()
+        return {"test/acc": test_acc}
+
+    # ---- episodic families ----
+    steps = make_steps(cfg, k_model, dictionary)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 or cfg.mesh_dp > 1:
+        from fumi_tpu.parallel import make_parallel_steps
+        mesh = mesh_lib.make_mesh(cfg.mesh_dp, cfg.mesh_mp)
+        if mesh.shape[mesh_lib.DP_AXIS] > 1:
+            steps = make_parallel_steps(cfg, k_model, mesh, dictionary)
+
+    train_s, val_s, test_s = _samplers(cfg, splits, image_table, image_ids)
+
+    params = steps.params
+    if cfg.checkpoint:
+        params, _, _ = ckpt_lib.load_checkpoint(
+            cfg.checkpoint, params, steps.opt.init(params), best=True)
+        steps = steps._replace(params=params)
+
+    if not cfg.evaluate:
+        params = training_run(cfg, steps, train_s, val_s, writer, run_dir,
+                              k_train)
+
+    test_m = test_loop(cfg, steps, params, test_s, cfg.max_test_batches,
+                       k_test, collect_artifacts=True)
+    scalars = {k: v for k, v in test_m.items()
+               if isinstance(v, (int, float))}
+    print(f"\n TEST: {scalars}")
+    writer.log({f"test/{k}": v for k, v in scalars.items()})
+    _save_predictions_csv(cfg, writer, results_path, test_m)
+    writer.finish()
+    return {f"test/{k}": v for k, v in scalars.items()}
+
+
+def cli(argv=None):
+    cfg = config_from_args(argv)
+    print(f"running on {jax.default_backend()} "
+          f"({len(jax.devices())} devices)")
+    return main(cfg)
+
+
+if __name__ == "__main__":
+    cli(sys.argv[1:])

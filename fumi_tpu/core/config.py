@@ -126,18 +126,25 @@ class Config:
         return int(self.num_ep_test / self.batch_size)
 
     def validate(self) -> "Config":
-        """Argument validation matching fumi/main.py:34-44."""
-        if self.image_embedding_model not in ("resnet-152", "resnet-34"):
-            raise ValueError(
-                "Image embedding model must be one of resnet-152 resnet-34")
-        if self.image_embedding_model == "resnet-152" and self.im_emb_dim != 2048:
-            raise ValueError(
-                "Resnet-152 outputs 2048-dimensional embeddings, hence "
-                "--im_emb_dim should be set to 2048")
-        if self.image_embedding_model == "resnet-34" and self.im_emb_dim != 512:
-            raise ValueError(
-                "Resnet-34 outputs 512-dimensional embeddings, hence "
-                "--im_emb_dim should be set to 512")
+        """Argument validation matching fumi/main.py:34-44.
+
+        The resnet↔embedding-dim coupling only binds for the iNat datasets
+        (synthetic smoke runs may use any dims)."""
+        if "inat" in self.dataset:
+            if self.image_embedding_model not in ("resnet-152", "resnet-34"):
+                raise ValueError(
+                    "Image embedding model must be one of resnet-152 "
+                    "resnet-34")
+            if self.image_embedding_model == "resnet-152" and \
+                    self.im_emb_dim != 2048:
+                raise ValueError(
+                    "Resnet-152 outputs 2048-dimensional embeddings, hence "
+                    "--im_emb_dim should be set to 2048")
+            if self.image_embedding_model == "resnet-34" and \
+                    self.im_emb_dim != 512:
+                raise ValueError(
+                    "Resnet-34 outputs 512-dimensional embeddings, hence "
+                    "--im_emb_dim should be set to 512")
         if self.model not in MODELS:
             raise ValueError(f"unknown model {self.model!r}; one of {MODELS}")
         if self.text_encoder not in TEXT_ENCODERS:

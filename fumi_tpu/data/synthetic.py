@@ -59,3 +59,31 @@ def synthetic_class_set(num_classes: int = 20,
         descriptions=[f"synthetic class {i}" for i in range(C)],
     )
     return cs, image_table, image_ids
+
+
+def synthetic_splits(num_classes: int = 32, images_per_class: int = 64,
+                     im_dim: int = 2048, text_dim: int = 768,
+                     seed: int = 0, **kw):
+    """Three disjoint 60/20/20 class splits over ONE shared image table
+    (mirrors the reference's split policy shape, ref: data.py:377-386)."""
+    cs, table, ids = synthetic_class_set(
+        num_classes=num_classes, images_per_class=images_per_class,
+        im_dim=im_dim, text_dim=text_dim, seed=seed, **kw)
+    rng = np.random.RandomState(0)
+    order = np.arange(num_classes)
+    rng.shuffle(order)
+    cuts = {"train": order[:int(0.6 * num_classes)],
+            "val": order[int(0.6 * num_classes):int(0.8 * num_classes)],
+            "test": order[int(0.8 * num_classes):]}
+    splits = {}
+    for name, idx in cuts.items():
+        splits[name] = ClassSet(
+            categories=cs.categories[idx],
+            class_image_rows=cs.class_image_rows[idx],
+            class_counts=cs.class_counts[idx],
+            text_features=cs.text_features[idx],
+            text_mask=(cs.text_mask[idx]
+                       if cs.text_mask is not None else None),
+            descriptions=[cs.descriptions[i] for i in idx],
+        )
+    return splits, table, ids

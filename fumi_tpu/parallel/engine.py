@@ -1,0 +1,118 @@
+"""Episode-parallel train/eval steps over a device mesh.
+
+The reference has no parallelism at all — a single torch device and a
+sequential Python loop over tasks (ref: fumi/main.py:145-146,
+maml.py:158-161; SURVEY §2.6). Here the meta-batch's task axis is sharded
+over the mesh's ``dp`` axis with ``shard_map``:
+
+- each device adapts its local shard of tasks (vmap over B/dp tasks),
+- meta-gradients are ``pmean``-reduced over ICI — replacing the reference's
+  implicit single-device accumulation (ref: fumi.py:187-193),
+- the optax update runs replicated on every device (identical inputs →
+  identical params, no broadcast needed),
+- eval reduces each raw quantity per its declared reduction: ``pmean`` for
+  losses/accuracies, ``psum`` for confusion matrices (so sklearn-macro
+  metrics are exact over the global batch), gather for per-query
+  predictions.
+
+Requires ``cfg.batch_size % dp == 0`` (tasks split evenly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.core.mesh import DP_AXIS
+from fumi_tpu.train.steps import (Family, FamilySteps, _train_metrics,
+                                  build_family, make_opt)
+
+try:  # jax>=0.6 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _episode_pspec(episode) -> object:
+    """PartitionSpec pytree: every episode leaf sharded on its task axis."""
+    return jax.tree_util.tree_map(lambda _: P(DP_AXIS), episode)
+
+
+def _reduce_raw(raw: Dict, reduce_spec: Dict[str, str]) -> Dict:
+    out = {}
+    for k, v in raw.items():
+        mode = reduce_spec.get(k, "mean")
+        if mode == "mean":
+            out[k] = jax.lax.pmean(v, DP_AXIS)
+        elif mode == "sum":
+            out[k] = jax.lax.psum(v, DP_AXIS)
+        elif mode == "concat":
+            # gather shards along the task axis -> global meta-batch order
+            out[k] = jax.lax.all_gather(v, DP_AXIS, axis=0, tiled=True)
+        else:
+            raise ValueError(f"unknown reduction {mode!r} for {k}")
+    return out
+
+
+def make_parallel_steps(cfg: Config, key: jax.Array, mesh: Mesh,
+                        dictionary=None) -> FamilySteps:
+    """Build shard_map episode-parallel steps for the cfg's model family."""
+    dp = mesh.shape[DP_AXIS]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+
+    family = build_family(cfg, key, dictionary)
+    opt = make_opt(cfg)
+
+    # probe episode pytree for in_specs construction happens per call via
+    # tree_map, so no static episode needed here.
+    rep = P()  # replicated
+
+    def _train_shard(p, opt_state, episode, rng):
+        # per-shard rng: fold in the dp coordinate so dropout/noise differ
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+        (loss, aux), grads = jax.value_and_grad(
+            family.train_loss, has_aux=True)(p, episode, rng)
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        loss = jax.lax.pmean(loss, DP_AXIS)
+        aux = _reduce_raw(aux, family.eval_reduce)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        m = _train_metrics(family, loss, aux, episode)
+        return p, opt_state, m
+
+    def _eval_shard(p, episode, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+        raw = family.eval_raw(p, episode, rng)
+        raw = _reduce_raw(raw, family.eval_reduce)
+        return family.eval_finalize(raw)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(p, opt_state, episode, rng):
+        ep_specs = _episode_pspec(episode)
+        fn = shard_map(
+            _train_shard, mesh=mesh,
+            in_specs=(rep, rep, ep_specs, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False)
+        return fn(p, opt_state, episode, rng)
+
+    @jax.jit
+    def eval_step(p, episode, rng):
+        ep_specs = _episode_pspec(episode)
+        fn = shard_map(
+            _eval_shard, mesh=mesh,
+            in_specs=(rep, ep_specs, rep),
+            out_specs=rep,
+            check_vma=False)
+        return fn(p, episode, rng)
+
+    return FamilySteps(params=family.params, opt=opt, train_step=train_step,
+                       eval_step=eval_step, family=family)

@@ -1,0 +1,147 @@
+"""CLIP supervised training + retrieval evaluation harness.
+
+Re-design of ref fumi/models/clip.py:43-141:
+- per-batch class dedupe (``np.unique(batch_ids, return_index=True)``,
+  ref: clip.py:94-97) happens on host; the jitted step takes a fixed-shape
+  batch + validity mask so ONE XLA program serves every batch size
+  (the reference re-shapes eagerly per batch).
+- symmetric cross-entropy on the cosine-sim matrix with arange labels
+  (ref: clip.py:105-110), masked to the valid rows/cols.
+- evaluation: sliding windows of ``n_ways`` images against the window's
+  first text; score 1 if image 0 ranks first (ref: clip.py:53-73), windows
+  with stride ``n_ways`` while ``shot_i + n_ways < batch_size``.
+- epoch harness: per-epoch val, checkpoint, best-acc tracking, patience,
+  best reload (ref: clip.py:77-141).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.data.supervised import SupervisedSet, epoch_batches
+from fumi_tpu.models.clip import CLIP
+from fumi_tpu.train import checkpoint as ckpt_lib
+from fumi_tpu.train.logging import MetricWriter
+from fumi_tpu.train.optim import init_optim
+
+NEG_INF = -1e9
+
+
+def make_clip(cfg: Config, key: jax.Array):
+    model = CLIP(text_input_dim=cfg.text_emb_dim,
+                 image_input_dim=cfg.im_emb_dim,
+                 latent_dim=cfg.clip_latent_dim)
+    return model, model.init_params(key)
+
+
+def masked_symmetric_ce(model: CLIP, params, text, image, valid_n):
+    """Symmetric CE over the first ``valid_n`` (deduped) rows/cols.
+
+    Equivalent to slicing to the deduped batch then applying the reference's
+    loss (ref: clip.py:103-110), but static-shaped.
+    """
+    sim = model.forward(params, text, image)  # (B, B)
+    B = sim.shape[0]
+    valid = jnp.arange(B) < valid_n  # (B,)
+
+    def masked_ce(logits):
+        logits = jnp.where(valid[None, :], logits, NEG_INF)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.diagonal(logp)  # label i for row i
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(valid_n, 1)
+
+    return (masked_ce(sim) + masked_ce(sim.T)) / 2.0
+
+
+def dedupe_batch(image: np.ndarray, text: np.ndarray, ids: np.ndarray,
+                 valid_n: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """First-occurrence class dedupe (ref: clip.py:94-97), repadded."""
+    _, unique_idx = np.unique(ids[:valid_n], return_index=True)
+    u = len(unique_idx)
+    B = image.shape[0]
+    pad = np.concatenate([unique_idx,
+                          np.repeat(unique_idx[:1], B - u)])
+    return image[pad], text[pad], u
+
+
+def training_run(cfg: Config, model: CLIP, params, opt,
+                 train_data: Tuple[SupervisedSet, np.ndarray],
+                 val_data: Tuple[SupervisedSet, np.ndarray],
+                 writer: MetricWriter, run_dir: str,
+                 rng: np.random.RandomState):
+    """CLIP epoch loop (ref: clip.py:77-141). Returns final params."""
+    train_ds, image_table = train_data
+    opt_state = opt.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(p, opt_state, text, image, valid_n):
+        loss, grads = jax.value_and_grad(
+            lambda p_: masked_symmetric_ce(model, p_, text, image, valid_n)
+        )(p)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    best_acc = evaluate(cfg, model, params, val_data)
+    best_epoch = 0
+    print("init val_acc", best_acc)
+
+    for epoch in range(cfg.epochs):
+        for image, text, ids, valid_n in epoch_batches(
+                train_ds, image_table, cfg.batch_size, rng):
+            image, text, u = dedupe_batch(image, text, ids, valid_n)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(text), jnp.asarray(image),
+                jnp.asarray(u, dtype=jnp.int32))
+
+        val_acc = evaluate(cfg, model, params, val_data)
+        print("epoch", epoch, "val_acc", val_acc)
+        writer.log({"val/acc": val_acc}, step=epoch)
+        is_best = val_acc > best_acc
+        if is_best:
+            best_acc = val_acc
+            best_epoch = epoch
+        ckpt_lib.save_checkpoint(run_dir, params, opt_state, epoch,
+                                 best_acc, is_best,
+                                 extra_meta={"model": "clip"})
+        if cfg.patience > 0 and epoch - best_epoch > cfg.patience:
+            break
+
+    if os.path.exists(os.path.join(run_dir, "best")):
+        params, _, _ = ckpt_lib.load_checkpoint(run_dir, params, opt_state,
+                                                best=True)
+    return params
+
+
+def evaluate(cfg: Config, model: CLIP, params,
+             data: Tuple[SupervisedSet, np.ndarray]) -> float:
+    """Sliding-window retrieval accuracy (ref: clip.py:43-74).
+
+    Windows are formed per shuffle-free epoch pass with the reference's
+    stride/termination (``while shot_i + n_ways < batch_size``); all windows
+    are scored in one vmapped call.
+    """
+    ds, image_table = data
+    n_ways = cfg.num_ways
+    texts, windows = [], []
+    rng = np.random.RandomState(0)  # unshuffled: order by construction
+    for image, text, ids, valid_n in epoch_batches(
+            ds, image_table, cfg.batch_size, rng, shuffle=False):
+        shot_i = 0
+        while shot_i + n_ways < valid_n:
+            texts.append(text[shot_i])
+            windows.append(image[shot_i:shot_i + n_ways])
+            shot_i += n_ways
+    if not windows:
+        return 0.0
+    scores = model.retrieval_scores(params, jnp.asarray(np.stack(texts)),
+                                    jnp.asarray(np.stack(windows)))
+    return float(jnp.mean(scores))

@@ -8,19 +8,24 @@ maml.py:36-131, fumi.py:220-326) — including the documented quirks:
   batch 0 as well (``batch_idx % eval_freq == 0``, ref: am3.py:260), while
   MAML/FuMI skip batch 0 (``and batch_idx != 0``, ref: maml.py:70,
   fumi.py:257).
-- early stop on ``--patience`` val-loss plateau or ``--epochs`` meta-batches
-  (ref: am3.py:295-297).
+- early stop on ``--patience`` val-loss plateau (the reference's per-step
+  check ``batch_idx - best_batch_idx > patience``, ref: am3.py:295-297 —
+  honored exactly, including mid-eval-period triggers) or on ``--epochs``
+  (the reference breaks AFTER processing step ``epochs``, i.e. epochs+1
+  steps total, ref: am3.py:295).
 - KeyboardInterrupt is caught so a manual stop still proceeds to
   best-checkpoint reload + test (ref: am3.py:298-299).
 - AM3 and FuMI reload the best checkpoint after training; MAML returns the
   LAST model (ref: maml.py:107 — no reload).
 - test loops process ``max_num_batches + 1`` batches (the reference breaks
-  AFTER processing when ``batch_idx > max-1``, ref: am3.py:364-365) — kept
-  for eval-protocol parity.
+  AFTER processing when ``batch_idx > max-1``, ref: am3.py:364-365).
 
-Performance notes vs the reference: metrics are logged one step late so the
-host never blocks the device pipeline on the current step, and with the
-device sampler the whole step (sampling included) is one XLA program.
+Performance: with the device sampler, the loop itself runs on device —
+``lax.scan`` chunks of fused sample+train steps per dispatch (one dispatch
+costs milliseconds on a tunneled TPU, more than a whole meta-step's
+compute), with per-step metrics returned stacked so the reference's
+per-step logging granularity is kept. The host sampler path steps
+one-batch-at-a-time (parity mode).
 """
 
 from __future__ import annotations
@@ -35,17 +40,12 @@ from fumi_tpu.core.config import Config
 from fumi_tpu.data.sampler import DeviceEpisodeSampler
 from fumi_tpu.train import checkpoint as ckpt_lib
 from fumi_tpu.train.logging import AverageMeter, MetricWriter
-from fumi_tpu.train.steps import FamilySteps, fuse_sampler
+from fumi_tpu.train.steps import (FamilySteps, fuse_sampler,
+                                  make_chunked_eval, make_chunked_train)
 
 AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda")
-
-
-def _episode_fn(sampler) -> Callable:
-    """Uniform interface: f(key) -> episode (device or host sampler)."""
-    if isinstance(sampler, DeviceEpisodeSampler):
-        sample = jax.jit(sampler.sample)
-        return lambda key: sample(key)
-    return lambda key: sampler.sample()
+CHUNK = 100  # train steps per device dispatch
+ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
 
 def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
@@ -53,50 +53,67 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
               collect_artifacts: bool = False) -> Dict:
     """Evaluate on val/test episodes (ref: am3.py:308-367, fumi.py:302-326).
 
-    Returns averaged metrics; with ``collect_artifacts``, also gathers
-    per-episode predictions/targets/ids/λ for the CSV artifact
-    (ref: main.py:128-136).
+    Processes ``max_num_batches + 1`` meta-batches (reference quirk).
+    Device-sampler path: the whole eval loop is one scan dispatch.
     """
-    meters: Dict[str, AverageMeter] = {}
-    preds: List = []
-    targets: List = []
-    query_idx: List = []
-    support_idx: List = []
-    support_lamdas: List = []
-    episode_of = _episode_fn(sampler)
+    total = max_num_batches + 1
+    if isinstance(sampler, DeviceEpisodeSampler) and \
+            steps.family is not None:
+        run = make_chunked_eval(steps.family, sampler,
+                                collect=collect_artifacts)
+        _, ms = run(params, rng, total)
+        ms = {k: np.asarray(v) for k, v in ms.items()}
+        out = {k: float(v.mean()) for k, v in ms.items()
+               if k not in ARTIFACT_KEYS}
+        if collect_artifacts:
+            out.update(_flatten_artifacts(ms))
+        return out
 
-    batch_idx = 0
-    while True:
+    # host-sampler / custom-steps path: one dispatch per batch
+    meters: Dict[str, AverageMeter] = {}
+    arts: Dict[str, List] = {k: [] for k in ARTIFACT_KEYS}
+    for batch_idx in range(total):
         key = jax.random.fold_in(rng, batch_idx)
         k_ep, k_step = jax.random.split(key)
-        episode = episode_of(k_ep)
+        episode = sampler.sample() if not isinstance(
+            sampler, DeviceEpisodeSampler) else sampler.sample(k_ep)
         m = steps.eval_step(params, episode, k_step)
         for k, v in m.items():
             if k in ("preds", "targets", "lamda"):
                 continue
             meters.setdefault(k, AverageMeter()).update(float(v))
         if collect_artifacts:
-            preds += np.asarray(m["preds"]).reshape(-1).tolist()
-            targets += np.asarray(m["targets"]).reshape(-1).tolist()
-            query_idx += np.asarray(episode.query_ids).reshape(-1).tolist()
-            support_idx += np.asarray(episode.support_ids).reshape(-1).tolist()
+            arts["preds"] += np.asarray(m["preds"]).reshape(-1).tolist()
+            arts["targets"] += np.asarray(m["targets"]).reshape(-1).tolist()
+            arts["query_idx"] += np.asarray(
+                episode.query_ids).reshape(-1).tolist()
+            arts["support_idx"] += np.asarray(
+                episode.support_ids).reshape(-1).tolist()
             if "lamda" in m:
-                support_lamdas += np.asarray(m["lamda"]).reshape(-1).tolist()
-        # ref breaks AFTER processing when batch_idx > max-1 → max+1 batches
-        if batch_idx > max_num_batches - 1:
-            break
-        batch_idx += 1
-
+                arts["lamda"] += np.asarray(m["lamda"]).reshape(-1).tolist()
     out = {k: meter.avg for k, meter in meters.items()}
     if collect_artifacts:
-        out.update(preds=preds, targets=targets, query_idx=query_idx,
-                   support_idx=support_idx, support_lamdas=support_lamdas)
+        out.update(preds=arts["preds"], targets=arts["targets"],
+                   query_idx=arts["query_idx"],
+                   support_idx=arts["support_idx"],
+                   support_lamdas=arts["lamda"])
+    return out
+
+
+def _flatten_artifacts(ms: Dict) -> Dict:
+    out = {}
+    for src, dst in (("preds", "preds"), ("targets", "targets"),
+                     ("query_idx", "query_idx"),
+                     ("support_idx", "support_idx"),
+                     ("lamda", "support_lamdas")):
+        if src in ms:
+            out[dst] = ms[src].reshape(-1).tolist()
     return out
 
 
 def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  writer: MetricWriter, run_dir: str,
-                 rng: jax.Array) -> any:
+                 rng: jax.Array):
     """Train loop for the episodic families. Returns final params."""
     is_am3 = cfg.model == "am3"
     eval_at_zero = is_am3  # ref: am3.py:260 vs maml.py:70 / fumi.py:257
@@ -113,32 +130,63 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     best_batch_idx = 0
     print(f"\ninitial loss: {best_loss}, acc: {val_m['acc']}")
 
-    # fused sampling path: episode drawn inside the train-step XLA program
-    fused = None
-    if isinstance(train_sampler, DeviceEpisodeSampler):
-        fused = fuse_sampler(steps.train_step, train_sampler)
+    device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
+                   and steps.family is not None)
+    if device_path:
+        chunked = make_chunked_train(steps.family, steps.opt, train_sampler,
+                                     CHUNK)
+        train_key = k_train
+    else:
+        fused = (fuse_sampler(steps.train_step, train_sampler)
+                 if isinstance(train_sampler, DeviceEpisodeSampler)
+                 else None)
 
-    pending = None  # (batch_idx, metrics) logged one step late
+    def next_stop(batch_idx: int) -> int:
+        """The next step index after which the loop must pause: an eval
+        boundary, the epochs end, or the patience trigger."""
+        stops = [cfg.epochs]  # ref breaks after processing step `epochs`
+        if cfg.eval_freq > 0:
+            b = (batch_idx // cfg.eval_freq) * cfg.eval_freq
+            while b < batch_idx or (b == 0 and not eval_at_zero):
+                b += cfg.eval_freq
+            stops.append(b)
+        if cfg.patience > 0:
+            stops.append(best_batch_idx + cfg.patience + 1)
+        return min(stops)
+
+    batch_idx = 0
     try:
-        batch_idx = 0
         while True:
-            key = jax.random.fold_in(k_train, batch_idx)
-            if fused is not None:
-                params, opt_state, m = fused(params, opt_state, key)
+            stop = next_stop(batch_idx)
+            n = stop - batch_idx + 1  # steps batch_idx..stop inclusive
+
+            if device_path:
+                # split n into CHUNK-sized dispatches + one remainder
+                done = 0
+                while done < n:
+                    c = min(CHUNK, n - done)
+                    params, opt_state, train_key, ms = chunked(
+                        params, opt_state, train_key, c)
+                    _log_train_stack(writer, cfg, batch_idx + done, ms,
+                                     is_am3)
+                    done += c
             else:
-                k_ep, k_step = jax.random.split(key)
-                episode = train_sampler.sample()
-                params, opt_state, m = steps.train_step(
-                    params, opt_state, episode, k_step)
+                for j in range(n):
+                    key = jax.random.fold_in(k_train, batch_idx + j)
+                    if fused is not None:
+                        params, opt_state, m = fused(params, opt_state, key)
+                    else:
+                        k_ep, k_step = jax.random.split(key)
+                        episode = train_sampler.sample()
+                        params, opt_state, m = steps.train_step(
+                            params, opt_state, episode, k_step)
+                    _log_train(writer, cfg, batch_idx + j, m, is_am3)
 
-            if pending is not None:
-                _log_train(writer, cfg, *pending, is_am3)
-            pending = (batch_idx, m)
+            batch_idx = stop  # last processed step index
 
-            if batch_idx % cfg.eval_freq == 0 and \
-                    (eval_at_zero or batch_idx != 0):
-                _log_train(writer, cfg, *pending, is_am3)
-                pending = None
+            is_eval = (cfg.eval_freq > 0 and batch_idx % cfg.eval_freq == 0
+                       and (eval_at_zero or batch_idx != 0))
+            if is_eval:
                 val_m = test_loop(cfg, steps, params, val_sampler,
                                   max_test_batches,
                                   jax.random.fold_in(k_val, batch_idx))
@@ -162,8 +210,6 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             batch_idx += 1
     except KeyboardInterrupt:
         pass
-    if pending is not None:
-        _log_train(writer, cfg, *pending, is_am3)
 
     if reload_best and os.path.exists(os.path.join(run_dir, "best")):
         params, opt_state, _ = ckpt_lib.load_checkpoint(
@@ -177,3 +223,15 @@ def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
     rec = {f"train/{k}": float(m[k]) for k in keys if k in m}
     rec["num_episodes"] = (batch_idx + 1) * cfg.batch_size
     writer.log(rec, step=batch_idx)
+
+
+def _log_train_stack(writer: MetricWriter, cfg: Config, start_idx: int,
+                     ms: Dict, is_am3: bool) -> None:
+    """Per-step logs from a chunk's stacked metrics (one device sync)."""
+    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc")
+    stacked = {k: np.asarray(ms[k]) for k in keys if k in ms}
+    n = len(next(iter(stacked.values())))
+    for j in range(n):
+        rec = {f"train/{k}": float(v[j]) for k, v in stacked.items()}
+        rec["num_episodes"] = (start_idx + j + 1) * cfg.batch_size
+        writer.log(rec, step=start_idx + j)

@@ -1,25 +1,28 @@
-"""Per-model-family jitted train/eval steps.
+"""Per-model-family episode losses and jitted train/eval steps.
 
-Each family exposes the same contract (the JAX equivalent of the reference's
-``model.evaluate(batch, optimizer, task=...)`` episode methods,
-ref: am3.py:128-212, maml.py:134-193, fumi.py:115-196):
+Each family is built once as a :class:`Family` — the pure episode-level
+functions (the JAX equivalent of the reference's ``model.evaluate`` episode
+methods, ref: am3.py:128-212, maml.py:134-193, fumi.py:115-196):
 
-- ``train_step(params, opt_state, episode, rng) -> (params, opt_state,
-  metrics)`` — one meta-batch: episode loss, outer grads, optax update.
-  Compiled once; with the device sampler the episode itself is produced
-  inside the same XLA program (see :func:`fuse_sampler`).
-- ``eval_step(params, episode, rng) -> metrics`` — no grads; MAML/FuMI run
-  the long test-time adaptation scan (``--num_test_adapt_steps``,
-  ref: utils.py:176-179) without any reverse-mode storage.
+- ``train_loss(params, episode, rng) -> (loss, aux)`` — differentiable.
+- ``eval_raw(params, episode, rng) -> dict`` — raw per-batch quantities with
+  declared cross-shard reductions (``EVAL_REDUCE``: mean for losses/accs,
+  sum for confusion matrices) so the SAME functions serve the single-device
+  jit steps here and the shard_map episode-parallel engine
+  (fumi_tpu/parallel/engine.py).
+- ``eval_finalize(dict) -> metrics`` — turns reduced raw quantities into the
+  reference's metric set.
 
-Metrics are device scalars (plus per-query predictions for artifacts); the
-host only ever sees them when the loop logs.
+``make_steps`` wraps a Family into single-device jitted steps; with the
+device sampler the episode is drawn inside the same XLA program
+(:func:`fuse_sampler`), so one compiled program covers sampling, adaptation,
+outer grads, and the optimizer update.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,16 +36,32 @@ from fumi_tpu.models import am3 as am3_mod
 from fumi_tpu.models import fumi as fumi_mod
 from fumi_tpu.models import mlp
 from fumi_tpu.models import text_encoders
-from fumi_tpu.ops import fewshot, metrics as metrics_ops
+from fumi_tpu.ops import fewshot
+from fumi_tpu.ops import metrics as metrics_ops
+
+
+class Family(NamedTuple):
+    """A model family's pure episode-level functions."""
+    name: str
+    params: Any
+    train_loss: Callable  # (params, episode, rng) -> (loss, aux)
+    eval_raw: Callable  # (params, episode, rng) -> raw dict
+    eval_finalize: Callable  # raw dict -> metrics dict
+    eval_reduce: Dict[str, str]  # raw key -> "mean" | "sum" | "concat"
+    model: Any = None
 
 
 class FamilySteps(NamedTuple):
     """Jitted steps + params for one model family."""
-    params: any
+    params: Any
     opt: optax.GradientTransformation
     train_step: Callable  # (params, opt_state, episode, rng) -> (p, s, m)
     eval_step: Callable  # (params, episode, rng) -> metrics
-    model: any = None
+    family: Optional[Family] = None
+
+    @property
+    def model(self):
+        return self.family.model if self.family else None
 
 
 def _make_text_encoder(cfg: Config, key, dictionary):
@@ -52,49 +71,39 @@ def _make_text_encoder(cfg: Config, key, dictionary):
 
 
 # ---------------------------------------------------------------------------
-# MAML
+# Family builders
 # ---------------------------------------------------------------------------
 
-def make_maml_steps(cfg: Config, key: jax.Array,
-                    opt: optax.GradientTransformation) -> FamilySteps:
+def build_maml_family(cfg: Config, key: jax.Array) -> Family:
     """PureImageNetwork + MAML engine (ref: maml.py:15-33,134-193)."""
     params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
 
     def loss_for(n_steps):
-        def loss_fn(p, episode):
+        def loss_fn(p, episode, rng):
             return maml_episode_loss(
                 mlp.apply, p, episode, n_steps=n_steps,
                 step_size=cfg.step_size, first_order=cfg.first_order)
         return loss_fn
 
-    train_loss = loss_for(cfg.num_train_adapt_steps)
     eval_loss = loss_for(cfg.num_test_adapt_steps)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, opt_state, episode, rng):
-        (loss, aux), grads = jax.value_and_grad(
-            train_loss, has_aux=True)(p, episode)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        p = optax.apply_updates(p, updates)
-        return p, opt_state, {"loss": loss, "acc": aux["acc"]}
-
-    @jax.jit
-    def eval_step(p, episode, rng):
-        loss, aux = eval_loss(p, episode)
+    def eval_raw(p, episode, rng):
+        loss, aux = eval_loss(p, episode, rng)
         return {"loss": loss, "acc": aux["acc"], "preds": aux["preds"],
                 "targets": episode.query_y}
 
-    return FamilySteps(params=params, opt=opt, train_step=train_step,
-                       eval_step=eval_step)
+    return Family(
+        name="maml", params=params,
+        train_loss=loss_for(cfg.num_train_adapt_steps),
+        eval_raw=eval_raw,
+        eval_finalize=lambda raw: raw,
+        eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
+                     "targets": "concat"},
+    )
 
 
-# ---------------------------------------------------------------------------
-# FuMI
-# ---------------------------------------------------------------------------
-
-def make_fumi_steps(cfg: Config, key: jax.Array,
-                    opt: optax.GradientTransformation,
-                    dictionary=None) -> FamilySteps:
+def build_fumi_family(cfg: Config, key: jax.Array,
+                      dictionary=None) -> Family:
     """FUMI hypernet + dual-update engine (ref: fumi.py:18-218)."""
     k_enc, k_par = jax.random.split(key)
     enc = _make_text_encoder(cfg, k_enc, dictionary)
@@ -114,39 +123,33 @@ def make_fumi_steps(cfg: Config, key: jax.Array,
                 step_size=cfg.step_size, rng=rng, train=train)
         return loss_fn
 
-    train_loss = loss_for(cfg.num_train_adapt_steps, True)
     eval_loss = loss_for(cfg.num_test_adapt_steps, False)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, opt_state, episode, rng):
-        (loss, aux), grads = jax.value_and_grad(
-            train_loss, has_aux=True)(p, episode, rng)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        p = optax.apply_updates(p, updates)
-        return p, opt_state, {"loss": loss, "acc": aux["acc"]}
-
-    @jax.jit
-    def eval_step(p, episode, rng):
+    def eval_raw(p, episode, rng):
         loss, aux = eval_loss(p, episode, rng)
         return {"loss": loss, "acc": aux["acc"], "preds": aux["preds"],
                 "targets": episode.query_y}
 
-    return FamilySteps(params=params, opt=opt, train_step=train_step,
-                       eval_step=eval_step, model=model)
+    return Family(
+        name="fumi", params=params,
+        train_loss=loss_for(cfg.num_train_adapt_steps, True),
+        eval_raw=eval_raw,
+        eval_finalize=lambda raw: raw,
+        eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
+                     "targets": "concat"},
+        model=model,
+    )
 
 
-# ---------------------------------------------------------------------------
-# AM3
-# ---------------------------------------------------------------------------
+def build_am3_family(cfg: Config, key: jax.Array,
+                     dictionary=None) -> Family:
+    """AM3 prototypical episode (ref: am3.py:16-212).
 
-def make_am3_steps(cfg: Config, key: jax.Array,
-                   opt: optax.GradientTransformation,
-                   dictionary=None) -> FamilySteps:
-    """AM3 prototypical step (ref: am3.py:16-212).
-
-    The reference's per-step flow — support fwd, query fwd, λ override,
-    prototypes, prototypical CE, sklearn metrics — is one fused XLA program,
-    including the metrics (confusion-matrix form, device-side).
+    The whole per-step flow — support fwd, query fwd, λ override, prototypes,
+    prototypical CE, metrics — is one fused XLA program. Metrics come from a
+    device-side confusion matrix (``sum``-reducible across shards), from
+    which accuracy and sklearn-macro P/R/F1 are derived
+    (replacing the per-step host sklearn call, ref: utils.py:319-326).
     """
     k_enc, k_par = jax.random.split(key)
     enc = _make_text_encoder(cfg, k_enc, dictionary)
@@ -157,33 +160,111 @@ def make_am3_steps(cfg: Config, key: jax.Array,
         fine_tune=cfg.fine_tune, lamda_fixed=cfg.lamda_fixed)
     params = model.init_params(k_par)
 
-    def episode_eval(p, episode, rng, train):
+    def train_loss(p, episode, rng):
         loss, aux = model.episode_loss(p, episode, cfg.num_ways,
-                                       rng=rng, train=train)
+                                       rng=rng, train=True)
+        preds = fewshot.predict_classes(
+            jax.lax.stop_gradient(aux["prototypes"]),
+            jax.lax.stop_gradient(aux["query_emb"]))
+        conf = metrics_ops.confusion_matrix(episode.query_y, preds,
+                                            cfg.num_ways)
+        return loss, {"conf": conf, "avg_lamda": aux["avg_lamda"],
+                      "preds": preds}
+
+    def eval_raw(p, episode, rng):
+        loss, aux = model.episode_loss(p, episode, cfg.num_ways,
+                                       rng=rng, train=False)
         preds = fewshot.predict_classes(aux["prototypes"], aux["query_emb"])
-        m = metrics_ops.episode_metrics(episode.query_y, preds,
-                                        cfg.num_ways)
-        m.update(loss=loss, avg_lamda=aux["avg_lamda"], preds=preds,
-                 targets=episode.query_y, lamda=aux["lamda"][..., 0])
-        return loss, m
+        conf = metrics_ops.confusion_matrix(episode.query_y, preds,
+                                            cfg.num_ways)
+        return {"loss": loss, "conf": conf, "avg_lamda": aux["avg_lamda"],
+                "preds": preds, "targets": episode.query_y,
+                "lamda": aux["lamda"][..., 0]}
+
+    def eval_finalize(raw):
+        conf = raw["conf"]
+        prec, rec, f1 = metrics_ops.macro_prf1(conf)
+        acc = jnp.diagonal(conf).sum() / jnp.maximum(conf.sum(), 1.0)
+        out = {"loss": raw["loss"], "acc": acc, "prec": prec, "rec": rec,
+               "f1": f1, "avg_lamda": raw["avg_lamda"]}
+        for k in ("preds", "targets", "lamda"):
+            if k in raw:
+                out[k] = raw[k]
+        return out
+
+    return Family(
+        name="am3", params=params, train_loss=train_loss,
+        eval_raw=eval_raw, eval_finalize=eval_finalize,
+        eval_reduce={"loss": "mean", "conf": "sum", "avg_lamda": "mean",
+                     "preds": "concat", "targets": "concat",
+                     "lamda": "concat"},
+        model=model,
+    )
+
+
+def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:
+    """Model factory dispatch (ref: utils.py:232-274 init_model)."""
+    if cfg.model == "maml":
+        return build_maml_family(cfg, key)
+    if cfg.model == "fumi":
+        return build_fumi_family(cfg, key, dictionary)
+    if cfg.model == "am3":
+        return build_am3_family(cfg, key, dictionary)
+    raise NotImplementedError(
+        f"model {cfg.model!r} (CLIP uses fumi_tpu.train.clip_loop)")
+
+
+# ---------------------------------------------------------------------------
+# Single-device jitted steps
+# ---------------------------------------------------------------------------
+
+def make_opt(cfg: Config) -> optax.GradientTransformation:
+    # scheduler quirk: only AM3 steps the lr schedule (ref: am3.py:195-196;
+    # fumi.py:230-235 unpacks but never steps it)
+    from fumi_tpu.train.optim import init_optim
+    return init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
+                      cfg.num_warmup_steps, cfg.epochs,
+                      schedule_active=(cfg.model == "am3"))
+
+
+def steps_from_family(family: Family, opt: optax.GradientTransformation,
+                      train_metrics_fn: Optional[Callable] = None
+                      ) -> FamilySteps:
+    """Wrap a Family into single-device jitted train/eval steps."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, opt_state, episode, rng):
-        def loss_fn(p_):
-            loss, m = episode_eval(p_, episode, rng, True)
-            return loss, m
-        (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        (loss, aux), grads = jax.value_and_grad(
+            family.train_loss, has_aux=True)(p, episode, rng)
         updates, opt_state = opt.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
+        m = _train_metrics(family, loss, aux, episode)
         return p, opt_state, m
 
     @jax.jit
     def eval_step(p, episode, rng):
-        _, m = episode_eval(p, episode, rng, False)
-        return m
+        raw = family.eval_raw(p, episode, rng)
+        return family.eval_finalize(raw)
 
-    return FamilySteps(params=params, opt=opt, train_step=train_step,
-                       eval_step=eval_step, model=model)
+    return FamilySteps(params=family.params, opt=opt, train_step=train_step,
+                       eval_step=eval_step, family=family)
+
+
+def _train_metrics(family: Family, loss, aux, episode) -> Dict:
+    """Per-train-step metric dict matching the reference's logs
+    (ref: am3.py:247-257, maml.py:61-67, fumi.py:248-254)."""
+    if family.name == "am3":
+        conf = aux["conf"]
+        prec, rec, f1 = metrics_ops.macro_prf1(conf)
+        acc = jnp.diagonal(conf).sum() / jnp.maximum(conf.sum(), 1.0)
+        return {"loss": loss, "acc": acc, "prec": prec, "rec": rec,
+                "f1": f1, "avg_lamda": aux["avg_lamda"]}
+    return {"loss": loss, "acc": aux["acc"]}
+
+
+def make_steps(cfg: Config, key: jax.Array, dictionary=None) -> FamilySteps:
+    family = build_family(cfg, key, dictionary)
+    return steps_from_family(family, make_opt(cfg))
 
 
 # ---------------------------------------------------------------------------
@@ -208,19 +289,70 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
     return fused
 
 
-def make_steps(cfg: Config, key: jax.Array, dictionary=None) -> FamilySteps:
-    """Model factory dispatch (ref: utils.py:232-274 init_model)."""
-    # scheduler quirk: only AM3 steps the lr schedule (ref: am3.py:195-196;
-    # fumi.py:230-235 unpacks but never steps it)
-    from fumi_tpu.train.optim import init_optim
-    opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
-                     cfg.num_warmup_steps, cfg.epochs,
-                     schedule_active=(cfg.model == "am3"))
-    if cfg.model == "maml":
-        return make_maml_steps(cfg, key, opt)
-    if cfg.model == "fumi":
-        return make_fumi_steps(cfg, key, opt, dictionary)
-    if cfg.model == "am3":
-        return make_am3_steps(cfg, key, opt, dictionary)
-    raise NotImplementedError(
-        f"model {cfg.model!r} (CLIP uses fumi_tpu.train.clip_loop)")
+# ---------------------------------------------------------------------------
+# Chunked (scan) drivers — amortize dispatch to ~zero
+# ---------------------------------------------------------------------------
+#
+# One host→device dispatch costs milliseconds on a tunneled/remote TPU —
+# more than the entire FuMI meta-step's compute (~0.4 ms). The chunked
+# drivers move the training loop itself onto the device: ``lax.scan`` over
+# `chunk` fused sample+step iterations per dispatch, with the PRNG key
+# carried in the loop state (never an eager per-step host-side ``fold_in``).
+# Per-step metrics come back stacked, so the reference's per-step logging
+# granularity is preserved (ref: am3.py:247-257) at 1/chunk the sync cost.
+
+def make_chunked_train(family: Family, opt: optax.GradientTransformation,
+                       sampler, chunk: int) -> Callable:
+    """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
+    running ``chunk`` fused train steps; metrics leaves are (chunk,)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def run(params, opt_state, key, n_steps):
+        def body(carry, _):
+            p, s, k = carry
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sampler.sample(k_s)
+            (loss, aux), grads = jax.value_and_grad(
+                family.train_loss, has_aux=True)(p, episode, k_step)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            m = _train_metrics(family, loss, aux, episode)
+            return (p, s, k), m
+
+        (params, opt_state, key), ms = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps)
+        return params, opt_state, key, ms
+
+    return lambda p, s, k, n=chunk: run(p, s, k, n)
+
+
+def make_chunked_eval(family: Family, sampler, collect: bool = False
+                      ) -> Callable:
+    """jitted (params, key, n) -> (key, per-step raw metrics stacked).
+
+    Scans ``n`` eval episodes per dispatch. With ``collect``, per-query
+    predictions/targets/ids (and λ for AM3) ride along for the CSV artifact
+    (ref: main.py:128-136)."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(params, key, n_steps):
+        def body(k, _):
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sampler.sample(k_s)
+            out = family.eval_finalize(family.eval_raw(params, episode,
+                                                       k_step))
+            scalars = {kk: v for kk, v in out.items()
+                       if getattr(v, "ndim", 1) == 0}
+            if collect:
+                scalars = dict(scalars)
+                for kk in ("preds", "targets", "lamda"):
+                    if kk in out:
+                        scalars[kk] = out[kk]
+                scalars["query_idx"] = episode.query_ids
+                scalars["support_idx"] = episode.support_ids
+            return k, scalars
+
+        key, ms = jax.lax.scan(body, key, None, length=n_steps)
+        return key, ms
+
+    return run

@@ -1,0 +1,91 @@
+"""CLIP path tests: forward parity vs a torch restatement of ref clip.py,
+masked symmetric CE equivalence, and the supervised training loop."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.data.supervised import (epoch_batches,
+                                      supervised_from_class_set)
+from fumi_tpu.data.synthetic import synthetic_class_set
+from fumi_tpu.models.clip import CLIP
+from fumi_tpu.train import clip_loop
+from fumi_tpu.train.logging import MetricWriter
+from fumi_tpu.train.optim import init_optim
+
+
+def torch_clip_forward(params, text, image):
+    """Torch restatement of ref clip.py:26-40."""
+    def lin(p, x):
+        return torch.nn.functional.linear(
+            x, torch.tensor(np.asarray(p["w"])),
+            torch.tensor(np.asarray(p["b"])))
+    t = lin(params["text_fc2"], torch.relu(lin(params["text_fc"], text)))
+    i = lin(params["image_fc2"], torch.relu(lin(params["image_fc"], image)))
+    tn = torch.linalg.norm(t, axis=1)
+    im_n = torch.linalg.norm(i, axis=1)
+    sim = (t @ i.T) / tn.repeat(len(image), 1).T / \
+        im_n.repeat(len(text), 1)
+    return sim
+
+
+def test_forward_matches_torch(rng_np):
+    model = CLIP(text_input_dim=12, image_input_dim=20, latent_dim=16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    text = rng_np.randn(7, 12).astype(np.float32)
+    image = rng_np.randn(9, 20).astype(np.float32)
+    got = np.asarray(model.forward(params, jnp.asarray(text),
+                                   jnp.asarray(image)))
+    want = torch_clip_forward(params, torch.tensor(text),
+                              torch.tensor(image)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_masked_ce_equals_dedup_ce(rng_np):
+    """Masked static-shape loss == slice-to-valid + reference loss."""
+    model = CLIP(text_input_dim=8, image_input_dim=10, latent_dim=6)
+    params = model.init_params(jax.random.PRNGKey(1))
+    B, U = 6, 4
+    text = rng_np.randn(B, 8).astype(np.float32)
+    image = rng_np.randn(B, 10).astype(np.float32)
+    got = float(clip_loop.masked_symmetric_ce(
+        model, params, jnp.asarray(text), jnp.asarray(image),
+        jnp.asarray(U)))
+    want = float(model.symmetric_ce_loss(params, jnp.asarray(text[:U]),
+                                         jnp.asarray(image[:U])))
+    assert abs(got - want) < 1e-5
+
+
+def test_epoch_batches_padding():
+    cs, table, _ = synthetic_class_set(num_classes=4, images_per_class=5,
+                                       im_dim=8, text_dim=6)
+    ds = supervised_from_class_set(cs)
+    assert ds.num_items == 20
+    batches = list(epoch_batches(ds, table, 8, np.random.RandomState(0)))
+    assert len(batches) == 3
+    assert all(b[0].shape == (8, 8) for b in batches)
+    assert [b[3] for b in batches] == [8, 8, 4]
+
+
+def test_clip_training_learns(tmp_path):
+    cfg = Config(model="clip", im_emb_dim=16, text_emb_dim=12,
+                 clip_latent_dim=16, batch_size=16, epochs=30,
+                 num_ways=5, patience=0, lr=1e-2, optim="adam",
+                 image_embedding_model="resnet-152")
+    cs, table, _ = synthetic_class_set(num_classes=10, images_per_class=12,
+                                       im_dim=16, text_dim=12, seed=1)
+    ds = supervised_from_class_set(cs)
+    model, params = clip_loop.make_clip(cfg, jax.random.PRNGKey(0))
+    opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay)
+    writer = MetricWriter(str(tmp_path), use_wandb=False)
+
+    acc0 = clip_loop.evaluate(cfg, model, params, (ds, table))
+    params = clip_loop.training_run(
+        cfg, model, params, opt, (ds, table), (ds, table), writer,
+        str(tmp_path / "run"), np.random.RandomState(0))
+    acc1 = clip_loop.evaluate(cfg, model, params, (ds, table))
+    writer.finish()
+    assert acc1 > max(acc0, 1.0 / cfg.num_ways + 0.1), (acc0, acc1)

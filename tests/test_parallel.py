@@ -1,0 +1,109 @@
+"""Episode-parallel engine tests on the 8-device virtual CPU mesh:
+shard_map steps must reproduce single-device results exactly (dropout off)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.core.episode import EpisodeSpec
+from fumi_tpu.core.mesh import make_mesh, put_episode, put_replicated
+from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
+from fumi_tpu.parallel import make_parallel_steps
+from fumi_tpu.train.steps import make_steps
+
+IM_DIM, TXT_DIM = 32, 16
+
+
+def small_cfg(model, **kw):
+    base = dict(
+        model=model, im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
+        im_hid_dim=(32, 16), prototype_dim=16, text_hid_dim=16,
+        num_ways=3, num_shots=3, num_shots_test=5,
+        num_train_adapt_steps=2, num_test_adapt_steps=3,
+        batch_size=8, lr=1e-2, optim="adam", dropout=0.0,
+        text_encoder="precomputed", step_size=0.1,
+        image_embedding_model="resnet-152",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def sample_episode(cfg, seed=0):
+    cs, table, ids = synthetic_class_set(
+        num_classes=10, images_per_class=20, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=seed)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, IM_DIM, TXT_DIM)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    return jax.jit(sampler.sample)(jax.random.PRNGKey(seed))
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_parallel_matches_serial(model):
+    cfg = small_cfg(model)
+    mesh = make_mesh(dp=4, mp=1)
+    episode = sample_episode(cfg)
+
+    serial = make_steps(cfg, jax.random.PRNGKey(0))
+    par = make_parallel_steps(cfg, jax.random.PRNGKey(0), mesh)
+
+    # identical initial params by construction (same key)
+    chex_eq = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        serial.params, par.params)
+    del chex_eq
+
+    rng = jax.random.PRNGKey(42)
+    s_state = serial.opt.init(serial.params)
+    p_state = par.opt.init(par.params)
+
+    sp, ss, sm = serial.train_step(serial.params, s_state, episode, rng)
+    ep_sharded = put_episode(episode, mesh)
+    pp, ps, pm = par.train_step(
+        put_replicated(par.params, mesh), put_replicated(p_state, mesh),
+        ep_sharded, rng)
+
+    assert abs(float(sm["loss"]) - float(pm["loss"])) < 1e-5
+    assert abs(float(sm["acc"]) - float(pm["acc"])) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        sp, pp)
+
+    # eval equivalence, including concat'ed preds ordering
+    sm_e = serial.eval_step(sp, episode, rng)
+    pm_e = par.eval_step(pp, ep_sharded, rng)
+    assert abs(float(sm_e["loss"]) - float(pm_e["loss"])) < 1e-5
+    assert abs(float(sm_e["acc"]) - float(pm_e["acc"])) < 1e-6
+    np.testing.assert_array_equal(np.asarray(sm_e["preds"]),
+                                  np.asarray(pm_e["preds"]))
+    if model == "am3":
+        for k in ("prec", "rec", "f1"):
+            assert abs(float(sm_e[k]) - float(pm_e[k])) < 1e-6
+
+
+def test_batch_size_must_divide():
+    cfg = small_cfg("maml", batch_size=6)
+    mesh = make_mesh(dp=4, mp=1)
+    with pytest.raises(ValueError):
+        make_parallel_steps(cfg, jax.random.PRNGKey(0), mesh)
+
+
+def test_parallel_multi_step_training():
+    """A few parallel steps actually reduce the loss."""
+    cfg = small_cfg("maml", batch_size=8)
+    mesh = make_mesh(dp=8, mp=1)
+    par = make_parallel_steps(cfg, jax.random.PRNGKey(0), mesh)
+    params = put_replicated(par.params, mesh)
+    state = put_replicated(par.opt.init(par.params), mesh)
+    losses = []
+    for i in range(8):
+        episode = put_episode(sample_episode(cfg, seed=i), mesh)
+        params, state, m = par.train_step(params, state, episode,
+                                          jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]

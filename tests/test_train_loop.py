@@ -100,16 +100,20 @@ def test_checkpoint_roundtrip(tmp_path):
 
 def test_test_loop_runs_max_plus_one_batches(tmp_path):
     """Quirk parity: test loops process max_num_batches+1 batches
-    (ref: am3.py:364-365)."""
+    (ref: am3.py:364-365). Verified via artifact length on both the chunked
+    device path and the per-batch host path."""
     cfg = small_cfg("am3")
-    _, eval_s = build_samplers(cfg)
     steps = make_steps(cfg, jax.random.PRNGKey(0))
+    n_query_total = cfg.batch_size * cfg.num_ways * cfg.num_query_eval
 
-    calls = []
-    orig = steps.eval_step
-    def counting_eval(p, e, r):
-        calls.append(1)
-        return orig(p, e, r)
-    steps = steps._replace(eval_step=counting_eval)
-    run_test_loop(cfg, steps, steps.params, eval_s, 4, jax.random.PRNGKey(0))
-    assert len(calls) == 5
+    # device (chunked scan) path
+    _, eval_dev = build_samplers(cfg, device=True)
+    out = run_test_loop(cfg, steps, steps.params, eval_dev, 4,
+                        jax.random.PRNGKey(0), collect_artifacts=True)
+    assert len(out["preds"]) == 5 * n_query_total
+
+    # host (per-batch) path
+    _, eval_host = build_samplers(cfg, device=False)
+    out = run_test_loop(cfg, steps, steps.params, eval_host, 4,
+                        jax.random.PRNGKey(0), collect_artifacts=True)
+    assert len(out["preds"]) == 5 * n_query_total
