@@ -26,7 +26,7 @@ torchmeta's per-class concatenation order.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +36,104 @@ from fumi_tpu.core.episode import Episode, EpisodeSpec
 from fumi_tpu.data.class_set import ClassSet
 
 
+class SamplerTables(NamedTuple):
+    """Device-resident episodic tables — a pytree passed through jit
+    boundaries as an ARGUMENT, never closed over (a closed-over multi-GB
+    table becomes an XLA constant, which stalls compilation and bloats the
+    executable; as an argument it is a zero-copy parameter)."""
+    image_table: jnp.ndarray  # (num_images, D)
+    image_ids: jnp.ndarray  # (num_images,) int32
+    class_rows: jnp.ndarray  # (C, max_count) int32
+    class_counts: jnp.ndarray  # (C,) int32
+    text_features: jnp.ndarray  # (C, E|T)
+    text_mask: Optional[jnp.ndarray]  # (C, T) or None
+
+
+def _largest_divisor_leq(m: int, cap: int) -> int:
+    for d in range(min(cap, m), 0, -1):
+        if m % d == 0:
+            return d
+    return 1
+
+
+def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
+                   key: jax.Array,
+                   use_pallas_gather: bool = False) -> Episode:
+    """Draw one meta-batch from device tables. Pure; jit/fusion friendly."""
+    B, N, K, Q = (spec.batch_size, spec.num_ways, spec.num_shots,
+                  spec.num_query)
+    KQ = K + Q
+    num_classes = tables.class_rows.shape[0]
+    max_count = tables.class_rows.shape[1]
+    k_cls, k_img = jax.random.split(key)
+
+    # N distinct classes per task: top-N of uniform noise over C.
+    cls_noise = jax.random.uniform(k_cls, (B, num_classes))
+    _, class_idx = jax.lax.top_k(cls_noise, N)  # (B, N)
+
+    counts = tables.class_counts[class_idx]  # (B, N)
+    # K+Q distinct images per class: a per-class random permutation of
+    # the valid prefix (argsort of masked uniform noise puts the class's
+    # `count` valid positions first, shuffled), indexed modulo `count` —
+    # distinct while count >= K+Q, with-replacement wrap otherwise
+    # (host sampler / validate_episode reject such classes; the wrap is
+    # a safety net for permissive callers).
+    img_noise = jax.random.uniform(k_img, (B, N, max_count))
+    slot = jnp.arange(max_count)[None, None, :]
+    img_noise = jnp.where(slot < counts[..., None], img_noise, -1.0)
+    order = jnp.argsort(-img_noise, axis=-1)  # (B, N, max_count)
+    j = jnp.arange(KQ)[None, None, :]
+    take = j % jnp.maximum(counts[..., None], 1)
+    sel = jnp.take_along_axis(order, take, axis=-1)  # (B, N, K+Q)
+
+    rows = jnp.take_along_axis(
+        tables.class_rows[class_idx], sel, axis=-1)  # (B, N, K+Q)
+    s_rows = rows[..., :K].reshape(B, N * K)
+    q_rows = rows[..., K:].reshape(B, N * Q)
+
+    if use_pallas_gather:
+        from fumi_tpu.ops.pallas_kernels import gather_rows
+
+        def _gather(r):
+            M = r.shape[0] * r.shape[1]
+            br = _largest_divisor_leq(M, 64)
+            flat = gather_rows(tables.image_table, r.reshape(M), br)
+            return flat.reshape(r.shape[0], r.shape[1], -1)
+        support_im = _gather(s_rows)
+        query_im = _gather(q_rows)
+    else:
+        support_im = tables.image_table[s_rows]  # (B, N*K, D)
+        query_im = tables.image_table[q_rows]  # (B, N*Q, D)
+
+    # per-class text repeated per shot, class-major like the targets
+    text_cls = tables.text_features[class_idx]  # (B, N, E|T)
+    support_text = jnp.repeat(text_cls, K, axis=1)  # (B, N*K, E|T)
+    mask = (jnp.repeat(tables.text_mask[class_idx], K, axis=1)
+            if tables.text_mask is not None else None)
+
+    s_y = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)[None],
+                   (B, 1))
+    q_y = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), Q)[None],
+                   (B, 1))
+    return Episode(
+        support_im=support_im,
+        support_text=support_text,
+        support_text_mask=mask,
+        support_ids=tables.image_ids[s_rows],
+        support_y=s_y,
+        query_im=query_im,
+        query_ids=tables.image_ids[q_rows],
+        query_y=q_y,
+    )
+
+
 class DeviceEpisodeSampler:
     """Fused on-device episodic sampler.
+
+    Holds a :class:`SamplerTables` pytree + an :class:`EpisodeSpec`.
+    Fast-path consumers (the chunked drivers in fumi_tpu/train/steps.py)
+    call :func:`sample_episode` with ``self.tables`` as a jit ARGUMENT;
+    ``self.sample(key)`` is the convenience closure form for small tables.
 
     Args:
       image_table: (num_images, D) — all image embeddings, device-resident.
@@ -49,75 +145,29 @@ class DeviceEpisodeSampler:
     """
 
     def __init__(self, image_table: jnp.ndarray, image_ids: jnp.ndarray,
-                 class_set: ClassSet, spec: EpisodeSpec):
+                 class_set: ClassSet, spec: EpisodeSpec,
+                 use_pallas_gather: bool = False):
         self.spec = spec
-        self.image_table = jnp.asarray(image_table)
-        self.image_ids = jnp.asarray(image_ids, dtype=jnp.int32)
-        self.class_rows = jnp.asarray(class_set.class_image_rows,
-                                      dtype=jnp.int32)
-        self.class_counts = jnp.asarray(class_set.class_counts,
-                                        dtype=jnp.int32)
-        self.text_features = jnp.asarray(class_set.text_features)
-        self.text_mask = (jnp.asarray(class_set.text_mask)
-                          if class_set.text_mask is not None else None)
-        self.num_classes = class_set.num_classes
-
-    def sample(self, key: jax.Array) -> Episode:
-        """Draw one meta-batch. Pure; jit/fusion friendly."""
-        spec = self.spec
-        B, N, K, Q = (spec.batch_size, spec.num_ways, spec.num_shots,
-                      spec.num_query)
-        KQ = K + Q
-        max_count = self.class_rows.shape[1]
-        k_cls, k_img = jax.random.split(key)
-
-        # N distinct classes per task: top-N of uniform noise over C.
-        cls_noise = jax.random.uniform(k_cls, (B, self.num_classes))
-        _, class_idx = jax.lax.top_k(cls_noise, N)  # (B, N)
-
-        counts = self.class_counts[class_idx]  # (B, N)
-        # K+Q distinct images per class: a per-class random permutation of
-        # the valid prefix (argsort of masked uniform noise puts the class's
-        # `count` valid positions first, shuffled), indexed modulo `count` —
-        # distinct while count >= K+Q, with-replacement wrap otherwise
-        # (host sampler / validate_episode reject such classes; the wrap is
-        # a safety net for permissive callers).
-        img_noise = jax.random.uniform(k_img, (B, N, max_count))
-        slot = jnp.arange(max_count)[None, None, :]
-        img_noise = jnp.where(slot < counts[..., None], img_noise, -1.0)
-        order = jnp.argsort(-img_noise, axis=-1)  # (B, N, max_count)
-        j = jnp.arange(KQ)[None, None, :]
-        take = j % jnp.maximum(counts[..., None], 1)
-        sel = jnp.take_along_axis(order, take, axis=-1)  # (B, N, K+Q)
-
-        rows = jnp.take_along_axis(
-            self.class_rows[class_idx], sel, axis=-1)  # (B, N, K+Q)
-        s_rows = rows[..., :K].reshape(B, N * K)
-        q_rows = rows[..., K:].reshape(B, N * Q)
-
-        support_im = self.image_table[s_rows]  # (B, N*K, D)
-        query_im = self.image_table[q_rows]  # (B, N*Q, D)
-
-        # per-class text repeated per shot, class-major like the targets
-        text_cls = self.text_features[class_idx]  # (B, N, E|T)
-        support_text = jnp.repeat(text_cls, K, axis=1)  # (B, N*K, E|T)
-        mask = (jnp.repeat(self.text_mask[class_idx], K, axis=1)
-                if self.text_mask is not None else None)
-
-        s_y = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)[None],
-                       (B, 1))
-        q_y = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), Q)[None],
-                       (B, 1))
-        return Episode(
-            support_im=support_im,
-            support_text=support_text,
-            support_text_mask=mask,
-            support_ids=self.image_ids[s_rows],
-            support_y=s_y,
-            query_im=query_im,
-            query_ids=self.image_ids[q_rows],
-            query_y=q_y,
+        self.tables = SamplerTables(
+            image_table=jnp.asarray(image_table),
+            image_ids=jnp.asarray(image_ids, dtype=jnp.int32),
+            class_rows=jnp.asarray(class_set.class_image_rows,
+                                   dtype=jnp.int32),
+            class_counts=jnp.asarray(class_set.class_counts,
+                                     dtype=jnp.int32),
+            text_features=jnp.asarray(class_set.text_features),
+            text_mask=(jnp.asarray(class_set.text_mask)
+                       if class_set.text_mask is not None else None),
         )
+        self.num_classes = class_set.num_classes
+        # Pallas DMA gather for episode assembly (fumi_tpu/ops/pallas_kernels)
+        self.use_pallas_gather = use_pallas_gather
+
+    def sample(self, key: jax.Array, tables: Optional[SamplerTables] = None
+               ) -> Episode:
+        return sample_episode(tables if tables is not None else self.tables,
+                              self.spec, key,
+                              use_pallas_gather=self.use_pallas_gather)
 
 
 class HostEpisodeSampler:

@@ -75,8 +75,13 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
     for batch_idx in range(total):
         key = jax.random.fold_in(rng, batch_idx)
         k_ep, k_step = jax.random.split(key)
-        episode = sampler.sample() if not isinstance(
-            sampler, DeviceEpisodeSampler) else sampler.sample(k_ep)
+        if isinstance(sampler, DeviceEpisodeSampler):
+            # tables as jit args, never closed over (see SamplerTables)
+            from fumi_tpu.data.sampler import sample_episode
+            episode = jax.jit(sample_episode, static_argnums=1)(
+                sampler.tables, sampler.spec, k_ep)
+        else:
+            episode = sampler.sample()
         m = steps.eval_step(params, episode, k_step)
         for k, v in m.items():
             if k in ("preds", "targets", "lamda"):

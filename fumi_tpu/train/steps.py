@@ -281,12 +281,15 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
     ref: fumi.py:130-140).
     """
     @jax.jit
-    def fused(*args):
+    def fused(tables, *args):
         *head, key = args
         k_sample, k_step = jax.random.split(key)
-        episode = sampler.sample(k_sample)
+        episode = sampler.sample(k_sample, tables)
         return step_fn(*head, episode, k_step)
-    return fused
+
+    # tables enter as a jit ARGUMENT (a closed-over multi-GB table would be
+    # baked into the executable as a constant and stall compilation)
+    return lambda *args: fused(sampler.tables, *args)
 
 
 # ---------------------------------------------------------------------------
@@ -306,12 +309,12 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
     """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
     running ``chunk`` fused train steps; metrics leaves are (chunk,)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
-    def run(params, opt_state, key, n_steps):
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def run(params, opt_state, key, tables, n_steps):
         def body(carry, _):
             p, s, k = carry
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sampler.sample(k_s)
+            episode = sampler.sample(k_s, tables)
             (loss, aux), grads = jax.value_and_grad(
                 family.train_loss, has_aux=True)(p, episode, k_step)
             updates, s = opt.update(grads, s, p)
@@ -323,7 +326,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
             body, (params, opt_state, key), None, length=n_steps)
         return params, opt_state, key, ms
 
-    return lambda p, s, k, n=chunk: run(p, s, k, n)
+    return lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)
 
 
 def make_chunked_eval(family: Family, sampler, collect: bool = False
@@ -334,11 +337,11 @@ def make_chunked_eval(family: Family, sampler, collect: bool = False
     predictions/targets/ids (and λ for AM3) ride along for the CSV artifact
     (ref: main.py:128-136)."""
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run(params, key, n_steps):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(params, key, tables, n_steps):
         def body(k, _):
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sampler.sample(k_s)
+            episode = sampler.sample(k_s, tables)
             out = family.eval_finalize(family.eval_raw(params, episode,
                                                        k_step))
             scalars = {kk: v for kk, v in out.items()
@@ -355,4 +358,4 @@ def make_chunked_eval(family: Family, sampler, collect: bool = False
         key, ms = jax.lax.scan(body, key, None, length=n_steps)
         return key, ms
 
-    return run
+    return lambda params, key, n: run(params, key, sampler.tables, n)

@@ -1,0 +1,54 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled path exercised by
+the TPU benchmarks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.ops.pallas_kernels import gather_rows, gather_rows_reference
+
+
+def test_gather_rows_interpret(rng_np):
+    R, D = 256, 64
+    table = jnp.asarray(rng_np.randn(R, D).astype(np.float32))
+    idx = jnp.asarray(rng_np.randint(0, R, size=64).astype(np.int32))
+    got = gather_rows(table, idx, block_rows=16, interpret=True)
+    want = gather_rows_reference(table, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_gather_rows_validates():
+    table = jnp.zeros((16, 64))
+    with pytest.raises(ValueError):
+        gather_rows(table, jnp.zeros(10, jnp.int32), block_rows=4)
+    with pytest.raises(ValueError):
+        gather_rows(jnp.zeros((16, 13)), jnp.zeros(8, jnp.int32),
+                    block_rows=4)
+
+
+def test_sampler_pallas_gather_path(rng_np):
+    """sample_episode(use_pallas_gather=True) == default path (interpret)."""
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler, sample_episode
+    from fumi_tpu.data.synthetic import synthetic_class_set
+    import fumi_tpu.ops.pallas_kernels as pk
+
+    cs, table, ids = synthetic_class_set(num_classes=8, images_per_class=16,
+                                         im_dim=64, text_dim=16)
+    spec = EpisodeSpec(2, 3, 2, 4, 64, 16)
+    s = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs, spec)
+
+    # route the pallas path through the interpreter for the CPU test
+    orig = pk.gather_rows
+    pk.gather_rows = lambda t, i, br=32: orig(t, i, br, interpret=True)
+    try:
+        ep_pallas = sample_episode(s.tables, spec, jax.random.PRNGKey(0),
+                                   use_pallas_gather=True)
+    finally:
+        pk.gather_rows = orig
+    ep_ref = sample_episode(s.tables, spec, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(ep_pallas.support_im),
+                               np.asarray(ep_ref.support_im))
+    np.testing.assert_allclose(np.asarray(ep_pallas.query_im),
+                               np.asarray(ep_ref.query_im))
