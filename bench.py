@@ -66,15 +66,18 @@ def bench_tpu(num_steps: int = 2000, chunk: int = 200) -> float:
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
+    # warmup/compile. NOTE: synchronize by FETCHING a value, not
+    # block_until_ready — through the axon remote tunnel the latter can
+    # return before the computation actually finishes.
+    import numpy as _np
     params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
-    jax.block_until_ready(ms["loss"])
+    _ = float(_np.asarray(ms["loss"])[-1])
 
     iters = max(1, num_steps // chunk)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
-    jax.block_until_ready(ms["loss"])
+        _ = float(_np.asarray(ms["loss"])[-1])  # per-chunk sync fetch
     dt = time.perf_counter() - t0
     return iters * chunk * BATCH / dt
 
@@ -163,7 +166,7 @@ def get_baseline(refresh: bool = False) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -94,7 +94,7 @@ def make_parallel_steps(cfg: Config, key: jax.Array, mesh: Mesh,
         raw = _reduce_raw(raw, family.eval_reduce)
         return family.eval_finalize(raw)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @jax.jit
     def train_step(p, opt_state, episode, rng):
         ep_specs = _episode_pspec(episode)
         fn = shard_map(

@@ -81,7 +81,7 @@ def training_run(cfg: Config, model: CLIP, params, opt,
     train_ds, image_table = train_data
     opt_state = opt.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @jax.jit
     def train_step(p, opt_state, text, image, valid_n):
         loss, grads = jax.value_and_grad(
             lambda p_: masked_symmetric_ce(model, p_, text, image, valid_n)

@@ -232,7 +232,7 @@ def steps_from_family(family: Family, opt: optax.GradientTransformation,
                       ) -> FamilySteps:
     """Wrap a Family into single-device jitted train/eval steps."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @jax.jit  # no donation: donated-buffer chains hang the axon TPU tunnel
     def train_step(p, opt_state, episode, rng):
         (loss, aux), grads = jax.value_and_grad(
             family.train_loss, has_aux=True)(p, episode, rng)
@@ -309,7 +309,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
     """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
     running ``chunk`` fused train steps; metrics leaves are (chunk,)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    @functools.partial(jax.jit, static_argnums=(4,))
     def run(params, opt_state, key, tables, n_steps):
         def body(carry, _):
             p, s, k = carry
