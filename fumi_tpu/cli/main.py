@@ -59,6 +59,10 @@ def _load_data(cfg: Config):
             num_classes=32, images_per_class=64,
             im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim, seed=cfg.seed)
         return splits, table, ids, {}
+    if cfg.dataset == "cub":
+        from fumi_tpu.data.cub import load_cub
+        splits, table, ids = load_cub(cfg.data_dir)
+        return splits, table, ids, {}
     raise NotImplementedError(f"dataset {cfg.dataset!r}")
 
 

@@ -116,3 +116,71 @@ def make_parallel_steps(cfg: Config, key: jax.Array, mesh: Mesh,
 
     return FamilySteps(params=family.params, opt=opt, train_step=train_step,
                        eval_step=eval_step, family=family)
+
+
+def make_parallel_chunked_train(cfg: Config, family: Family,
+                                opt: optax.GradientTransformation,
+                                sampler, mesh: Mesh, chunk: int) -> Callable:
+    """Multi-chip chunked driver: ``lax.scan`` of fused sample+train steps
+    INSIDE shard_map.
+
+    Each device samples its own local shard of ``batch_size/dp`` tasks per
+    step (per-shard PRNG stream via ``axis_index`` fold-in), adapts them,
+    and ``pmean``s the meta-gradients over ICI — so a whole chunk of
+    training steps costs ONE host dispatch regardless of mesh size, and the
+    only cross-chip traffic is the per-step gradient all-reduce.
+
+    Embedding tables are replicated (every chip can sample any class).
+    Returns ``run(params, opt_state, key) -> (params, opt_state, key,
+    stacked per-step metrics)``.
+    """
+    from fumi_tpu.data.sampler import sample_episode
+
+    dp = mesh.shape[DP_AXIS]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+    import dataclasses
+    local_spec = dataclasses.replace(sampler.spec,
+                                     batch_size=cfg.batch_size // dp)
+    rep = P()
+
+    def _shard(params, opt_state, key, tables):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+
+        def body(carry, _):
+            p, s, k = carry
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sample_episode(tables, local_spec, k_s)
+            (loss, aux), grads = jax.value_and_grad(
+                family.train_loss, has_aux=True)(p, episode, k_step)
+            grads = jax.lax.pmean(grads, DP_AXIS)
+            loss = jax.lax.pmean(loss, DP_AXIS)
+            aux = _reduce_raw(aux, family.eval_reduce)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            m = _train_metrics(family, loss, aux, episode)
+            m = {k2: v for k2, v in m.items()
+                 if getattr(v, "ndim", 1) == 0}
+            return (p, s, k), m
+
+        (params, opt_state, shard_key), ms = jax.lax.scan(
+            body, (params, opt_state, shard_key), None, length=chunk)
+        return params, opt_state, ms
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(params, opt_state, key, tables):
+        fn = shard_map(
+            _shard, mesh=mesh,
+            in_specs=(rep, rep, rep, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False)
+        return fn(params, opt_state, key, tables)
+
+    def wrapper(params, opt_state, key):
+        params, opt_state, ms = run(params, opt_state, key, sampler.tables)
+        # advance the host-side key chain deterministically
+        next_key = jax.random.fold_in(key, chunk)
+        return params, opt_state, next_key, ms
+
+    return wrapper

@@ -42,6 +42,7 @@ from fumi_tpu.train import checkpoint as ckpt_lib
 from fumi_tpu.train.logging import AverageMeter, MetricWriter
 from fumi_tpu.train.steps import (FamilySteps, fuse_sampler,
                                   make_chunked_eval, make_chunked_train)
+from fumi_tpu.utils.profiling import Throughput
 
 AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda")
 CHUNK = 100  # train steps per device dispatch
@@ -133,6 +134,7 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                       k_init)
     best_loss = val_m["loss"]
     best_batch_idx = 0
+    throughput = Throughput()
     print(f"\ninitial loss: {best_loss}, acc: {val_m['acc']}")
 
     device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
@@ -189,6 +191,8 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
 
             batch_idx = stop  # last processed step index
 
+            eps_rate = throughput.update((batch_idx + 1) * cfg.batch_size)
+
             is_eval = (cfg.eval_freq > 0 and batch_idx % cfg.eval_freq == 0
                        and (eval_at_zero or batch_idx != 0))
             if is_eval:
@@ -199,8 +203,9 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                 if is_best:
                     best_loss = val_m["loss"]
                     best_batch_idx = batch_idx
-                writer.log({f"val/{k}": v for k, v in val_m.items()},
-                           step=batch_idx)
+                rec = {f"val/{k}": v for k, v in val_m.items()}
+                rec["episodes_per_sec"] = eps_rate
+                writer.log(rec, step=batch_idx)
                 ckpt_lib.save_checkpoint(
                     run_dir, params, opt_state, batch_idx, best_loss,
                     is_best, extra_meta={"model": cfg.model})

@@ -1,0 +1,87 @@
+"""Config / CLI surface tests: flag names, defaults, quirks, validation
+(ref: fumi/utils/utils.py:19-229, fumi/main.py:34-44)."""
+
+import pytest
+
+from fumi_tpu.core.config import Config, config_from_args
+
+
+def test_defaults_match_reference():
+    cfg = config_from_args([])
+    # ref utils.py defaults
+    assert cfg.epochs == 50000
+    assert cfg.optim == "adam"
+    assert cfg.lr == 3e-5
+    assert cfg.batch_size == 4
+    assert cfg.weight_decay == 5e-4
+    assert cfg.num_shots == 5
+    assert cfg.num_ways == 5
+    assert cfg.num_shots_test == 32
+    assert cfg.model == "fumi"
+    assert cfg.prototype_dim == 64
+    assert cfg.im_emb_dim == 2048
+    assert cfg.im_hid_dim == (256, 64)
+    assert cfg.text_encoder == "BERT"
+    assert cfg.text_emb_dim == 768
+    assert cfg.text_hid_dim == 256
+    assert cfg.dropout == 0.25
+    assert cfg.step_size == 0.01
+    assert cfg.num_train_adapt_steps == 5
+    assert cfg.num_test_adapt_steps == 100
+    assert cfg.lamda_fixed is None
+    assert cfg.clip_latent_dim == 512
+    assert cfg.seed == 123
+    assert cfg.patience == 10000
+    assert cfg.eval_freq == 2500
+    assert cfg.num_ep_test == 1000
+
+
+def test_flag_parsing():
+    cfg = config_from_args([
+        "--model", "am3", "--num_shots", "1", "--im_hid_dim", "128", "32",
+        "--text_type", "label", "description", "--lamda_fixed", "0",
+        "--first_order", "--fine_tune", "--evaluate",
+    ])
+    assert cfg.model == "am3"
+    assert cfg.num_shots == 1
+    assert cfg.im_hid_dim == (128, 32)
+    assert cfg.text_type == ("label", "description")
+    assert cfg.lamda_fixed == 0
+    assert cfg.first_order and cfg.fine_tune and cfg.evaluate
+
+
+def test_query_size_quirks():
+    """--num_shots_test is the TRAIN query size; val/test always use
+    int(100/num_ways) (ref: data.py:165,182)."""
+    cfg = config_from_args(["--num_ways", "3", "--num_shots_test", "7"])
+    assert cfg.num_query_train == 7
+    assert cfg.num_query_eval == 33
+    assert cfg.max_test_batches == 250  # 1000 / 4 (ref: main.py:48)
+
+
+def test_resnet_dim_validation():
+    with pytest.raises(ValueError):
+        config_from_args(["--im_emb_dim", "512"])  # resnet-152 wants 2048
+    with pytest.raises(ValueError):
+        config_from_args(["--image_embedding_model", "resnet-34"])  # wants 512
+    cfg = config_from_args(["--image_embedding_model", "resnet-34",
+                            "--im_emb_dim", "512"])
+    assert cfg.im_emb_dim == 512
+    # synthetic dataset skips the coupling
+    cfg = Config(dataset="synthetic", im_emb_dim=64)
+    cfg.validate()
+
+
+def test_bad_text_encoder_and_type():
+    with pytest.raises(SystemExit):  # argparse choices
+        config_from_args(["--text_encoder", "bogus"])
+    with pytest.raises(NameError):
+        Config(text_type=("bogus",)).validate()
+
+
+def test_config_hashable_and_replace():
+    cfg = Config()
+    assert hash(cfg) == hash(Config())
+    cfg2 = cfg.replace(num_ways=3)
+    assert cfg2.num_ways == 3 and cfg.num_ways == 5
+    assert hash(cfg2) != hash(cfg)

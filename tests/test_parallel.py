@@ -107,3 +107,35 @@ def test_parallel_multi_step_training():
                                           jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_parallel_chunked_training():
+    """Chunked scan-inside-shard_map driver trains on the 8-device mesh."""
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
+    from fumi_tpu.parallel.engine import make_parallel_chunked_train
+    from fumi_tpu.train.steps import build_family, make_opt
+
+    cfg = small_cfg("fumi", batch_size=8)
+    mesh = make_mesh(dp=8, mp=1)
+    cs, table, ids = synthetic_class_set(
+        num_classes=10, images_per_class=20, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, IM_DIM, TXT_DIM)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+    chunked = make_parallel_chunked_train(cfg, family, opt, sampler, mesh,
+                                          chunk=10)
+    from fumi_tpu.core.mesh import put_replicated
+    params = put_replicated(family.params, mesh)
+    state = put_replicated(opt.init(family.params), mesh)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(4):
+        params, state, key, ms = chunked(params, state, key)
+        losses.append(float(np.asarray(ms["loss"]).mean()))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
