@@ -171,39 +171,67 @@ class DeviceEpisodeSampler:
 
 
 class HostEpisodeSampler:
-    """Reference-policy host sampler (numpy).
+    """Reference-policy host sampler.
 
     Sampling policy of torchmeta's CombinationMetaDataset + ClassSplitter
     (shuffle=True): uniform N-class combination, per-class permutation,
     first K → support, next Q → query. Deterministic under ``seed``.
+
+    Index generation runs through the native C++ sampler
+    (fumi_tpu/native/episodic_sampler.cpp) when available — same policy,
+    xoshiro256** streams, no per-episode Python object traffic — with a
+    numpy fallback. ``backend="numpy"`` forces the fallback.
     """
 
     def __init__(self, image_table: np.ndarray, image_ids: np.ndarray,
-                 class_set: ClassSet, spec: EpisodeSpec, seed: int = 0):
+                 class_set: ClassSet, spec: EpisodeSpec, seed: int = 0,
+                 backend: str = "auto"):
         class_set.validate_episode(spec.num_shots, spec.num_query)
         self.spec = spec
         self.image_table = np.asarray(image_table)
         self.image_ids = np.asarray(image_ids, dtype=np.int32)
         self.class_set = class_set
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._counter = 0
+        self._native = None
+        if backend in ("auto", "native"):
+            from fumi_tpu import native
+            self._native = native.load()
+            if backend == "native" and self._native is None:
+                raise RuntimeError("native sampler unavailable (no g++?)")
+
+    def _draw_indices(self, B, N, K, Q):
+        """(class_idx (B,N), sel (B,N,K+Q)) by native or numpy backend."""
+        cs = self.class_set
+        if self._native is not None:
+            from fumi_tpu import native
+            class_idx, sel = native.sample_episodes_native(
+                self._native, self.seed, self._counter,
+                cs.class_counts, B, N, K + Q)
+            self._counter += 1
+            return class_idx, sel
+        class_idx = np.empty((B, N), dtype=np.int64)
+        sel = np.empty((B, N, K + Q), dtype=np.int64)
+        for b in range(B):
+            class_idx[b] = self.rng.choice(cs.num_classes, size=N,
+                                           replace=False)
+            for i, c in enumerate(class_idx[b]):
+                cnt = int(cs.class_counts[c])
+                sel[b, i] = self.rng.permutation(cnt)[:K + Q]
+        return class_idx, sel
 
     def sample(self) -> Episode:
         spec = self.spec
         cs = self.class_set
         B, N, K, Q = (spec.batch_size, spec.num_ways, spec.num_shots,
                       spec.num_query)
-        s_rows = np.empty((B, N * K), dtype=np.int64)
-        q_rows = np.empty((B, N * Q), dtype=np.int64)
-        text_idx = np.empty((B, N), dtype=np.int64)
-        for b in range(B):
-            chosen = self.rng.choice(cs.num_classes, size=N, replace=False)
-            text_idx[b] = chosen
-            for i, c in enumerate(chosen):
-                cnt = int(cs.class_counts[c])
-                perm = self.rng.permutation(cnt)[:K + Q]
-                rows = cs.class_image_rows[c, perm]
-                s_rows[b, i * K:(i + 1) * K] = rows[:K]
-                q_rows[b, i * Q:(i + 1) * Q] = rows[K:]
+        class_idx, sel = self._draw_indices(B, N, K, Q)
+        rows = np.take_along_axis(
+            cs.class_image_rows[class_idx], sel, axis=-1)  # (B, N, K+Q)
+        s_rows = rows[..., :K].reshape(B, N * K)
+        q_rows = rows[..., K:].reshape(B, N * Q)
+        text_idx = class_idx
 
         text_cls = cs.text_features[text_idx]  # (B, N, E|T)
         support_text = np.repeat(text_cls, K, axis=1)
