@@ -33,10 +33,12 @@ STEP_SIZE = 0.01
 LR = 3e-5
 
 
-def bench_tpu(num_steps: int = 2000, chunk: int = 200) -> float:
+def bench_tpu(num_steps: int = 3000, chunk: int = 1000) -> float:
     """episodes/sec of the chunked (scan) fused sample+train driver — the
     production training path (fumi_tpu/train/loop.py)."""
     import jax
+    jax.config.update("jax_default_prng_impl", "rbg")  # threefry costs
+    # ~0.1 ms/step on TPU; rbg is hardware-speed
     import jax.numpy as jnp
     from fumi_tpu.core.config import Config
     from fumi_tpu.core.episode import EpisodeSpec
@@ -166,7 +168,7 @@ def get_baseline(refresh: bool = False) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 

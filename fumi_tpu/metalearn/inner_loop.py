@@ -13,23 +13,35 @@ compiles to ONE XLA program:
   ``--first_order`` applies ``stop_gradient`` to the inner grads, exactly
   torch's ``first_order=True`` detach (torchmeta gradient_based.py).
 
-Each inner step is wrapped in ``jax.checkpoint`` so reverse-mode through the
-scan rematerialises step activations instead of storing them — the TPU
-replacement for torch's retained ``create_graph`` graph. Evaluation (e.g. the
-100-step test-time adaptation, ref: utils.py:176-179) runs the same scan
-without an outer grad, so no reverse carries are kept at all.
+Inner steps are wrapped in ``jax.checkpoint`` when the adaptation horizon is
+long (``n_steps >= REMAT_THRESHOLD``), so reverse-mode through the scan
+rematerialises step activations instead of storing them — the TPU
+replacement for torch's retained ``create_graph`` graph. Short horizons (the
+default 5 train steps) skip remat: storing beats recompute there (~13%
+measured). Evaluation (e.g. the 100-step test-time adaptation,
+ref: utils.py:176-179) runs the same scan without an outer grad, so no
+reverse carries are kept at all.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from fumi_tpu.core.episode import Episode
 from fumi_tpu.ops.fewshot import cross_entropy
+
+# adaptation horizons at or above this rematerialise their inner steps
+REMAT_THRESHOLD = 16
+
+
+def _maybe_remat(fn, n_steps, remat):
+    if remat is None:
+        remat = n_steps >= REMAT_THRESHOLD
+    return jax.checkpoint(fn) if remat else fn
 
 
 def sgd_inner_update(params, grads, step_size: float):
@@ -54,7 +66,8 @@ def maml_episode_loss(apply_fn: Callable,
                       *,
                       n_steps: int,
                       step_size: float,
-                      first_order: bool):
+                      first_order: bool,
+                      remat: bool = None):
     """Mean outer loss over the meta-batch (ref: maml.py:134-193).
 
     Each task adapts a private copy of ``params`` for ``n_steps`` inner SGD
@@ -65,7 +78,6 @@ def maml_episode_loss(apply_fn: Callable,
     """
 
     def task_loss(s_x, s_y, q_x, q_y):
-        @jax.checkpoint
         def inner(p, _):
             def support_loss(p_):
                 return cross_entropy(apply_fn(p_, s_x), s_y)
@@ -74,6 +86,7 @@ def maml_episode_loss(apply_fn: Callable,
                 grads = jax.lax.stop_gradient(grads)
             return sgd_inner_update(p, grads, step_size), None
 
+        inner = _maybe_remat(inner, n_steps, remat)
         adapted, _ = jax.lax.scan(inner, params, None, length=n_steps)
         q_logits = apply_fn(adapted, q_x)
         loss = cross_entropy(q_logits, q_y)
@@ -100,7 +113,8 @@ def fumi_episode_loss(model,  # fumi_tpu.models.fumi.FUMI
                       n_steps: int,
                       step_size: float,
                       rng: jax.Array,
-                      train: bool):
+                      train: bool,
+                      remat: bool = None):
     """Mean outer loss over the meta-batch (ref: fumi.py:115-196).
 
     Per task: the hypernetwork emits the generated head from the per-class
@@ -120,7 +134,6 @@ def fumi_episode_loss(model,  # fumi_tpu.models.fumi.FUMI
         hyper0 = model.get_hyper_params(params, s_text, s_y, rng=k_hyper)
         im0 = params["im_net"]
 
-        @jax.checkpoint
         def inner(carry, step_rng):
             im_p, hyp = carry
 
@@ -133,6 +146,7 @@ def fumi_episode_loss(model,  # fumi_tpu.models.fumi.FUMI
             return (sgd_inner_update(im_p, g_im, step_size),
                     hyp - step_size * g_hyp), None
 
+        inner = _maybe_remat(inner, n_steps, remat)
         step_rngs = jax.random.split(k_steps, n_steps)
         (im_T, hyp_T), _ = jax.lax.scan(inner, (im0, hyper0), step_rngs)
 

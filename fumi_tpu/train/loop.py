@@ -45,7 +45,8 @@ from fumi_tpu.train.steps import (FamilySteps, fuse_sampler,
 from fumi_tpu.utils.profiling import Throughput
 
 AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda")
-CHUNK = 100  # train steps per device dispatch
+CHUNK = 500  # train steps per device dispatch (amortizes the
+             # ~27 ms per-dispatch RPC cost of tunneled TPUs)
 ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
 
