@@ -174,11 +174,18 @@ def main(cfg: Config) -> dict:
     steps = make_steps(cfg, k_model, dictionary)
     n_dev = len(jax.devices())
     mesh = None
-    if n_dev > 1 or cfg.mesh_dp > 1:
+    dp = cfg.mesh_dp
+    if dp == 0 and n_dev > 1:
+        # auto: the largest dp that divides the meta-batch and fits devices
+        dp = 1
+        for d in range(min(n_dev, cfg.batch_size), 0, -1):
+            if cfg.batch_size % d == 0:
+                dp = d
+                break
+    if dp > 1:
         from fumi_tpu.parallel import make_parallel_steps
-        mesh = mesh_lib.make_mesh(cfg.mesh_dp, cfg.mesh_mp)
-        if mesh.shape[mesh_lib.DP_AXIS] > 1:
-            steps = make_parallel_steps(cfg, k_model, mesh, dictionary)
+        mesh = mesh_lib.make_mesh(dp, cfg.mesh_mp)
+        steps = make_parallel_steps(cfg, k_model, mesh, dictionary)
 
     train_s, val_s, test_s = _samplers(cfg, splits, image_table, image_ids)
 

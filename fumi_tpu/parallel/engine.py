@@ -115,7 +115,7 @@ def make_parallel_steps(cfg: Config, key: jax.Array, mesh: Mesh,
         return fn(p, episode, rng)
 
     return FamilySteps(params=family.params, opt=opt, train_step=train_step,
-                       eval_step=eval_step, family=family)
+                       eval_step=eval_step, family=family, mesh=mesh)
 
 
 def make_parallel_chunked_train(cfg: Config, family: Family,
@@ -145,7 +145,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
                                      batch_size=cfg.batch_size // dp)
     rep = P()
 
-    def _shard(params, opt_state, key, tables):
+    def _shard(params, opt_state, key, tables, n_steps):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
 
         def body(carry, _):
@@ -165,22 +165,81 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
             return (p, s, k), m
 
         (params, opt_state, shard_key), ms = jax.lax.scan(
-            body, (params, opt_state, shard_key), None, length=chunk)
+            body, (params, opt_state, shard_key), None, length=n_steps)
         return params, opt_state, ms
 
-    @functools.partial(jax.jit, static_argnums=())
-    def run(params, opt_state, key, tables):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run(params, opt_state, key, tables, n_steps):
         fn = shard_map(
-            _shard, mesh=mesh,
+            functools.partial(_shard, n_steps=n_steps), mesh=mesh,
             in_specs=(rep, rep, rep, rep),
             out_specs=(rep, rep, rep),
             check_vma=False)
         return fn(params, opt_state, key, tables)
 
-    def wrapper(params, opt_state, key):
-        params, opt_state, ms = run(params, opt_state, key, sampler.tables)
+    def wrapper(params, opt_state, key, n=chunk):
+        params, opt_state, ms = run(params, opt_state, key, sampler.tables,
+                                    n)
         # advance the host-side key chain deterministically
-        next_key = jax.random.fold_in(key, chunk)
+        next_key = jax.random.fold_in(key, n)
         return params, opt_state, next_key, ms
 
     return wrapper
+
+
+def make_parallel_chunked_eval(cfg: Config, family: Family, sampler,
+                               mesh: Mesh,
+                               collect: bool = False) -> Callable:
+    """Multi-chip chunked eval: scan of per-shard sample+eval inside
+    shard_map; metrics pmean/psum-reduced per step, artifacts all_gathered
+    to global meta-batch order. Returns ``run(params, key, n) -> (key,
+    stacked metrics)`` matching the serial chunked-eval contract."""
+    from fumi_tpu.data.sampler import sample_episode
+
+    dp = mesh.shape[DP_AXIS]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+    import dataclasses
+    local_spec = dataclasses.replace(sampler.spec,
+                                     batch_size=cfg.batch_size // dp)
+    rep = P()
+
+    def _shard(params, key, tables, n_steps):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+
+        def body(k, _):
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sample_episode(tables, local_spec, k_s)
+            raw = family.eval_raw(params, episode, k_step)
+            raw = _reduce_raw(raw, family.eval_reduce)
+            out = family.eval_finalize(raw)
+            scalars = {kk: v for kk, v in out.items()
+                       if getattr(v, "ndim", 1) == 0}
+            if collect:
+                for kk in ("preds", "targets", "lamda"):
+                    if kk in out:
+                        scalars[kk] = out[kk]
+                scalars["query_idx"] = jax.lax.all_gather(
+                    episode.query_ids, DP_AXIS, axis=0, tiled=True)
+                scalars["support_idx"] = jax.lax.all_gather(
+                    episode.support_ids, DP_AXIS, axis=0, tiled=True)
+            return k, scalars
+
+        _, ms = jax.lax.scan(body, shard_key, None, length=n_steps)
+        return ms
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_jit(params, key, tables, n_steps):
+        fn = shard_map(
+            functools.partial(_shard, n_steps=n_steps), mesh=mesh,
+            in_specs=(rep, rep, rep),
+            out_specs=rep,
+            check_vma=False)
+        return fn(params, key, tables)
+
+    def run(params, key, n):
+        ms = run_jit(params, key, sampler.tables, n)
+        return key, ms
+
+    return run

@@ -61,8 +61,14 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
     total = max_num_batches + 1
     if isinstance(sampler, DeviceEpisodeSampler) and \
             steps.family is not None:
-        run = make_chunked_eval(steps.family, sampler,
-                                collect=collect_artifacts)
+        if steps.mesh is not None:
+            from fumi_tpu.parallel.engine import make_parallel_chunked_eval
+            run = make_parallel_chunked_eval(cfg, steps.family, sampler,
+                                             steps.mesh,
+                                             collect=collect_artifacts)
+        else:
+            run = make_chunked_eval(steps.family, sampler,
+                                    collect=collect_artifacts)
         _, ms = run(params, rng, total)
         ms = {k: np.asarray(v) for k, v in ms.items()}
         out = {k: float(v.mean()) for k, v in ms.items()
@@ -141,8 +147,14 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
                    and steps.family is not None)
     if device_path:
-        chunked = make_chunked_train(steps.family, steps.opt, train_sampler,
-                                     CHUNK)
+        if steps.mesh is not None:
+            from fumi_tpu.parallel.engine import make_parallel_chunked_train
+            chunked = make_parallel_chunked_train(
+                cfg, steps.family, steps.opt, train_sampler, steps.mesh,
+                CHUNK)
+        else:
+            chunked = make_chunked_train(steps.family, steps.opt,
+                                         train_sampler, CHUNK)
         train_key = k_train
     else:
         fused = (fuse_sampler(steps.train_step, train_sampler)

@@ -58,6 +58,7 @@ class FamilySteps(NamedTuple):
     train_step: Callable  # (params, opt_state, episode, rng) -> (p, s, m)
     eval_step: Callable  # (params, episode, rng) -> metrics
     family: Optional[Family] = None
+    mesh: Any = None  # set by the parallel engine; None = single device
 
     @property
     def model(self):

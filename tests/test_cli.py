@@ -1,0 +1,69 @@
+"""End-to-end CLI driver tests on the synthetic dataset: full train+test
+runs per family, prediction CSV artifacts, checkpoint restore."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fumi_tpu.cli.main import main
+from fumi_tpu.core.config import Config
+
+
+def small_cfg(tmp_path, model, **kw):
+    base = dict(
+        model=model, dataset="synthetic", im_emb_dim=32, text_emb_dim=16,
+        im_hid_dim=(16, 8), prototype_dim=8, text_hid_dim=8,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=2, num_test_adapt_steps=2,
+        batch_size=4, epochs=30, eval_freq=15, patience=0,
+        num_ep_test=8, lr=1e-2, optim="adam", dropout=0.0,
+        text_encoder="precomputed", step_size=0.1,
+        log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32",  # tests run on CPU
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_cli_end_to_end(tmp_path, model):
+    cfg = small_cfg(tmp_path, model)
+    out = main(cfg)
+    assert np.isfinite(out["test/loss"])
+    assert 0.0 <= out["test/acc"] <= 1.0
+    if model == "am3":
+        for k in ("test/prec", "test/rec", "test/f1", "test/avg_lamda"):
+            assert k in out
+
+    # prediction CSV artifact written for EVERY family (ref writes it only
+    # for AM3, main.py:128-136; BASELINE.md wants all)
+    csvs = glob.glob(os.path.join(str(tmp_path), "results", "run_*.csv"))
+    main_csvs = [c for c in csvs if not c.endswith("_support.csv")]
+    assert main_csvs, csvs
+    df = pd.read_csv(main_csvs[0])
+    assert "query_preds" in df and "query_targets" in df
+    # num_ep_test/batch_size + 1 batches x B tasks x N*Q queries
+    expect = (cfg.max_test_batches + 1) * cfg.batch_size * \
+        cfg.num_ways * cfg.num_query_eval
+    assert len(df) == expect
+
+
+def test_cli_evaluate_with_checkpoint(tmp_path):
+    cfg = small_cfg(tmp_path, "fumi", epochs=16, eval_freq=8)
+    main(cfg)
+    run_dirs = glob.glob(os.path.join(str(tmp_path), "runs", "*"))
+    assert run_dirs
+    best = [d for d in run_dirs if os.path.exists(os.path.join(d, "best"))]
+    assert best
+    out = main(cfg.replace(evaluate=True, checkpoint=best[0]))
+    assert np.isfinite(out["test/loss"])
+
+
+def test_cli_clip(tmp_path):
+    cfg = small_cfg(tmp_path, "clip", epochs=3, batch_size=16,
+                    clip_latent_dim=16, num_ways=3)
+    out = main(cfg)
+    assert 0.0 <= out["test/acc"] <= 1.0
