@@ -84,7 +84,10 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     if cfg.device_sampler:
         table = jnp.asarray(image_table)
         ids = jnp.asarray(image_ids)
-        return (DeviceEpisodeSampler(table, ids, splits["train"], train_spec),
+        # --augment: embedding-space jitter on the TRAIN support set only
+        aug = 0.1 if cfg.augment else 0.0
+        return (DeviceEpisodeSampler(table, ids, splits["train"], train_spec,
+                                     augment_scale=aug),
                 DeviceEpisodeSampler(table, ids, splits["val"], eval_spec),
                 DeviceEpisodeSampler(table, ids, splits["test"], eval_spec))
     return (HostEpisodeSampler(image_table, image_ids, splits["train"],

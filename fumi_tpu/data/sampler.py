@@ -58,14 +58,21 @@ def _largest_divisor_leq(m: int, cap: int) -> int:
 
 def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
                    key: jax.Array,
-                   use_pallas_gather: bool = False) -> Episode:
-    """Draw one meta-batch from device tables. Pure; jit/fusion friendly."""
+                   use_pallas_gather: bool = False,
+                   augment_scale: float = 0.0) -> Episode:
+    """Draw one meta-batch from device tables. Pure; jit/fusion friendly.
+
+    ``augment_scale > 0`` applies multiplicative uniform jitter to the
+    SUPPORT embeddings (train-time augmentation; the TPU-native meaning of
+    the reference's otherwise-unused ``--augment`` flag, ref:
+    utils.py:92-94). Queries stay clean.
+    """
     B, N, K, Q = (spec.batch_size, spec.num_ways, spec.num_shots,
                   spec.num_query)
     KQ = K + Q
     num_classes = tables.class_rows.shape[0]
     max_count = tables.class_rows.shape[1]
-    k_cls, k_img = jax.random.split(key)
+    k_cls, k_img, k_aug = jax.random.split(key, 3)
 
     # N distinct classes per task: top-N of uniform noise over C.
     cls_noise = jax.random.uniform(k_cls, (B, num_classes))
@@ -104,6 +111,12 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     else:
         support_im = tables.image_table[s_rows]  # (B, N*K, D)
         query_im = tables.image_table[q_rows]  # (B, N*Q, D)
+
+    if augment_scale > 0.0:
+        from fumi_tpu.ops.pallas_kernels import augment_embeddings_reference
+        flat = support_im.reshape(B * N * K, -1)
+        flat = augment_embeddings_reference(flat, k_aug, augment_scale)
+        support_im = flat.reshape(B, N * K, -1)
 
     # per-class text repeated per shot, class-major like the targets
     text_cls = tables.text_features[class_idx]  # (B, N, E|T)
@@ -146,7 +159,8 @@ class DeviceEpisodeSampler:
 
     def __init__(self, image_table: jnp.ndarray, image_ids: jnp.ndarray,
                  class_set: ClassSet, spec: EpisodeSpec,
-                 use_pallas_gather: bool = False):
+                 use_pallas_gather: bool = False,
+                 augment_scale: float = 0.0):
         self.spec = spec
         self.tables = SamplerTables(
             image_table=jnp.asarray(image_table),
@@ -162,12 +176,14 @@ class DeviceEpisodeSampler:
         self.num_classes = class_set.num_classes
         # Pallas DMA gather for episode assembly (fumi_tpu/ops/pallas_kernels)
         self.use_pallas_gather = use_pallas_gather
+        self.augment_scale = augment_scale
 
     def sample(self, key: jax.Array, tables: Optional[SamplerTables] = None
                ) -> Episode:
         return sample_episode(tables if tables is not None else self.tables,
                               self.spec, key,
-                              use_pallas_gather=self.use_pallas_gather)
+                              use_pallas_gather=self.use_pallas_gather,
+                              augment_scale=self.augment_scale)
 
 
 class HostEpisodeSampler:

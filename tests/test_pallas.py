@@ -52,3 +52,45 @@ def test_sampler_pallas_gather_path(rng_np):
                                np.asarray(ep_ref.support_im))
     np.testing.assert_allclose(np.asarray(ep_pallas.query_im),
                                np.asarray(ep_ref.query_im))
+
+
+def test_augment_embeddings_interpret(rng_np):
+    from fumi_tpu.ops.pallas_kernels import augment_embeddings
+    x = jnp.asarray(rng_np.randn(64, 32).astype(np.float32))
+    try:
+        out = augment_embeddings(x, jnp.asarray(7), scale=0.1, block_rows=16,
+                                 interpret=True)
+        out = np.asarray(out)
+    except NotImplementedError:
+        pytest.skip("pltpu PRNG has no CPU interpret rule in this jax; "
+                    "kernel exercised on TPU (see bench_gather notes)")
+    ratio = out / np.asarray(x)
+    assert np.all(ratio >= 0.9 - 1e-6) and np.all(ratio < 1.1 + 1e-6)
+    assert not np.allclose(out, np.asarray(x))
+    # deterministic per seed
+    out2 = np.asarray(augment_embeddings(x, jnp.asarray(7), scale=0.1,
+                                         block_rows=16, interpret=True))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_sampler_augmentation(rng_np):
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler, sample_episode
+    from fumi_tpu.data.synthetic import synthetic_class_set
+
+    cs, table, ids = synthetic_class_set(num_classes=8, images_per_class=16,
+                                         im_dim=32, text_dim=16)
+    spec = EpisodeSpec(2, 3, 2, 4, 32, 16)
+    s = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs, spec)
+    ep_plain = sample_episode(s.tables, spec, jax.random.PRNGKey(0))
+    ep_aug = sample_episode(s.tables, spec, jax.random.PRNGKey(0),
+                            augment_scale=0.1)
+    # same episode identity (ids equal), support jittered, query untouched
+    np.testing.assert_array_equal(np.asarray(ep_plain.support_ids),
+                                  np.asarray(ep_aug.support_ids))
+    np.testing.assert_allclose(np.asarray(ep_plain.query_im),
+                               np.asarray(ep_aug.query_im))
+    assert not np.allclose(np.asarray(ep_plain.support_im),
+                           np.asarray(ep_aug.support_im))
+    ratio = np.asarray(ep_aug.support_im) / np.asarray(ep_plain.support_im)
+    assert np.nanmax(np.abs(ratio - 1.0)) <= 0.1 + 1e-5
