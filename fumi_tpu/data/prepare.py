@@ -1,0 +1,86 @@
+"""Offline data-preparation CLI.
+
+The reference recomputes frozen-encoder text embeddings at every dataset
+construction (BERT mean-pool in batches of 64, ref:
+fumi/dataset/data.py:472-495). The TPU-native design runs heavyweight
+frozen encoders OFFLINE once and ships artifacts; this module is that step.
+
+Usage:
+  # cache BERT text embeddings for all categories (needs local HF weights)
+  python -m fumi_tpu.data.prepare bert --data_dir ./data \
+      --text_type description [--remove_stop_words]
+
+  # inspect a dataset directory (splits, class sizes, artifact status)
+  python -m fumi_tpu.data.prepare inspect --data_dir ./data
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def cmd_bert(args) -> int:
+    from fumi_tpu.data.inat_anim import build_bert_artifact
+    path = build_bert_artifact(args.data_dir,
+                               text_type=tuple(args.text_type),
+                               remove_stop_words=args.remove_stop_words)
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    import json
+
+    import numpy as np
+
+    from fumi_tpu.data.inat_anim import (category_image_map,
+                                         split_categories)
+    root = os.path.join(args.data_dir, "iNat-Anim") \
+        if os.path.isdir(os.path.join(args.data_dir, "iNat-Anim")) \
+        else args.data_dir
+    json_path = os.path.join(root, "inat_anim.json")
+    if not os.path.exists(json_path):
+        print(f"no inat_anim.json under {root}")
+        return 1
+    with open(json_path) as f:
+        ann = json.load(f)
+    n_cat = len(ann["categories"])
+    n_img = len(ann["images"])
+    print(f"categories: {n_cat}, images: {n_img}")
+    for split in ("train", "val", "test"):
+        cats = split_categories(n_cat, split)
+        cmap = category_image_map(ann, cats)
+        counts = np.array([len(v) for v in cmap.values()])
+        print(f"  {split}: {len(cats)} classes, images/class "
+              f"min={counts.min()} median={int(np.median(counts))} "
+              f"max={counts.max()}")
+    for f in sorted(os.listdir(root)):
+        if f.startswith("text_embeddings") or f.startswith(
+                "image_embeddings"):
+            print(f"  artifact: {f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="fumi-tpu offline data prep")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bert", help="precompute BERT text embeddings")
+    b.add_argument("--data_dir", type=str, default="./data")
+    b.add_argument("--text_type", type=str, nargs="+",
+                   default=["description"])
+    b.add_argument("--remove_stop_words", action="store_true")
+    b.set_defaults(fn=cmd_bert)
+
+    i = sub.add_parser("inspect", help="inspect dataset dir")
+    i.add_argument("--data_dir", type=str, default="./data")
+    i.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
