@@ -33,26 +33,32 @@ STEP_SIZE = 0.01
 LR = 3e-5
 
 
-def bench_tpu(num_steps: int = 3000, chunk: int = 1000) -> float:
+def _bench_cfg(model: str):
+    from fumi_tpu.core.config import Config
+    return Config(model=model, im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
+                  im_hid_dim=IM_HID, text_hid_dim=TXT_HID, num_ways=N_WAY,
+                  num_shots=K_SHOT, num_shots_test=Q_TRAIN,
+                  num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
+                  dropout=0.25, text_encoder="precomputed",
+                  step_size=STEP_SIZE, lr=LR, optim="adam",
+                  prototype_dim=512)
+
+
+def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
+              model: str = "fumi") -> float:
     """episodes/sec of the chunked (scan) fused sample+train driver — the
     production training path (fumi_tpu/train/loop.py)."""
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")  # threefry costs
     # ~0.1 ms/step on TPU; rbg is hardware-speed
     import jax.numpy as jnp
-    from fumi_tpu.core.config import Config
     from fumi_tpu.core.episode import EpisodeSpec
     from fumi_tpu.data.sampler import DeviceEpisodeSampler
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import (build_family, make_chunked_train,
                                       make_opt)
 
-    cfg = Config(model="fumi", im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
-                 im_hid_dim=IM_HID, text_hid_dim=TXT_HID, num_ways=N_WAY,
-                 num_shots=K_SHOT, num_shots_test=Q_TRAIN,
-                 num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
-                 dropout=0.25, text_encoder="precomputed",
-                 step_size=STEP_SIZE, lr=LR, optim="adam")
+    cfg = _bench_cfg(model)
 
     cs, table, ids = synthetic_class_set(
         num_classes=64, images_per_class=64, im_dim=IM_DIM,
@@ -80,6 +86,39 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000) -> float:
     for _ in range(iters):
         params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
         _ = float(_np.asarray(ms["loss"])[-1])  # per-chunk sync fetch
+    dt = time.perf_counter() - t0
+    return iters * chunk * BATCH / dt
+
+
+def bench_eval(episodes: int = 256, chunk: int = 64) -> float:
+    """episodes/sec of the chunked eval driver (100-step test adaptation)."""
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+    import numpy as _np
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+    from fumi_tpu.train.steps import build_family, make_chunked_eval
+
+    cfg = _bench_cfg("fumi")
+    cs, table, ids = synthetic_class_set(
+        num_classes=64, images_per_class=64, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=0)
+    spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, cfg.num_query_eval,
+                       IM_DIM, TXT_DIM)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    run = make_chunked_eval(family, sampler)
+    _, ms = run(family.params, jax.random.PRNGKey(1), chunk)
+    _ = float(_np.asarray(ms["loss"])[-1])
+    iters = max(1, episodes // (chunk * BATCH))
+    iters = max(iters, 2)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _, ms = run(family.params, jax.random.PRNGKey(2 + i), chunk)
+        _ = float(_np.asarray(ms["loss"])[-1])
     dt = time.perf_counter() - t0
     return iters * chunk * BATCH / dt
 
@@ -170,7 +209,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="bench all families + eval; write bench_all.json")
     args = ap.parse_args()
+
+    if args.all:
+        side = {}
+        for model in ("fumi", "maml", "am3"):
+            side[f"{model}_train_eps_per_sec"] = round(
+                bench_tpu(args.steps, model=model), 2)
+        side["eval_fumi_100step_eps_per_sec"] = round(
+            bench_eval(chunk=32), 2)
+        with open("bench_all.json", "w") as f:
+            json.dump(side, f, indent=1)
+        print(json.dumps(side))
+        return
 
     value = bench_tpu(args.steps)
     baseline = get_baseline(args.refresh_baseline)

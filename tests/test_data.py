@@ -189,3 +189,35 @@ def test_load_inat_anim_word_tokens(fake_inat_dir):
     cat0 = d2.splits["train"].categories[0]
     assert d2.splits["train"].descriptions[0] == \
         f"species_{cat0} common {cat0}"
+
+
+def test_device_sampler_statistics(synth):
+    """Gumbel-top-k class selection is uniform; within-class picks cover
+    all images (chi-square-style sanity over many draws)."""
+    cs, table, ids = synth
+    spec = EpisodeSpec(batch_size=8, num_ways=4, num_shots=2, num_query=3,
+                       im_dim=64, text_dim=32)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+
+    @jax.jit
+    def draw_many(key, tables):
+        def body(k, _):
+            k, k_s = jax.random.split(k)
+            ep = sample_episode_for_stats(tables, k_s)
+            return k, ep
+        return jax.lax.scan(body, key, None, length=200)[1]
+
+    from fumi_tpu.data.sampler import sample_episode
+    def sample_episode_for_stats(tables, k):
+        ep = sample_episode(tables, spec, k)
+        return ep.support_ids
+
+    sup_ids = np.asarray(draw_many(jax.random.PRNGKey(0), sampler.tables))
+    # class of each picked image = id // images_per_class (synthetic layout)
+    classes = (sup_ids // 20).reshape(-1)
+    counts = np.bincount(classes, minlength=cs.num_classes)
+    # 200 draws x 8 tasks x 4 ways x 2 shots = 12800 picks over 12 classes
+    expected = counts.sum() / cs.num_classes
+    # loose uniformity bound (3 sigma-ish for multinomial)
+    assert np.all(np.abs(counts - expected) < 6 * np.sqrt(expected)), counts
