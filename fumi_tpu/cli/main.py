@@ -90,8 +90,15 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
                                      augment_scale=aug),
                 DeviceEpisodeSampler(table, ids, splits["val"], eval_spec),
                 DeviceEpisodeSampler(table, ids, splits["test"], eval_spec))
-    return (HostEpisodeSampler(image_table, image_ids, splits["train"],
-                               train_spec, seed=cfg.seed),
+    train_host = HostEpisodeSampler(image_table, image_ids, splits["train"],
+                                    train_spec, seed=cfg.seed)
+    if cfg.num_workers > 0:
+        # --num_workers: background prefetch (the reference's dataloader
+        # worker concurrency, ref: utils.py:95-98)
+        from fumi_tpu.data.sampler import PrefetchingSampler
+        train_host = PrefetchingSampler(train_host,
+                                        depth=2 * cfg.num_workers)
+    return (train_host,
             HostEpisodeSampler(image_table, image_ids, splits["val"],
                                eval_spec, seed=cfg.seed + 1),
             HostEpisodeSampler(image_table, image_ids, splits["test"],

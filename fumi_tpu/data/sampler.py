@@ -272,3 +272,50 @@ class HostEpisodeSampler:
     def __iter__(self):
         while True:
             yield self.sample()
+
+
+class PrefetchingSampler:
+    """Background-thread episode prefetcher for host samplers.
+
+    The reference's only concurrency is torch DataLoader worker processes
+    (``--num_workers``, ref: utils.py:95-98). Host-side sampling here is
+    cheap (native index sampler + table gathers) but still overlaps with
+    device compute when wrapped: ``depth`` episodes are staged ahead by a
+    daemon thread. Device-sampler runs don't need this (sampling happens
+    inside the XLA program).
+    """
+
+    def __init__(self, sampler: "HostEpisodeSampler", depth: int = 2):
+        import queue
+        import threading
+        self.sampler = sampler
+        self.spec = sampler.spec
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            ep = self.sampler.sample()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(ep, timeout=0.1)
+                    break
+                except Exception:
+                    continue
+
+    def sample(self) -> Episode:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+    def __iter__(self):
+        while True:
+            yield self.sample()

@@ -221,3 +221,15 @@ def test_device_sampler_statistics(synth):
     expected = counts.sum() / cs.num_classes
     # loose uniformity bound (3 sigma-ish for multinomial)
     assert np.all(np.abs(counts - expected) < 6 * np.sqrt(expected)), counts
+
+
+def test_prefetching_sampler(synth):
+    from fumi_tpu.data.sampler import PrefetchingSampler
+    cs, table, ids = synth
+    host = HostEpisodeSampler(table, ids, cs, SPEC, seed=0)
+    pre = PrefetchingSampler(host, depth=3)
+    eps = [pre.sample() for _ in range(5)]
+    for ep in eps:
+        assert ep.support_im.shape == (SPEC.batch_size, SPEC.support_len,
+                                       SPEC.im_dim)
+    pre.close()

@@ -117,3 +117,31 @@ def test_test_loop_runs_max_plus_one_batches(tmp_path):
     out = run_test_loop(cfg, steps, steps.params, eval_host, 4,
                         jax.random.PRNGKey(0), collect_artifacts=True)
     assert len(out["preds"]) == 5 * n_query_total
+
+
+def test_keyboard_interrupt_safe(tmp_path, monkeypatch):
+    """KeyboardInterrupt mid-training still proceeds to best-checkpoint
+    reload (ref: am3.py:298-303, fumi.py:292-297)."""
+    cfg = small_cfg("fumi", epochs=1000, eval_freq=10)
+    train_s, eval_s = build_samplers(cfg)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    writer = MetricWriter(str(tmp_path), use_wandb=False)
+
+    import fumi_tpu.train.loop as loop_mod
+    orig = loop_mod.test_loop
+    calls = {"n": 0}
+
+    def interrupting_test_loop(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 3:  # initial val + first eval, then interrupt
+            raise KeyboardInterrupt
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "test_loop", interrupting_test_loop)
+    params = training_run(cfg, steps, train_s, eval_s, writer,
+                          str(tmp_path / "run"), jax.random.PRNGKey(1))
+    writer.finish()
+    # training stopped early but returned usable params and wrote a ckpt
+    assert params is not None
+    import os
+    assert os.path.exists(str(tmp_path / "run" / "ckpt"))
