@@ -110,6 +110,10 @@ class Config:
     # ~0.1 ms per step of the fused sampling+dropout chain; "threefry2x32"
     # for cross-platform key-stream reproducibility.
     prng_impl: str = "rbg"
+    # Raw-image mode (--im_encoder conv4): image size/channels of the raw
+    # table. The reference leaves raw images as a TODO (am3.py:44-46).
+    im_size: int = 84
+    im_channels: int = 3
     debug_nans: bool = False
     profile_dir: Optional[str] = None
 
@@ -252,6 +256,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_compute_dtype", type=str, default="float32")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
+    p.add_argument("--tpu_im_size", type=int, default=84)
+    p.add_argument("--tpu_im_channels", type=int, default=3)
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     return p
@@ -315,6 +321,8 @@ def config_from_args(argv=None) -> Config:
         device_sampler=not args.tpu_host_sampler,
         compute_dtype=args.tpu_compute_dtype,
         prng_impl=args.tpu_prng_impl,
+        im_size=args.tpu_im_size,
+        im_channels=args.tpu_im_channels,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
     )

@@ -61,6 +61,40 @@ def synthetic_class_set(num_classes: int = 20,
     return cs, image_table, image_ids
 
 
+def synthetic_raw_image_set(num_classes: int = 10,
+                            images_per_class: int = 20,
+                            im_size: int = 28, channels: int = 3,
+                            text_dim: int = 16, noise: float = 0.4,
+                            seed: int = 0):
+    """Raw-image ClassSet: class-specific blob patterns + noise, NHWC.
+
+    Exercises the Conv4 path; the image "table" is
+    (num_images, H, W, C) — the samplers gather rows identically.
+    """
+    rng = np.random.RandomState(seed)
+    C, M, S = num_classes, images_per_class, im_size
+    # each class: a smooth random pattern; samples add pixel noise
+    base = rng.randn(C, S, S, channels).astype(np.float32)
+    # smooth with a separable box filter for spatial structure
+    k = np.ones(5) / 5.0
+    base = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 2, base)
+    imgs = (base[:, None] +
+            noise * rng.randn(C, M, S, S, channels)).astype(np.float32)
+    image_table = imgs.reshape(C * M, S, S, channels)
+    image_ids = np.arange(C * M, dtype=np.int32)
+    rows = np.arange(C * M, dtype=np.int32).reshape(C, M)
+    cs = ClassSet(
+        categories=np.arange(C),
+        class_image_rows=rows,
+        class_counts=np.full((C,), M, dtype=np.int32),
+        text_features=rng.randn(C, text_dim).astype(np.float32),
+        text_mask=None,
+        descriptions=[f"raw class {i}" for i in range(C)],
+    )
+    return cs, image_table, image_ids
+
+
 def synthetic_splits(num_classes: int = 32, images_per_class: int = 64,
                      im_dim: int = 2048, text_dim: int = 768,
                      seed: int = 0, **kw):

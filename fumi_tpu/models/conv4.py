@@ -1,0 +1,96 @@
+"""Conv4 — the standard few-shot raw-image backbone.
+
+The reference leaves raw-image encoding as a TODO (its ``resnet`` branch is
+also a Linear over precomputed embeddings, ref: fumi/models/am3.py:44-46),
+and BASELINE.json's config list names "MAML image-only Conv4". This module
+provides that capability TPU-natively: 4 blocks of
+[Conv3×3(64) → batch-stat norm → ReLU → MaxPool2×2], flatten, linear head —
+the classic Vinyals/Finn architecture as pure functions over a params
+pytree, so the same inner-loop engine adapts it.
+
+Normalization uses current-batch statistics at train AND eval (the standard
+MAML convention — no running stats; equivalent to torch BatchNorm2d in
+training mode), which keeps the function pure.
+
+Layout is NHWC (TPU-native); convs lower onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+
+
+def conv_init(key: jax.Array, in_ch: int, out_ch: int,
+              kh: int = 3, kw: int = 3) -> Dict[str, jnp.ndarray]:
+    """torch ``nn.Conv2d`` default init: U(−1/√fan_in, 1/√fan_in) for both
+    kernel and bias, fan_in = in_ch·kh·kw. Kernel stored HWIO."""
+    fan_in = in_ch * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    wk, bk = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wk, (kh, kw, in_ch, out_ch), jnp.float32,
+                                -bound, bound),
+        "b": jax.random.uniform(bk, (out_ch,), jnp.float32, -bound, bound),
+        "gamma": jnp.ones((out_ch,), jnp.float32),
+        "beta": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv_block(params: Dict[str, jnp.ndarray],
+               x: jnp.ndarray) -> jnp.ndarray:
+    """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype) + params["b"]
+    # batch statistics over (N, H, W) per channel
+    mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + EPS)
+    y = y * params["gamma"] + params["beta"]
+    y = jax.nn.relu(y)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def feature_dim(im_size: int, hidden: int = 64, blocks: int = 4) -> int:
+    """Flattened feature size after `blocks` stride-2 pools."""
+    s = im_size
+    for _ in range(blocks):
+        s = s // 2
+    return s * s * hidden
+
+
+def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
+         hidden: int = 64, n_way: int = 5, blocks: int = 4):
+    """Params: `blocks` conv blocks + linear head to n_way logits."""
+    from fumi_tpu.models import layers
+    keys = jax.random.split(key, blocks + 1)
+    convs = []
+    ch = in_channels
+    for i in range(blocks):
+        convs.append(conv_init(keys[i], ch, hidden))
+        ch = hidden
+    head = layers.linear_init(keys[-1], feature_dim(im_size, hidden, blocks),
+                              n_way)
+    return {"convs": tuple(convs), "head": head}
+
+
+def backbone(params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, H, W, C) images → (M, F) flat features."""
+    for p in params["convs"]:
+        x = conv_block(p, x)
+    return x.reshape(x.shape[0], -1)
+
+
+def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
+    from fumi_tpu.models import layers
+    return layers.linear(params["head"], backbone(params, x))

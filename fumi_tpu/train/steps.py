@@ -76,13 +76,25 @@ def _make_text_encoder(cfg: Config, key, dictionary):
 # ---------------------------------------------------------------------------
 
 def build_maml_family(cfg: Config, key: jax.Array) -> Family:
-    """PureImageNetwork + MAML engine (ref: maml.py:15-33,134-193)."""
-    params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
+    """PureImageNetwork + MAML engine (ref: maml.py:15-33,134-193).
+
+    ``--im_encoder conv4`` swaps the embedding MLP for the raw-image Conv4
+    backbone (fumi_tpu/models/conv4.py) — the capability the reference
+    leaves as a TODO (am3.py:44-46); the same inner-loop engine adapts it.
+    """
+    if cfg.im_encoder == "conv4":
+        from fumi_tpu.models import conv4
+        params = conv4.init(key, cfg.im_size, cfg.im_channels,
+                            n_way=cfg.num_ways)
+        apply_fn = conv4.apply
+    else:
+        params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
+        apply_fn = mlp.apply
 
     def loss_for(n_steps):
         def loss_fn(p, episode, rng):
             return maml_episode_loss(
-                mlp.apply, p, episode, n_steps=n_steps,
+                apply_fn, p, episode, n_steps=n_steps,
                 step_size=cfg.step_size, first_order=cfg.first_order)
         return loss_fn
 

@@ -177,3 +177,31 @@ def test_init_all_layers_raises():
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def test_zero_shot_fumi():
+    """BASELINE config 5: zero-shot FuMI — 0 adaptation steps classifies
+    queries with the text-conditioned generated head alone."""
+    rng = np.random.RandomState(3)
+    s_im, s_tx, s_y, q_im, q_y = make_episode(rng)
+    model, params = build_model()
+    episode = Episode(
+        support_im=jnp.asarray(s_im),
+        support_text=jnp.asarray(s_tx),
+        support_text_mask=None,
+        support_ids=jnp.zeros((B, N * K), jnp.int32),
+        support_y=jnp.asarray(s_y.astype(np.int32)),
+        query_im=jnp.asarray(q_im),
+        query_ids=jnp.zeros((B, N * Q), jnp.int32),
+        query_y=jnp.asarray(q_y.astype(np.int32)),
+    )
+    loss, aux = fumi_episode_loss(model, params, episode, n_steps=0,
+                                  step_size=LR, rng=jax.random.PRNGKey(0),
+                                  train=False)
+    assert np.isfinite(float(loss))
+    assert aux["preds"].shape == (B, N * Q)
+    # gradients still flow to the hypernet (pure zero-shot training works)
+    g = jax.grad(lambda p: fumi_episode_loss(
+        model, p, episode, n_steps=0, step_size=LR,
+        rng=jax.random.PRNGKey(0), train=True)[0])(params)
+    assert float(jnp.max(jnp.abs(g["hyper_net"][0]["w"]))) > 0
