@@ -36,12 +36,29 @@ class AM3(NamedTuple):
     dropout: float
     fine_tune: bool
     lamda_fixed: Optional[int]
+    # "linear" (precomputed/resnet branches, both Linear in the reference,
+    # ref: am3.py:41-46) or "conv4" (raw images — the reference's TODO)
+    im_encoder_kind: str = "linear"
+    im_size: int = 84
+    im_channels: int = 3
 
     def init_params(self, key: jax.Array) -> Dict:
         k_im, k_g1, k_g2, k_h1, k_h2 = jax.random.split(key, 5)
+        if self.im_encoder_kind == "conv4":
+            from fumi_tpu.models import conv4
+            k_bb, k_head = jax.random.split(k_im)
+            image_encoder = {
+                "convs": conv4.init(k_bb, self.im_size, self.im_channels,
+                                    n_way=1)["convs"],
+                "head": layers.linear_init(
+                    k_head, conv4.feature_dim(self.im_size),
+                    self.prototype_dim),
+            }
+        else:
+            image_encoder = layers.linear_init(k_im, self.im_emb_dim,
+                                               self.prototype_dim)
         return {
-            "image_encoder": layers.linear_init(k_im, self.im_emb_dim,
-                                                self.prototype_dim),
+            "image_encoder": image_encoder,
             "text_encoder": self.text_encoder.params,
             "g": (layers.linear_init(k_g1, self.text_emb_dim,
                                      self.text_hid_dim),
@@ -55,7 +72,15 @@ class AM3(NamedTuple):
     # -- forward --------------------------------------------------------
 
     def encode_image(self, params, im: jnp.ndarray) -> jnp.ndarray:
-        """(B, M, im_emb_dim) -> (B, M, prototype_dim) (ref: am3.py:108)."""
+        """(B, M, im_emb_dim) or (B, M, H, W, C) -> (B, M, prototype_dim)
+        (ref: am3.py:108; conv4 raw path is the reference's TODO)."""
+        if self.im_encoder_kind == "conv4":
+            from fumi_tpu.models import conv4
+            B, M = im.shape[:2]
+            feats = conv4.backbone(params["image_encoder"],
+                                   im.reshape((B * M,) + im.shape[2:]))
+            out = layers.linear(params["image_encoder"]["head"], feats)
+            return out.reshape(B, M, -1)
         return layers.linear(params["image_encoder"], im)
 
     def forward(self, params, text: jnp.ndarray, im: jnp.ndarray, *,

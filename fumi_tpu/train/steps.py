@@ -170,7 +170,10 @@ def build_am3_family(cfg: Config, key: jax.Array,
         im_emb_dim=cfg.im_emb_dim, prototype_dim=cfg.prototype_dim,
         text_encoder=enc, text_emb_dim=enc.out_dim,
         text_hid_dim=cfg.text_hid_dim, dropout=cfg.dropout,
-        fine_tune=cfg.fine_tune, lamda_fixed=cfg.lamda_fixed)
+        fine_tune=cfg.fine_tune, lamda_fixed=cfg.lamda_fixed,
+        im_encoder_kind=("conv4" if cfg.im_encoder == "conv4"
+                         else "linear"),
+        im_size=cfg.im_size, im_channels=cfg.im_channels)
     params = model.init_params(k_par)
 
     def train_loss(p, episode, rng):

@@ -84,3 +84,29 @@ def test_maml_conv4_learns():
     assert float(after["acc"]) >= float(before["acc"])
     assert float(after["loss"]) < float(before["loss"]), \
         (float(before["loss"]), float(after["loss"]))
+
+
+def test_am3_conv4_episode():
+    """AM3 with the conv4 raw-image encoder runs an episode end to end."""
+    from fumi_tpu.train.steps import make_steps as mk
+    cfg = Config(
+        model="am3", dataset="synthetic", im_encoder="conv4",
+        im_size=16, im_channels=3, prototype_dim=8, text_hid_dim=8,
+        text_emb_dim=16, num_ways=3, num_shots=2, num_shots_test=4,
+        batch_size=2, lr=1e-3, optim="adam", dropout=0.0,
+        text_encoder="precomputed", prng_impl="threefry2x32")
+    cs, table, ids = synthetic_raw_image_set(num_classes=6,
+                                             images_per_class=10,
+                                             im_size=16, seed=1)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, im_dim=0, text_dim=16)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    steps = mk(cfg, jax.random.PRNGKey(0))
+    params, opt_state = steps.params, steps.opt.init(steps.params)
+    ep = jax.jit(sampler.sample)(jax.random.PRNGKey(0))
+    params, opt_state, m = steps.train_step(params, opt_state, ep,
+                                            jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    em = steps.eval_step(params, ep, jax.random.PRNGKey(2))
+    assert np.isfinite(float(em["loss"])) and "f1" in em
