@@ -57,7 +57,9 @@ def _load_data(cfg: Config):
         from fumi_tpu.data.synthetic import synthetic_splits
         splits, table, ids = synthetic_splits(
             num_classes=32, images_per_class=64,
-            im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim, seed=cfg.seed)
+            im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim,
+            seed=cfg.seed, raw_images=(cfg.im_encoder == "conv4"),
+            im_size=cfg.im_size, channels=cfg.im_channels)
         return splits, table, ids, {}
     if cfg.dataset == "cub":
         from fumi_tpu.data.cub import load_cub

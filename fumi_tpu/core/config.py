@@ -158,6 +158,12 @@ class Config:
         if self.text_encoder not in TEXT_ENCODERS:
             raise NameError(
                 f"{self.text_encoder} not allowed as text encoder")
+        if self.im_encoder not in ("precomputed", "resnet", "conv4"):
+            # ref raises NameError in the AM3 ctor (am3.py:47-48); here the
+            # check guards every family (a typo would otherwise silently
+            # fall back to the embedding MLP)
+            raise NameError(
+                f"{self.im_encoder} not allowed as image encoder")
         for t in self.text_type:
             if t not in TEXT_TYPES:
                 raise NameError("Invalid text type used")

@@ -97,12 +97,21 @@ def synthetic_raw_image_set(num_classes: int = 10,
 
 def synthetic_splits(num_classes: int = 32, images_per_class: int = 64,
                      im_dim: int = 2048, text_dim: int = 768,
-                     seed: int = 0, **kw):
+                     seed: int = 0, raw_images: bool = False,
+                     im_size: int = 84, channels: int = 3, **kw):
     """Three disjoint 60/20/20 class splits over ONE shared image table
-    (mirrors the reference's split policy shape, ref: data.py:377-386)."""
-    cs, table, ids = synthetic_class_set(
-        num_classes=num_classes, images_per_class=images_per_class,
-        im_dim=im_dim, text_dim=text_dim, seed=seed, **kw)
+    (mirrors the reference's split policy shape, ref: data.py:377-386).
+
+    ``raw_images=True`` builds an NHWC raw-image table (conv4 path)."""
+    if raw_images:
+        cs, table, ids = synthetic_raw_image_set(
+            num_classes=num_classes, images_per_class=images_per_class,
+            im_size=im_size, channels=channels, text_dim=text_dim,
+            seed=seed)
+    else:
+        cs, table, ids = synthetic_class_set(
+            num_classes=num_classes, images_per_class=images_per_class,
+            im_dim=im_dim, text_dim=text_dim, seed=seed, **kw)
     rng = np.random.RandomState(0)
     order = np.arange(num_classes)
     rng.shuffle(order)

@@ -72,6 +72,10 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
          hidden: int = 64, n_way: int = 5, blocks: int = 4):
     """Params: `blocks` conv blocks + linear head to n_way logits."""
     from fumi_tpu.models import layers
+    if feature_dim(im_size, hidden, blocks) <= 0:
+        raise ValueError(
+            f"im_size={im_size} collapses to zero spatial extent after "
+            f"{blocks} 2x2 pools; need im_size >= {2 ** blocks}")
     keys = jax.random.split(key, blocks + 1)
     convs = []
     ch = in_channels
