@@ -124,7 +124,9 @@ def _save_predictions_csv(cfg: Config, writer: MetricWriter,
         # when aligned — otherwise a side CSV
         pass
     df = pd.DataFrame({k: v for k, v in cols.items() if v is not None})
-    path = os.path.join(results_path, f"run_{writer.run_name}.csv")
+    stem = (writer.run_name if writer.run_name.startswith("run_")
+            else f"run_{writer.run_name}")
+    path = os.path.join(results_path, f"{stem}.csv")
     df.to_csv(path)
     if test_m.get("support_idx"):
         side = pd.DataFrame({
@@ -132,8 +134,7 @@ def _save_predictions_csv(cfg: Config, writer: MetricWriter,
             **({"support_lamda": test_m["support_lamdas"]}
                if test_m.get("support_lamdas") else {}),
         })
-        side.to_csv(os.path.join(results_path,
-                                 f"run_{writer.run_name}_support.csv"))
+        side.to_csv(os.path.join(results_path, f"{stem}_support.csv"))
     return path
 
 
