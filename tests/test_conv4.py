@@ -61,7 +61,7 @@ def test_maml_conv4_learns():
         batch_size=4, lr=1e-3, optim="adam", step_size=0.05,
         prng_impl="threefry2x32")
     cs, table, ids = synthetic_raw_image_set(num_classes=8,
-                                             images_per_class=20,
+                                             images_per_class=12,
                                              im_size=16, noise=3.0, seed=0)
     spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
                        cfg.num_query_train, im_dim=0, text_dim=16)
@@ -75,7 +75,7 @@ def test_maml_conv4_learns():
     assert ep0.support_im.shape == (4, 9, 16, 16, 3)
     before = steps.eval_step(params, ep0, jax.random.PRNGKey(5))
 
-    for i in range(12):
+    for i in range(8):
         ep = jax.jit(sampler.sample)(jax.random.PRNGKey(i))
         params, opt_state, m = steps.train_step(params, opt_state, ep,
                                                 jax.random.PRNGKey(1000 + i))
