@@ -1,0 +1,82 @@
+"""2-D mesh (dp x mp) pjit-style engine: declarative shardings must
+reproduce single-device results; wide weights actually shard over mp."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.core.episode import EpisodeSpec
+from fumi_tpu.core.mesh import MP_AXIS, make_mesh
+from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
+from fumi_tpu.parallel.pjit_engine import make_pjit_steps, param_pspecs
+from fumi_tpu.train.steps import make_steps
+
+IM_DIM, TXT_DIM = 512, 16  # wide input dim -> mp-shardable first layer
+
+
+def small_cfg(model="maml"):
+    return Config(
+        model=model, dataset="synthetic", im_emb_dim=IM_DIM,
+        text_emb_dim=TXT_DIM, im_hid_dim=(32, 16), text_hid_dim=16,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=2, num_test_adapt_steps=2,
+        batch_size=4, lr=1e-2, optim="adam", dropout=0.0,
+        text_encoder="precomputed", step_size=0.1,
+        prng_impl="threefry2x32")
+
+
+def episode_for(cfg, seed=0):
+    cs, table, ids = synthetic_class_set(
+        num_classes=8, images_per_class=16, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=seed)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, IM_DIM, TXT_DIM)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    return jax.jit(sampler.sample)(jax.random.PRNGKey(seed))
+
+
+def test_param_pspecs_shard_wide_weights():
+    cfg = small_cfg()
+    mesh = make_mesh(dp=2, mp=4)
+    serial = make_steps(cfg, jax.random.PRNGKey(0))
+    specs = param_pspecs(serial.params, mesh)
+    # first layer (32, 512): input dim sharded over mp
+    assert specs[0]["w"] == P(None, MP_AXIS)
+    # later layers too narrow -> replicated
+    assert specs[1]["w"] == P()
+    assert specs[0]["b"] == P()
+
+
+def test_pjit_matches_serial():
+    cfg = small_cfg()
+    mesh = make_mesh(dp=2, mp=4)
+    episode = episode_for(cfg)
+
+    serial = make_steps(cfg, jax.random.PRNGKey(0))
+    pj = make_pjit_steps(cfg, jax.random.PRNGKey(0), mesh)
+
+    rng = jax.random.PRNGKey(7)
+    s_state = serial.opt.init(serial.params)
+    sp, ss, sm = serial.train_step(serial.params, s_state, episode, rng)
+
+    pj_state = pj.opt.init(pj.params)
+    pp, ps, pm = pj.train_step(pj.params, pj_state, episode, rng)
+
+    assert abs(float(sm["loss"]) - float(pm["loss"])) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        sp, pp)
+
+    # the wide weight is actually distributed over mp
+    shard_shapes = {s.data.shape for s in pp[0]["w"].addressable_shards}
+    assert shard_shapes == {(32, 512 // 4)}, shard_shapes
+
+    sm_e = serial.eval_step(sp, episode, rng)
+    pm_e = pj.eval_step(pp, episode, rng)
+    assert abs(float(sm_e["loss"]) - float(pm_e["loss"])) < 1e-5
+    np.testing.assert_array_equal(np.asarray(sm_e["preds"]),
+                                  np.asarray(pm_e["preds"]))
