@@ -173,10 +173,21 @@ def main(cfg: Config) -> dict:
         if cfg.checkpoint:
             params, _, _ = ckpt_lib.load_checkpoint(
                 cfg.checkpoint, params, opt.init(params), best=True)
+        clip_mesh = None
+        if len(jax.devices()) > 1 and cfg.batch_size % max(
+                1, min(len(jax.devices()), cfg.batch_size)) == 0:
+            dp = 1
+            for d in range(min(len(jax.devices()), cfg.batch_size), 0, -1):
+                if cfg.batch_size % d == 0:
+                    dp = d
+                    break
+            if dp > 1:
+                clip_mesh = mesh_lib.make_mesh(dp, 1)
         if not cfg.evaluate:
             params = clip_loop.training_run(
                 cfg, model, params, opt, data["train"], data["val"],
-                writer, run_dir, np.random.RandomState(cfg.seed))
+                writer, run_dir, np.random.RandomState(cfg.seed),
+                mesh=clip_mesh)
         test_acc = clip_loop.evaluate(cfg, model, params, data["test"])
         print(f"\n TEST: test acc: {test_acc}")
         writer.log({"test/acc": test_acc})

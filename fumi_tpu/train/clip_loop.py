@@ -76,13 +76,28 @@ def training_run(cfg: Config, model: CLIP, params, opt,
                  train_data: Tuple[SupervisedSet, np.ndarray],
                  val_data: Tuple[SupervisedSet, np.ndarray],
                  writer: MetricWriter, run_dir: str,
-                 rng: np.random.RandomState):
-    """CLIP epoch loop (ref: clip.py:77-141). Returns final params."""
+                 rng: np.random.RandomState,
+                 mesh=None):
+    """CLIP epoch loop (ref: clip.py:77-141). Returns final params.
+
+    With ``mesh``, batch rows are sharded over the ``dp`` axis (params
+    replicated); XLA all-gathers one side of the similarity matmul over ICI
+    — episode-parallel CLIP per the BASELINE north star.
+    """
     train_ds, image_table = train_data
     opt_state = opt.init(params)
 
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from fumi_tpu.core.mesh import DP_AXIS
+        row_sharding = NamedSharding(mesh, P(DP_AXIS))
+
     @jax.jit
     def train_step(p, opt_state, text, image, valid_n):
+        if row_sharding is not None:
+            text = jax.lax.with_sharding_constraint(text, row_sharding)
+            image = jax.lax.with_sharding_constraint(image, row_sharding)
         loss, grads = jax.value_and_grad(
             lambda p_: masked_symmetric_ce(model, p_, text, image, valid_n)
         )(p)

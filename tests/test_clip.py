@@ -89,3 +89,47 @@ def test_clip_training_learns(tmp_path):
     acc1 = clip_loop.evaluate(cfg, model, params, (ds, table))
     writer.finish()
     assert acc1 > max(acc0, 1.0 / cfg.num_ways + 0.1), (acc0, acc1)
+
+
+def test_clip_sharded_training_matches_serial(tmp_path):
+    """Batch rows sharded over dp reproduce the single-device update."""
+    from fumi_tpu.core.mesh import make_mesh
+    from fumi_tpu.train.optim import init_optim
+    import jax.numpy as jnp
+
+    model = CLIP(text_input_dim=12, image_input_dim=16, latent_dim=8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt = init_optim("adam", lr=1e-2)
+    rng = np.random.RandomState(0)
+    B = 8
+    text = jnp.asarray(rng.randn(B, 12).astype(np.float32))
+    image = jnp.asarray(rng.randn(B, 16).astype(np.float32))
+
+    def step(mesh):
+        import optax
+        row = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fumi_tpu.core.mesh import DP_AXIS
+            row = NamedSharding(mesh, P(DP_AXIS))
+
+        @jax.jit
+        def f(p, s, t, i):
+            if row is not None:
+                t = jax.lax.with_sharding_constraint(t, row)
+                i = jax.lax.with_sharding_constraint(i, row)
+            loss, grads = jax.value_and_grad(
+                lambda p_: clip_loop.masked_symmetric_ce(model, p_, t, i,
+                                                         jnp.asarray(B)))(p)
+            u, s = opt.update(grads, s, p)
+            return optax.apply_updates(p, u), loss
+        return f(params, opt.init(params), text, image)
+
+    p_serial, l_serial = step(None)
+    p_shard, l_shard = step(make_mesh(dp=4, mp=1))
+    assert abs(float(l_serial) - float(l_shard)) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        p_serial, p_shard)
