@@ -94,3 +94,43 @@ def test_sampler_augmentation(rng_np):
                            np.asarray(ep_aug.support_im))
     ratio = np.asarray(ep_aug.support_im) / np.asarray(ep_plain.support_im)
     assert np.nanmax(np.abs(ratio - 1.0)) <= 0.1 + 1e-5
+
+
+def test_fused_maml_adapt_matches_scan_engine(rng_np):
+    """The fused adaptation kernel (interpret mode) reproduces the
+    vmap+scan eval engine bit-for-bit at fp32."""
+    from fumi_tpu.models import mlp
+    from fumi_tpu.ops.fewshot import cross_entropy
+    from fumi_tpu.ops.pallas_kernels import fused_maml_adapt
+
+    B, S, Qn, D, H1, H2, N = 2, 6, 8, 16, 8, 8, 3
+    params = mlp.init(jax.random.PRNGKey(0), D, N, (H1, H2))
+    sx = jnp.asarray(rng_np.randn(B, S, D).astype(np.float32))
+    qx = jnp.asarray(rng_np.randn(B, Qn, D).astype(np.float32))
+    sy = jnp.asarray(np.tile(np.array([0, 0, 1, 1, 2, 2]),
+                             (B, 1)).astype(np.int32))
+
+    got = fused_maml_adapt(params, sx, sy, qx, n_steps=10, step_size=0.1,
+                           interpret=True)
+
+    def jnp_adapt(x, y, q):
+        def inner(p, _):
+            g = jax.grad(lambda p_: cross_entropy(mlp.apply(p_, x), y))(p)
+            return jax.tree_util.tree_map(lambda a, b: a - 0.1 * b, p, g), \
+                None
+        p, _ = jax.lax.scan(inner, params, None, length=10)
+        return mlp.apply(p, q)
+
+    want = jax.vmap(jnp_adapt)(sx, sy, qx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_maml_adapt_rejects_wrong_depth():
+    from fumi_tpu.models import mlp
+    from fumi_tpu.ops.pallas_kernels import fused_maml_adapt
+    params = mlp.init(jax.random.PRNGKey(0), 8, 3, (4,))  # 1 hidden layer
+    with pytest.raises(ValueError):
+        fused_maml_adapt(params, jnp.zeros((1, 2, 8)),
+                         jnp.zeros((1, 2), jnp.int32),
+                         jnp.zeros((1, 2, 8)), 1, 0.1, interpret=True)
