@@ -73,7 +73,6 @@ def make_pjit_steps(cfg: Config, key: jax.Array, mesh: Mesh,
     p_specs = param_pspecs(family.params, mesh)
     p_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), p_specs)
-    rep = NamedSharding(mesh, P())
     ep_sharding = NamedSharding(mesh, P(DP_AXIS))
 
     def place_params(params):
@@ -110,7 +109,6 @@ def make_pjit_steps(cfg: Config, key: jax.Array, mesh: Mesh,
                         train_step=train_step, eval_step=eval_step,
                         family=family, mesh=mesh)
     # expose the placement helpers for callers
-    steps = steps._replace()
     train_step.place_params = place_params  # type: ignore[attr-defined]
     train_step.place_episode = place_episode  # type: ignore[attr-defined]
     return steps
