@@ -88,10 +88,14 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
         ids = jnp.asarray(image_ids)
         # --augment: embedding-space jitter on the TRAIN support set only
         aug = 0.1 if cfg.augment else 0.0
+        pg = cfg.pallas_gather
         return (DeviceEpisodeSampler(table, ids, splits["train"], train_spec,
-                                     augment_scale=aug),
-                DeviceEpisodeSampler(table, ids, splits["val"], eval_spec),
-                DeviceEpisodeSampler(table, ids, splits["test"], eval_spec))
+                                     augment_scale=aug,
+                                     use_pallas_gather=pg),
+                DeviceEpisodeSampler(table, ids, splits["val"], eval_spec,
+                                     use_pallas_gather=pg),
+                DeviceEpisodeSampler(table, ids, splits["test"], eval_spec,
+                                     use_pallas_gather=pg))
     train_host = HostEpisodeSampler(image_table, image_ids, splits["train"],
                                     train_spec, seed=cfg.seed)
     if cfg.num_workers > 0:

@@ -104,6 +104,8 @@ class Config:
     # Device-side episodic sampling (one fused XLA program). Off = host-side
     # numpy sampler with reference-faithful semantics.
     device_sampler: bool = True
+    # Pallas DMA row gather for episode assembly (vs the XLA gather).
+    pallas_gather: bool = False
     # Compute dtype for episodic math (params stay fp32).
     compute_dtype: str = "float32"
     # PRNG implementation: "rbg" is ~free on TPU where threefry costs
@@ -259,6 +261,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_host_sampler", action="store_true",
                    help="use host-side numpy episodic sampler instead of the "
                         "fused device sampler")
+    p.add_argument("--tpu_pallas_gather", action="store_true",
+                   help="use the Pallas DMA row gather for episode assembly")
     p.add_argument("--tpu_compute_dtype", type=str, default="float32")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
@@ -325,6 +329,7 @@ def config_from_args(argv=None) -> Config:
         mesh_dp=args.tpu_mesh_dp,
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
+        pallas_gather=args.tpu_pallas_gather,
         compute_dtype=args.tpu_compute_dtype,
         prng_impl=args.tpu_prng_impl,
         im_size=args.tpu_im_size,

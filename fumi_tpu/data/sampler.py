@@ -99,8 +99,14 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     q_rows = rows[..., K:].reshape(B, N * Q)
 
     if use_pallas_gather:
-        from fumi_tpu.ops.pallas_kernels import gather_rows
+        from fumi_tpu.ops.pallas_kernels import (gather_rows,
+                                                 gather_rows_supported)
+        # compiled pallas gather only supports tile-aligned row widths;
+        # fall back to the XLA gather otherwise
+        if not gather_rows_supported(int(tables.image_table.shape[-1])):
+            use_pallas_gather = False
 
+    if use_pallas_gather:
         def _gather(r):
             M = r.shape[0] * r.shape[1]
             br = _largest_divisor_leq(M, 64)
@@ -173,6 +179,10 @@ class DeviceEpisodeSampler:
             text_mask=(jnp.asarray(class_set.text_mask)
                        if class_set.text_mask is not None else None),
         )
+        if class_set.num_classes < spec.num_ways:
+            raise ValueError(
+                f"split has {class_set.num_classes} classes but episodes "
+                f"need num_ways={spec.num_ways}")
         self.num_classes = class_set.num_classes
         # Pallas DMA gather for episode assembly (fumi_tpu/ops/pallas_kernels)
         self.use_pallas_gather = use_pallas_gather

@@ -67,3 +67,42 @@ def test_cli_clip(tmp_path):
                     clip_latent_dim=16, num_ways=3)
     out = main(cfg)
     assert 0.0 <= out["test/acc"] <= 1.0
+
+
+def test_cli_inat_anim_pipeline(tmp_path):
+    """Full CLI over a faithful fake iNat-Anim directory (BERT artifact
+    path): data loading, training, eval, artifacts."""
+    import json
+    import h5py
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    C, per, D = 20, 40, 512
+    cats = [{"id": i, "name": f"species_{i}", "common_name": f"common {i}",
+             "description": f"animal {i} habitat notes"} for i in range(C)]
+    images = [{"id": i} for i in range(C * per)]
+    annotations = [{"category_id": i % C} for i in range(C * per)]
+    with open(root / "inat_anim.json", "w") as f:
+        json.dump({"categories": cats, "images": images,
+                   "annotations": annotations}, f)
+    with h5py.File(root / "image_embeddings_resnet-34.hdf5", "w") as f:
+        f.create_dataset(
+            "images", data=rng.randn(C * per, D).astype(np.float32))
+    np.save(root / "text_embeddings_bert_description.npy",
+            rng.randn(C, 32).astype(np.float32))
+
+    cfg = Config(
+        model="fumi", dataset="inat-anim", data_dir=str(root),
+        image_embedding_model="resnet-34", im_emb_dim=D,
+        text_encoder="BERT", text_emb_dim=32,
+        im_hid_dim=(32, 16), text_hid_dim=16,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=2, num_test_adapt_steps=2,
+        batch_size=4, epochs=10, eval_freq=5, patience=0,
+        num_ep_test=8, lr=1e-2, optim="adam", dropout=0.0,
+        log_dir=str(tmp_path / "logs"), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32")
+    out = main(cfg)
+    assert np.isfinite(out["test/loss"])
+    assert 0.0 <= out["test/acc"] <= 1.0
