@@ -218,16 +218,39 @@ def build_am3_family(cfg: Config, key: jax.Array,
     )
 
 
+# ---------------------------------------------------------------------------
+# Family registry
+# ---------------------------------------------------------------------------
+# The reference has no plugin system — adding a model means editing
+# main.py's dispatch and utils.init_model (SURVEY §1). Here new episodic
+# families register themselves and inherit the whole stack (chunked
+# drivers, parallel engines, harness, CLI) for free.
+
+FAMILY_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_family(name: str):
+    """Decorator: register a ``(cfg, key, dictionary) -> Family`` builder."""
+    def deco(fn):
+        FAMILY_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+register_family("maml")(lambda cfg, key, d=None: build_maml_family(cfg, key))
+register_family("fumi")(build_fumi_family)
+register_family("am3")(build_am3_family)
+
+
 def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:
     """Model factory dispatch (ref: utils.py:232-274 init_model)."""
-    if cfg.model == "maml":
-        return build_maml_family(cfg, key)
-    if cfg.model == "fumi":
-        return build_fumi_family(cfg, key, dictionary)
-    if cfg.model == "am3":
-        return build_am3_family(cfg, key, dictionary)
-    raise NotImplementedError(
-        f"model {cfg.model!r} (CLIP uses fumi_tpu.train.clip_loop)")
+    builder = FAMILY_REGISTRY.get(cfg.model)
+    if builder is None:
+        raise NotImplementedError(
+            f"model {cfg.model!r} not registered "
+            f"(have {sorted(FAMILY_REGISTRY)}; CLIP uses "
+            "fumi_tpu.train.clip_loop)")
+    return builder(cfg, key, dictionary)
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,22 @@ def test_keyboard_interrupt_safe(tmp_path, monkeypatch):
     assert params is not None
     import os
     assert os.path.exists(str(tmp_path / "run" / "ckpt"))
+
+
+def test_family_registry_extensible():
+    """New families plug into the whole stack via register_family."""
+    from fumi_tpu.train.steps import (FAMILY_REGISTRY, build_family,
+                                      build_maml_family, register_family)
+
+    @register_family("mymaml")
+    def _build(cfg, key, dictionary=None):
+        return build_maml_family(cfg, key)._replace(name="mymaml")
+
+    try:
+        cfg = small_cfg("maml").replace(model="mymaml")
+        fam = build_family(cfg, jax.random.PRNGKey(0))
+        assert fam.name == "mymaml"
+        with pytest.raises(NotImplementedError):
+            build_family(cfg.replace(model="nope"), jax.random.PRNGKey(0))
+    finally:
+        FAMILY_REGISTRY.pop("mymaml", None)
