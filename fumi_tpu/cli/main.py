@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +29,13 @@ import numpy as np
 from fumi_tpu.core.config import Config, config_from_args
 from fumi_tpu.core.episode import EpisodeSpec
 from fumi_tpu.core import mesh as mesh_lib
-from fumi_tpu.data.class_set import ClassSet
 from fumi_tpu.data.sampler import DeviceEpisodeSampler, HostEpisodeSampler
 from fumi_tpu.data.supervised import supervised_from_class_set
 from fumi_tpu.train import checkpoint as ckpt_lib
 from fumi_tpu.train import clip_loop
 from fumi_tpu.train.logging import MetricWriter
 from fumi_tpu.train.loop import test_loop, training_run
-from fumi_tpu.train.steps import make_opt, make_steps
+from fumi_tpu.train.steps import make_steps
 from fumi_tpu.train.optim import init_optim
 
 

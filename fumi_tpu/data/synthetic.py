@@ -8,7 +8,7 @@ role of the reference's hand-made ones-tensors smoke data
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Layout is NHWC (TPU-native); convs lower onto the MXU.
 from __future__ import annotations
 
 import math
-from typing import Dict, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

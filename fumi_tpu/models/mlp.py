@@ -8,7 +8,7 @@ replacement for torchmeta's MetaLinear/MetaSequential ``params=`` kwarg).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

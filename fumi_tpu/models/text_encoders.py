@@ -23,7 +23,7 @@ over flat token batches ``(M, T)`` int32; callers reshape (B, NK, T) views.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ All functions are batched over the task axis ``B`` and fully shape-static.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

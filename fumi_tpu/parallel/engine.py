@@ -24,9 +24,8 @@ import functools
 from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fumi_tpu.core.config import Config
 from fumi_tpu.core.mesh import DP_AXIS

@@ -22,11 +22,7 @@ and the multi-chip dry run at (dp, mp) = (2, 4).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,7 +17,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 

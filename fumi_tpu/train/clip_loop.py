@@ -16,9 +16,8 @@ Re-design of ref fumi/models/clip.py:43-141:
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ from fumi_tpu.data.supervised import SupervisedSet, epoch_batches
 from fumi_tpu.models.clip import CLIP
 from fumi_tpu.train import checkpoint as ckpt_lib
 from fumi_tpu.train.logging import MetricWriter
-from fumi_tpu.train.optim import init_optim
 
 NEG_INF = -1e9
 

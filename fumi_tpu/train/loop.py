@@ -31,7 +31,7 @@ one-batch-at-a-time (parity mode).
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np

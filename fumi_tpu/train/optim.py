@@ -19,8 +19,6 @@ optimizers (ref: fumi/utils/utils.py:277-299) update-for-update:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import optax
 
 

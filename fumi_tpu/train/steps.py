@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import optax
 
 from fumi_tpu.core.config import Config
-from fumi_tpu.core.episode import Episode
 from fumi_tpu.metalearn.inner_loop import (fumi_episode_loss,
                                            maml_episode_loss)
 from fumi_tpu.models import am3 as am3_mod
