@@ -190,7 +190,16 @@ def load_inat_anim(data_dir: str,
                 all_emb = np.load(art)
                 text = all_emb[cats]
             else:
-                text = precompute_bert_embeddings(desc)
+                try:
+                    text = precompute_bert_embeddings(desc)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"BERT text embeddings unavailable: no artifact at "
+                        f"{art} and live precompute failed ({e}). Run "
+                        "`python -m fumi_tpu.data.prepare bert --data_dir "
+                        f"{data_dir}` once (requires locally cached "
+                        "bert-base-uncased weights), or ship the artifact "
+                        "with the dataset.") from e
         else:
             text, text_mask = vocab.encode_padded(desc, dictionary)
 
