@@ -84,6 +84,10 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     train_spec, eval_spec = _specs(cfg, text_dim, tokens)
     if cfg.device_sampler:
         table = jnp.asarray(image_table)
+        if cfg.compute_dtype == "bfloat16":
+            # store the HBM table in bf16 (half the memory/bandwidth);
+            # episodes are cast back to fp32 at gather time
+            table = table.astype(jnp.bfloat16)
         ids = jnp.asarray(image_ids)
         # --augment: embedding-space jitter on the TRAIN support set only
         aug = 0.1 if cfg.augment else 0.0

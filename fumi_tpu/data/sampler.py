@@ -117,6 +117,12 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
         support_im = tables.image_table[s_rows]  # (B, N*K, D)
         query_im = tables.image_table[q_rows]  # (B, N*Q, D)
 
+    # tables may be stored bf16 to halve HBM + gather bandwidth; episodic
+    # math stays fp32 (params and inner-loop numerics are unaffected)
+    if support_im.dtype != jnp.float32:
+        support_im = support_im.astype(jnp.float32)
+        query_im = query_im.astype(jnp.float32)
+
     if augment_scale > 0.0:
         from fumi_tpu.ops.pallas_kernels import augment_embeddings_reference
         flat = support_im.reshape(B * N * K, -1)

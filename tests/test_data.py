@@ -233,3 +233,18 @@ def test_prefetching_sampler(synth):
         assert ep.support_im.shape == (SPEC.batch_size, SPEC.support_len,
                                        SPEC.im_dim)
     pre.close()
+
+
+def test_bf16_table_storage(synth):
+    """bf16-stored tables yield fp32 episodes (values within bf16 ulp)."""
+    cs, table, ids = synth
+    f32 = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs,
+                               SPEC)
+    bf16 = DeviceEpisodeSampler(jnp.asarray(table).astype(jnp.bfloat16),
+                                jnp.asarray(ids), cs, SPEC)
+    e32 = f32.sample(jax.random.PRNGKey(0))
+    e16 = bf16.sample(jax.random.PRNGKey(0))
+    assert e16.support_im.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(e16.support_im),
+                               np.asarray(e32.support_im),
+                               rtol=1e-2, atol=1e-2)
