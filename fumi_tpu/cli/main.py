@@ -53,13 +53,19 @@ def _load_data(cfg: Config):
                       if data.dictionary is not None else {})
         return data.splits, data.image_table, data.image_ids, dictionary
     if cfg.dataset == "synthetic":
-        from fumi_tpu.data.synthetic import synthetic_splits
+        from fumi_tpu.data.synthetic import (synthetic_dictionary,
+                                             synthetic_splits)
+        tokens = cfg.text_encoder in ("glove", "w2v", "RNN", "RNNhid")
+        kw = dict(text_tokens=True, vocab_size=128, text_len=12) \
+            if tokens else {}
         splits, table, ids = synthetic_splits(
             num_classes=32, images_per_class=64,
             im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim,
             seed=cfg.seed, raw_images=(cfg.im_encoder == "conv4"),
-            im_size=cfg.im_size, channels=cfg.im_channels)
-        return splits, table, ids, {}
+            im_size=cfg.im_size, channels=cfg.im_channels, **kw)
+        dictionary = synthetic_dictionary(128) if tokens else {}
+        return splits, table, ids, dictionary
+
     if cfg.dataset == "cub":
         from fumi_tpu.data.cub import load_cub
         splits, table, ids = load_cub(cfg.data_dir)

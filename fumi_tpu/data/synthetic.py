@@ -95,6 +95,14 @@ def synthetic_raw_image_set(num_classes: int = 10,
     return cs, image_table, image_ids
 
 
+def synthetic_dictionary(vocab_size: int = 128):
+    """Token dictionary for synthetic token-text datasets (PAD = 0)."""
+    d = {"<PAD>": 0}
+    for i in range(1, vocab_size):
+        d[f"w{i}"] = i
+    return d
+
+
 def synthetic_splits(num_classes: int = 32, images_per_class: int = 64,
                      im_dim: int = 2048, text_dim: int = 768,
                      seed: int = 0, raw_images: bool = False,
@@ -102,7 +110,9 @@ def synthetic_splits(num_classes: int = 32, images_per_class: int = 64,
     """Three disjoint 60/20/20 class splits over ONE shared image table
     (mirrors the reference's split policy shape, ref: data.py:377-386).
 
-    ``raw_images=True`` builds an NHWC raw-image table (conv4 path)."""
+    ``raw_images=True`` builds an NHWC raw-image table (conv4 path);
+    ``text_tokens=True`` builds int-token text (word-encoder paths) — pair
+    with :func:`synthetic_dictionary`."""
     if raw_images:
         cs, table, ids = synthetic_raw_image_set(
             num_classes=num_classes, images_per_class=images_per_class,
