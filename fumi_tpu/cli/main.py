@@ -227,14 +227,15 @@ def main(cfg: Config) -> dict:
     train_s, val_s, test_s = _samplers(cfg, splits, image_table, image_ids)
 
     params = steps.params
+    restored_opt_state = None
     if cfg.checkpoint:
-        params, _, _ = ckpt_lib.load_checkpoint(
+        params, restored_opt_state, _ = ckpt_lib.load_checkpoint(
             cfg.checkpoint, params, steps.opt.init(params), best=True)
         steps = steps._replace(params=params)
 
     if not cfg.evaluate:
         params = training_run(cfg, steps, train_s, val_s, writer, run_dir,
-                              k_train)
+                              k_train, opt_state=restored_opt_state)
 
     test_m = test_loop(cfg, steps, params, test_s, cfg.max_test_batches,
                        k_test, collect_artifacts=True)

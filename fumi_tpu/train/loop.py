@@ -126,14 +126,19 @@ def _flatten_artifacts(ms: Dict) -> Dict:
 
 def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  writer: MetricWriter, run_dir: str,
-                 rng: jax.Array):
-    """Train loop for the episodic families. Returns final params."""
+                 rng: jax.Array, opt_state=None):
+    """Train loop for the episodic families. Returns final params.
+
+    ``opt_state`` (optional) continues from a restored optimizer state —
+    the reference restores it on ``--checkpoint`` resume
+    (ref: utils.py:433-435)."""
     is_am3 = cfg.model == "am3"
     eval_at_zero = is_am3  # ref: am3.py:260 vs maml.py:70 / fumi.py:257
     reload_best = cfg.model in ("am3", "fumi")  # ref: maml.py:107 no reload
 
     params = steps.params
-    opt_state = steps.opt.init(params)
+    if opt_state is None:
+        opt_state = steps.opt.init(params)
     max_test_batches = cfg.max_test_batches // 2  # ref: main.py:82,85,95
 
     k_init, k_train, k_val = jax.random.split(rng, 3)

@@ -106,3 +106,17 @@ def test_cli_inat_anim_pipeline(tmp_path):
     out = main(cfg)
     assert np.isfinite(out["test/loss"])
     assert 0.0 <= out["test/acc"] <= 1.0
+
+
+def test_cli_resume_continues_optimizer(tmp_path):
+    """--checkpoint resume restores the optimizer state (the reference
+    restores it, utils.py:433-435), not just params."""
+    cfg = small_cfg(tmp_path, "maml", epochs=10, eval_freq=5)
+    main(cfg)
+    run_dirs = glob.glob(os.path.join(str(tmp_path), "runs", "*"))
+    best = [d for d in run_dirs if os.path.exists(os.path.join(d, "best"))]
+    assert best
+    # resumed run must execute without error and produce finite metrics
+    out = main(cfg.replace(checkpoint=best[0], epochs=5, eval_freq=3,
+                           log_dir=str(tmp_path / "resumed")))
+    assert np.isfinite(out["test/loss"])
