@@ -49,6 +49,27 @@ CHUNK = 500  # train steps per device dispatch (amortizes the
              # ~27 ms per-dispatch RPC cost of tunneled TPUs)
 ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
+# Chunked-eval function cache: test_loop runs at every eval boundary, and a
+# freshly-built jitted closure would recompile each time (jit caches on
+# function identity). Keyed by the identities of the family/sampler/mesh,
+# which outlive the training run.
+_EVAL_FN_CACHE = {}
+
+
+def _chunked_eval_fn(cfg, steps, sampler, collect):
+    key = (id(steps.family), id(sampler), bool(collect),
+           id(steps.mesh) if steps.mesh is not None else None)
+    fn = _EVAL_FN_CACHE.get(key)
+    if fn is None:
+        if steps.mesh is not None:
+            from fumi_tpu.parallel.engine import make_parallel_chunked_eval
+            fn = make_parallel_chunked_eval(cfg, steps.family, sampler,
+                                            steps.mesh, collect=collect)
+        else:
+            fn = make_chunked_eval(steps.family, sampler, collect=collect)
+        _EVAL_FN_CACHE[key] = fn
+    return fn
+
 
 def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
               max_num_batches: int, rng: jax.Array,
@@ -61,14 +82,7 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
     total = max_num_batches + 1
     if isinstance(sampler, DeviceEpisodeSampler) and \
             steps.family is not None:
-        if steps.mesh is not None:
-            from fumi_tpu.parallel.engine import make_parallel_chunked_eval
-            run = make_parallel_chunked_eval(cfg, steps.family, sampler,
-                                             steps.mesh,
-                                             collect=collect_artifacts)
-        else:
-            run = make_chunked_eval(steps.family, sampler,
-                                    collect=collect_artifacts)
+        run = _chunked_eval_fn(cfg, steps, sampler, collect_artifacts)
         _, ms = run(params, rng, total)
         ms = {k: np.asarray(v) for k, v in ms.items()}
         out = {k: float(v.mean()) for k, v in ms.items()
