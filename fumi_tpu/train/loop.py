@@ -56,6 +56,12 @@ ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 _EVAL_FN_CACHE = {}
 
 
+# module-level jitted sampler for the per-batch path (a fresh jax.jit
+# wrapper per call would re-trace every batch); tables as args, spec static
+from fumi_tpu.data.sampler import sample_episode as _sample_episode
+_jitted_sample = jax.jit(_sample_episode, static_argnums=(1,))
+
+
 def _chunked_eval_fn(cfg, steps, sampler, collect):
     key = (id(steps.family), id(sampler), bool(collect),
            id(steps.mesh) if steps.mesh is not None else None)
@@ -98,10 +104,7 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
         key = jax.random.fold_in(rng, batch_idx)
         k_ep, k_step = jax.random.split(key)
         if isinstance(sampler, DeviceEpisodeSampler):
-            # tables as jit args, never closed over (see SamplerTables)
-            from fumi_tpu.data.sampler import sample_episode
-            episode = jax.jit(sample_episode, static_argnums=1)(
-                sampler.tables, sampler.spec, k_ep)
+            episode = _jitted_sample(sampler.tables, sampler.spec, k_ep)
         else:
             episode = sampler.sample()
         m = steps.eval_step(params, episode, k_step)
