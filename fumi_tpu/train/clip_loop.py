@@ -138,16 +138,20 @@ def evaluate(cfg: Config, model: CLIP, params,
              data: Tuple[SupervisedSet, np.ndarray]) -> float:
     """Sliding-window retrieval accuracy (ref: clip.py:43-74).
 
-    Windows are formed per shuffle-free epoch pass with the reference's
-    stride/termination (``while shot_i + n_ways < batch_size``); all windows
-    are scored in one vmapped call.
+    Windows use the reference's stride/termination
+    (``while shot_i + n_ways < batch_size``) over a SHUFFLED pass — the
+    reference's val/test DataLoaders shuffle (ref: data.py:64-68), which is
+    what mixes classes within each n_ways-image window; an ordered pass
+    would make windows single-class and the retrieval task degenerate.
+    Here the shuffle is seeded for a deterministic eval. All windows are
+    scored in one vmapped call.
     """
     ds, image_table = data
     n_ways = cfg.num_ways
     texts, windows = [], []
-    rng = np.random.RandomState(0)  # unshuffled: order by construction
+    rng = np.random.RandomState(0)  # deterministic eval shuffle
     for image, text, ids, valid_n in epoch_batches(
-            ds, image_table, cfg.batch_size, rng, shuffle=False):
+            ds, image_table, cfg.batch_size, rng, shuffle=True):
         shot_i = 0
         while shot_i + n_ways < valid_n:
             texts.append(text[shot_i])
