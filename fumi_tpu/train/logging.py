@@ -37,6 +37,7 @@ class MetricWriter:
         self._jsonl = open(
             os.path.join(log_dir, f"{self.run_name}.metrics.jsonl"), "a")
         self.summary: Dict[str, float] = {}
+        self._since_flush = 0
 
     @property
     def run_dir(self) -> str:
@@ -53,12 +54,21 @@ class MetricWriter:
         if step is not None:
             rec["_step"] = step
         self._jsonl.write(json.dumps(rec) + "\n")
-        self._jsonl.flush()
+        # flush in batches: per-step training logs arrive 500 at a time
+        self._since_flush += 1
+        if self._since_flush >= 100:
+            self._jsonl.flush()
+            self._since_flush = 0
         self.summary.update(scalars)
+
+    def flush(self) -> None:
+        self._jsonl.flush()
+        self._since_flush = 0
 
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+        self._jsonl.flush()
         self._jsonl.close()
 
 
