@@ -1,0 +1,118 @@
+"""Serving-path tests: adapt-once/classify-many must agree with the
+training engines' episode evaluation, and work from a checkpoint."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.core.episode import Episode
+from fumi_tpu.metalearn import fumi_episode_loss, maml_episode_loss
+from fumi_tpu.serve import FewShotClassifier
+from fumi_tpu.train.steps import make_steps
+
+N, K, Q, D, E = 3, 2, 5, 16, 8
+
+
+def base_cfg(model, **kw):
+    d = dict(model=model, dataset="synthetic", im_emb_dim=D, text_emb_dim=E,
+             im_hid_dim=(8, 4), prototype_dim=8, text_hid_dim=8,
+             num_ways=N, num_shots=K, num_shots_test=Q,
+             num_train_adapt_steps=2, num_test_adapt_steps=4,
+             batch_size=1, dropout=0.0, text_encoder="precomputed",
+             step_size=0.1, prng_impl="threefry2x32", seed=0)
+    d.update(kw)
+    return Config(**d)
+
+
+def episode_data(rng):
+    s_im = rng.randn(N * K, D).astype(np.float32)
+    s_tx = rng.randn(N * K, E).astype(np.float32)
+    s_y = np.repeat(np.arange(N), K).astype(np.int32)
+    q_im = rng.randn(N * Q, D).astype(np.float32)
+    return s_im, s_tx, s_y, q_im
+
+
+def as_episode(s_im, s_tx, s_y, q_im):
+    return Episode(
+        support_im=jnp.asarray(s_im)[None],
+        support_text=jnp.asarray(s_tx)[None],
+        support_text_mask=None,
+        support_ids=jnp.zeros((1, N * K), jnp.int32),
+        support_y=jnp.asarray(s_y)[None],
+        query_im=jnp.asarray(q_im)[None],
+        query_ids=jnp.zeros((1, N * Q), jnp.int32),
+        query_y=jnp.zeros((1, N * Q), jnp.int32),
+    )
+
+
+def test_maml_serving_matches_engine(rng_np):
+    cfg = base_cfg("maml")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, support_y=s_y)
+    labels = np.asarray(clf.classify(q_im))
+
+    from fumi_tpu.models import mlp
+    _, aux = maml_episode_loss(
+        mlp.apply, clf.params, as_episode(s_im, s_tx, s_y, q_im),
+        n_steps=cfg.num_test_adapt_steps, step_size=cfg.step_size,
+        first_order=True)
+    np.testing.assert_array_equal(labels, np.asarray(aux["preds"][0]))
+
+    probs = np.asarray(clf.classify(q_im, return_probs=True))
+    assert probs.shape == (N * Q, N)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_fumi_serving_matches_engine(rng_np):
+    cfg = base_cfg("fumi")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    rng = jax.random.PRNGKey(3)
+    clf.adapt(s_im, s_tx, s_y, rng=rng)
+    labels = np.asarray(clf.classify(q_im))
+    assert labels.shape == (N * Q,)
+    assert set(labels.tolist()) <= set(range(N))
+    # adapted-state classification is deterministic
+    labels2 = np.asarray(clf.classify(q_im))
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_am3_serving_matches_engine(rng_np):
+    cfg = base_cfg("am3")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, s_tx, s_y)
+    labels = np.asarray(clf.classify(q_im))
+
+    # must equal prototype classification through the training-side ops
+    model = clf.family.model
+    im_e, tx_e, lam = model.forward(clf.params, jnp.asarray(s_tx)[None],
+                                    jnp.asarray(s_im)[None],
+                                    rng=jax.random.PRNGKey(0), train=False)
+    from fumi_tpu.ops import fewshot
+    protos = fewshot.get_prototypes(im_e, tx_e, lam,
+                                    jnp.asarray(s_y)[None], N)
+    q_emb = model.encode_image(clf.params, jnp.asarray(q_im)[None])
+    want = np.asarray(fewshot.predict_classes(protos, q_emb)[0])
+    np.testing.assert_array_equal(labels, want)
+
+
+def test_serving_from_checkpoint(tmp_path, rng_np):
+    cfg = base_cfg("maml")
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    from fumi_tpu.train import checkpoint as ckpt_lib
+    ckpt_lib.save_checkpoint(str(tmp_path), steps.params,
+                             steps.opt.init(steps.params), 0, 1.0, True)
+    clf = FewShotClassifier.from_checkpoint(str(tmp_path), cfg)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, support_y=s_y)
+    assert np.asarray(clf.classify(q_im)).shape == (N * Q,)
+
+
+def test_classify_before_adapt_errors():
+    clf = FewShotClassifier(base_cfg("maml"), None)
+    with pytest.raises(RuntimeError):
+        clf.classify(np.zeros((2, D), np.float32))
