@@ -20,3 +20,11 @@ __version__ = "0.1.0"
 
 from fumi_tpu.core.config import Config  # noqa: F401
 from fumi_tpu.core.episode import Episode  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: serve pulls in the model stack
+    if name == "FewShotClassifier":
+        from fumi_tpu.serve import FewShotClassifier
+        return FewShotClassifier
+    raise AttributeError(name)
