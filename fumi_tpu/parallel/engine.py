@@ -143,6 +143,10 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
     local_spec = dataclasses.replace(sampler.spec,
                                      batch_size=cfg.batch_size // dp)
     rep = P()
+    # place tables replicated on the mesh ONCE — passing single-device
+    # tables would re-broadcast them across chips on every dispatch
+    from jax.sharding import NamedSharding
+    tables_rep = jax.device_put(sampler.tables, NamedSharding(mesh, P()))
 
     def _shard(params, opt_state, key, tables, n_steps):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
@@ -177,8 +181,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
         return fn(params, opt_state, key, tables)
 
     def wrapper(params, opt_state, key, n=chunk):
-        params, opt_state, ms = run(params, opt_state, key, sampler.tables,
-                                    n)
+        params, opt_state, ms = run(params, opt_state, key, tables_rep, n)
         # advance the host-side key chain deterministically
         next_key = jax.random.fold_in(key, n)
         return params, opt_state, next_key, ms
@@ -203,6 +206,8 @@ def make_parallel_chunked_eval(cfg: Config, family: Family, sampler,
     local_spec = dataclasses.replace(sampler.spec,
                                      batch_size=cfg.batch_size // dp)
     rep = P()
+    from jax.sharding import NamedSharding
+    tables_rep = jax.device_put(sampler.tables, NamedSharding(mesh, P()))
 
     def _shard(params, key, tables, n_steps):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
@@ -238,7 +243,7 @@ def make_parallel_chunked_eval(cfg: Config, family: Family, sampler,
         return fn(params, key, tables)
 
     def run(params, key, n):
-        ms = run_jit(params, key, sampler.tables, n)
+        ms = run_jit(params, key, tables_rep, n)
         return key, ms
 
     return run
