@@ -84,7 +84,7 @@ def make_parallel_steps(cfg: Config, key: jax.Array, mesh: Mesh,
         aux = _reduce_raw(aux, family.eval_reduce)
         updates, opt_state = opt.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
-        m = _train_metrics(family, loss, aux, episode)
+        m = _train_metrics(family, loss, aux, episode, grads)
         return p, opt_state, m
 
     def _eval_shard(p, episode, rng):
@@ -162,7 +162,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
             aux = _reduce_raw(aux, family.eval_reduce)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            m = _train_metrics(family, loss, aux, episode)
+            m = _train_metrics(family, loss, aux, episode, grads)
             m = {k2: v for k2, v in m.items()
                  if getattr(v, "ndim", 1) == 0}
             return (p, s, k), m

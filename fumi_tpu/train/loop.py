@@ -44,7 +44,8 @@ from fumi_tpu.train.steps import (FamilySteps, fuse_sampler,
                                   make_chunked_eval, make_chunked_train)
 from fumi_tpu.utils.profiling import Throughput
 
-AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda")
+AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda",
+                  "grad_norm")
 CHUNK = 500  # train steps per device dispatch (amortizes the
              # ~27 ms per-dispatch RPC cost of tunneled TPUs)
 ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
@@ -264,7 +265,7 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
 
 def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
                is_am3: bool) -> None:
-    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc")
+    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc", "grad_norm")
     rec = {f"train/{k}": float(m[k]) for k in keys if k in m}
     rec["num_episodes"] = (batch_idx + 1) * cfg.batch_size
     writer.log(rec, step=batch_idx)
@@ -273,7 +274,7 @@ def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
 def _log_train_stack(writer: MetricWriter, cfg: Config, start_idx: int,
                      ms: Dict, is_am3: bool) -> None:
     """Per-step logs from a chunk's stacked metrics (one device sync)."""
-    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc")
+    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc", "grad_norm")
     stacked = {k: np.asarray(ms[k]) for k in keys if k in ms}
     n = len(next(iter(stacked.values())))
     for j in range(n):

@@ -276,7 +276,7 @@ def steps_from_family(family: Family, opt: optax.GradientTransformation,
             family.train_loss, has_aux=True)(p, episode, rng)
         updates, opt_state = opt.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
-        m = _train_metrics(family, loss, aux, episode)
+        m = _train_metrics(family, loss, aux, episode, grads)
         return p, opt_state, m
 
     @jax.jit
@@ -288,16 +288,22 @@ def steps_from_family(family: Family, opt: optax.GradientTransformation,
                        eval_step=eval_step, family=family)
 
 
-def _train_metrics(family: Family, loss, aux, episode) -> Dict:
+def _train_metrics(family: Family, loss, aux, episode,
+                   grads=None) -> Dict:
     """Per-train-step metric dict matching the reference's logs
-    (ref: am3.py:247-257, maml.py:61-67, fumi.py:248-254)."""
+    (ref: am3.py:247-257, maml.py:61-67, fumi.py:248-254), plus the global
+    gradient norm when grads are supplied — the observability role of the
+    reference's ``wandb.watch(model, log="all")`` (ref: utils.py:272)."""
+    extra = {}
+    if grads is not None:
+        extra["grad_norm"] = optax.global_norm(grads)
     if family.name == "am3":
         conf = aux["conf"]
         prec, rec, f1 = metrics_ops.macro_prf1(conf)
         acc = jnp.diagonal(conf).sum() / jnp.maximum(conf.sum(), 1.0)
         return {"loss": loss, "acc": acc, "prec": prec, "rec": rec,
-                "f1": f1, "avg_lamda": aux["avg_lamda"]}
-    return {"loss": loss, "acc": aux["acc"]}
+                "f1": f1, "avg_lamda": aux["avg_lamda"], **extra}
+    return {"loss": loss, "acc": aux["acc"], **extra}
 
 
 def make_steps(cfg: Config, key: jax.Array, dictionary=None) -> FamilySteps:
@@ -357,7 +363,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
                 family.train_loss, has_aux=True)(p, episode, k_step)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            m = _train_metrics(family, loss, aux, episode)
+            m = _train_metrics(family, loss, aux, episode, grads)
             return (p, s, k), m
 
         (params, opt_state, key), ms = jax.lax.scan(
