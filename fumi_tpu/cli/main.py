@@ -234,8 +234,11 @@ def main(cfg: Config) -> dict:
         steps = steps._replace(params=params)
 
     if not cfg.evaluate:
-        params = training_run(cfg, steps, train_s, val_s, writer, run_dir,
-                              k_train, opt_state=restored_opt_state)
+        from fumi_tpu.utils.profiling import profile_trace
+        with profile_trace(cfg.profile_dir):
+            params = training_run(cfg, steps, train_s, val_s, writer,
+                                  run_dir, k_train,
+                                  opt_state=restored_opt_state)
 
     test_m = test_loop(cfg, steps, params, test_s, cfg.max_test_batches,
                        k_test, collect_artifacts=True)
