@@ -225,7 +225,16 @@ def main():
         print(json.dumps(side))
         return
 
-    value = bench_tpu(args.steps)
+    # the tunneled TPU runtime occasionally stalls or throws transient
+    # INTERNAL errors (see docs/PERFORMANCE.md platform caveats); one retry
+    # keeps unattended driver runs from recording nothing
+    try:
+        value = bench_tpu(args.steps)
+    except Exception as e:
+        print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        time.sleep(60)
+        value = bench_tpu(args.steps)
     baseline = get_baseline(args.refresh_baseline)
     print(json.dumps({
         "metric": "fumi_5way5shot_train_episodes_per_sec",
