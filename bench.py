@@ -49,6 +49,8 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     """episodes/sec of the chunked (scan) fused sample+train driver — the
     production training path (fumi_tpu/train/loop.py)."""
     import jax
+    from fumi_tpu.core.runtime import setup_cache
+    setup_cache()
     jax.config.update("jax_default_prng_impl", "rbg")  # threefry costs
     # ~0.1 ms/step on TPU; rbg is hardware-speed
     import jax.numpy as jnp

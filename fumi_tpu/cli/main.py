@@ -159,6 +159,8 @@ def main(cfg: Config) -> dict:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    from fumi_tpu.core.runtime import setup_cache
+    setup_cache()
 
     writer = MetricWriter(
         results_path, use_wandb=not cfg.wandb_offline,
