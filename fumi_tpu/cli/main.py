@@ -172,6 +172,12 @@ def main(cfg: Config) -> dict:
     splits, image_table, image_ids, dictionary = _load_data(cfg)
     run_dir = os.path.join(cfg.log_dir, "runs", writer.run_name)
     os.makedirs(run_dir, exist_ok=True)
+    # record the full config with the run (the reference uploads it to
+    # wandb, main.py:32, and pickles args into checkpoints)
+    import dataclasses as _dc
+    import json as _json
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        _json.dump(_dc.asdict(cfg), f, indent=1, default=str)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_train, k_test = jax.random.split(key, 3)

@@ -122,9 +122,11 @@ def training_run(cfg: Config, model: CLIP, params, opt,
         if is_best:
             best_acc = val_acc
             best_epoch = epoch
+        import dataclasses as _dc
         ckpt_lib.save_checkpoint(run_dir, params, opt_state, epoch,
                                  best_acc, is_best,
-                                 extra_meta={"model": "clip"})
+                                 extra_meta={"model": "clip",
+                                             "args": _dc.asdict(cfg)})
         if cfg.patience > 0 and epoch - best_epoch > cfg.patience:
             break
 

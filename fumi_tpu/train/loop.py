@@ -242,9 +242,12 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                 rec = {f"val/{k}": v for k, v in val_m.items()}
                 rec["episodes_per_sec"] = eps_rate
                 writer.log(rec, step=batch_idx)
+                import dataclasses as _dc
                 ckpt_lib.save_checkpoint(
                     run_dir, params, opt_state, batch_idx, best_loss,
-                    is_best, extra_meta={"model": cfg.model})
+                    is_best,
+                    extra_meta={"model": cfg.model,
+                                "args": _dc.asdict(cfg)})
                 print(f"\nBatch {batch_idx + 1}/{cfg.epochs}: "
                       f"val/loss: {val_m['loss']}, val/acc: {val_m['acc']}")
 
