@@ -187,6 +187,11 @@ def main(cfg: Config) -> dict:
         if cfg.dataset not in ("supervised-inat-anim", "synthetic"):
             raise NotImplementedError(
                 "CLIP requires --dataset supervised-inat-anim")
+        if cfg.dataset == "supervised-inat-anim" and \
+                cfg.text_encoder != "BERT":
+            # ref: data.py:61-62 — the supervised path is BERT-only
+            raise NotImplementedError(
+                "supervised-inat-anim supports only --text_encoder BERT")
         model, params = clip_loop.make_clip(cfg, k_model)
         opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
         data = {s: (supervised_from_class_set(splits[s]), image_table)

@@ -120,3 +120,40 @@ def test_cli_resume_continues_optimizer(tmp_path):
     out = main(cfg.replace(checkpoint=best[0], epochs=5, eval_freq=3,
                            log_dir=str(tmp_path / "resumed")))
     assert np.isfinite(out["test/loss"])
+
+
+def test_cli_clip_supervised_inat(tmp_path):
+    """CLIP over the supervised-inat-anim path with a fake dataset dir."""
+    import json
+    import h5py
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    C, per, D = 20, 20, 512
+    cats = [{"id": i, "name": f"sp_{i}", "common_name": f"cn {i}",
+             "description": f"desc {i}"} for i in range(C)]
+    images = [{"id": i} for i in range(C * per)]
+    annotations = [{"category_id": i % C} for i in range(C * per)]
+    with open(root / "inat_anim.json", "w") as f:
+        json.dump({"categories": cats, "images": images,
+                   "annotations": annotations}, f)
+    with h5py.File(root / "image_embeddings_resnet-34.hdf5", "w") as f:
+        f.create_dataset("images",
+                         data=rng.randn(C * per, D).astype(np.float32))
+    np.save(root / "text_embeddings_bert_description.npy",
+            rng.randn(C, 32).astype(np.float32))
+
+    cfg = Config(model="clip", dataset="supervised-inat-anim",
+                 data_dir=str(root), image_embedding_model="resnet-34",
+                 im_emb_dim=D, text_encoder="BERT", text_emb_dim=32,
+                 clip_latent_dim=16, batch_size=16, epochs=2, num_ways=3,
+                 patience=0, lr=1e-3, optim="adam",
+                 log_dir=str(tmp_path / "logs"), wandb_offline=True,
+                 prng_impl="threefry2x32", seed=0)
+    out = main(cfg)
+    assert 0.0 <= out["test/acc"] <= 1.0
+
+    # ref parity: supervised path is BERT-only (data.py:61-62)
+    with pytest.raises(NotImplementedError):
+        main(cfg.replace(text_encoder="glove"))
