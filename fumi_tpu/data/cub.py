@@ -15,6 +15,12 @@ Conversion from the raw CUB_200_2011 release is a one-off offline step
 (images → frozen-encoder embeddings), mirroring how iNat-Anim ships
 precomputed resnet embeddings. Text features are zeros (the reference's CUB
 path is image-only too).
+
+Documented deviation: the reference's CUB helper sizes val/test query sets
+as ``int(100 / num_shots)`` (ref: data.py:204,211) — almost certainly a bug
+(every other path uses ``int(100 / num_ways)``, ref: data.py:165,182). This
+framework applies the standard ``int(100 / num_ways)`` eval protocol to CUB
+as well.
 """
 
 from __future__ import annotations
