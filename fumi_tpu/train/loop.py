@@ -46,8 +46,8 @@ from fumi_tpu.utils.profiling import Throughput
 
 AM3_TRAIN_KEYS = ("loss", "acc", "f1", "prec", "rec", "avg_lamda",
                   "grad_norm")
-CHUNK = 500  # train steps per device dispatch (amortizes the
-             # ~27 ms per-dispatch RPC cost of tunneled TPUs)
+CHUNK = 1000  # train steps per device dispatch (amortizes the
+              # ~27 ms per-dispatch RPC cost of tunneled TPUs to ~3%)
 ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
 # Chunked-eval function cache: test_loop runs at every eval boundary, and a
