@@ -248,3 +248,43 @@ def test_bf16_table_storage(synth):
     np.testing.assert_allclose(np.asarray(e16.support_im),
                                np.asarray(e32.support_im),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_device_host_sampler_distribution_match(synth):
+    """Device (Gumbel-top-k) and host (reference-policy) samplers draw from
+    the same distribution: class marginals and within-class position
+    marginals agree within multinomial noise."""
+    cs, table, ids = synth
+    spec = EpisodeSpec(batch_size=8, num_ways=4, num_shots=2, num_query=3,
+                       im_dim=64, text_dim=32)
+    dev = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs,
+                               spec)
+    host = HostEpisodeSampler(table, ids, cs, spec, seed=7,
+                              backend="numpy")
+
+    draws = 150
+    from fumi_tpu.data.sampler import sample_episode
+
+    @jax.jit
+    def dev_ids(key):
+        def body(k, _):
+            k, ks = jax.random.split(k)
+            ep = sample_episode(dev.tables, spec, ks)
+            return k, ep.support_ids
+        return jax.lax.scan(body, key, None, length=draws)[1]
+
+    d_ids = np.asarray(dev_ids(jax.random.PRNGKey(0))).reshape(-1)
+    h_ids = np.concatenate([
+        np.asarray(host.sample().support_ids).reshape(-1)
+        for _ in range(draws)])
+
+    # class marginals (synthetic: id // images_per_class)
+    per = 20
+    d_cls = np.bincount(d_ids // per, minlength=cs.num_classes) / len(d_ids)
+    h_cls = np.bincount(h_ids // per, minlength=cs.num_classes) / len(h_ids)
+    np.testing.assert_allclose(d_cls, h_cls, atol=0.02)
+    # within-class position marginals are uniform for both
+    d_pos = np.bincount(d_ids % per, minlength=per) / len(d_ids)
+    h_pos = np.bincount(h_ids % per, minlength=per) / len(h_ids)
+    np.testing.assert_allclose(d_pos, 1.0 / per, atol=0.02)
+    np.testing.assert_allclose(h_pos, 1.0 / per, atol=0.02)
