@@ -85,3 +85,19 @@ def test_config_hashable_and_replace():
     cfg2 = cfg.replace(num_ways=3)
     assert cfg2.num_ways == 3 and cfg.num_ways == 5
     assert hash(cfg2) != hash(cfg)
+
+
+def test_tpu_extension_flags():
+    cfg = config_from_args([
+        "--tpu_prng_impl", "threefry2x32", "--tpu_mesh_dp", "2",
+        "--tpu_host_sampler", "--tpu_pallas_gather",
+        "--tpu_compute_dtype", "bfloat16", "--tpu_im_size", "32",
+        "--tpu_debug_nans",
+    ])
+    assert cfg.prng_impl == "threefry2x32"
+    assert cfg.mesh_dp == 2
+    assert not cfg.device_sampler
+    assert cfg.pallas_gather
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.im_size == 32
+    assert cfg.debug_nans

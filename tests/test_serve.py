@@ -116,3 +116,12 @@ def test_classify_before_adapt_errors():
     clf = FewShotClassifier(base_cfg("maml"), None)
     with pytest.raises(RuntimeError):
         clf.classify(np.zeros((2, D), np.float32))
+
+
+def test_serve_clip_not_implemented():
+    cfg = base_cfg("maml").replace(model="clip")
+    clf = FewShotClassifier.__new__(FewShotClassifier)  # skip build_family
+    clf.cfg = cfg
+    with pytest.raises(NotImplementedError):
+        FewShotClassifier.adapt(clf, np.zeros((2, D), np.float32),
+                                support_y=np.zeros(2, np.int32))
