@@ -125,3 +125,29 @@ def test_first_vs_second_order_differ():
     diff = max(float(jnp.max(jnp.abs(a["w"] - b["w"])))
                for a, b in zip(g2, g1))
     assert diff > 1e-6
+
+
+def test_partial_unroll_numerics_identical():
+    """unroll>1 on long horizons must not change trajectories."""
+    from fumi_tpu.metalearn import inner_loop as il
+
+    rng = np.random.RandomState(7)
+    s_im, s_y, q_im, q_y = make_episode(rng)
+    episode = to_episode(s_im, s_y, q_im, q_y)
+    params = mlp.init(jax.random.PRNGKey(0), D, N, (H,))
+
+    # n_steps=12 -> unroll 4 by policy; compare against forced unroll 1
+    loss_u, aux_u = il.maml_episode_loss(
+        mlp.apply, params, episode, n_steps=12, step_size=LR,
+        first_order=False)
+    orig = il._unroll
+    il._unroll = lambda n: 1
+    try:
+        loss_1, aux_1 = il.maml_episode_loss(
+            mlp.apply, params, episode, n_steps=12, step_size=LR,
+            first_order=False)
+    finally:
+        il._unroll = orig
+    assert abs(float(loss_u) - float(loss_1)) < 1e-6
+    np.testing.assert_array_equal(np.asarray(aux_u["preds"]),
+                                  np.asarray(aux_1["preds"]))
