@@ -50,10 +50,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_episode_leaf_spec() -> P:
-    return P(DP_AXIS)
-
-
 def put_replicated(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = replicated(mesh)

@@ -265,8 +265,7 @@ def make_opt(cfg: Config) -> optax.GradientTransformation:
                       schedule_active=(cfg.model == "am3"))
 
 
-def steps_from_family(family: Family, opt: optax.GradientTransformation,
-                      train_metrics_fn: Optional[Callable] = None
+def steps_from_family(family: Family, opt: optax.GradientTransformation
                       ) -> FamilySteps:
     """Wrap a Family into single-device jitted train/eval steps."""
 
