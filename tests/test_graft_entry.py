@@ -1,0 +1,42 @@
+"""Driver-contract tests for __graft_entry__: the single-chip compile check
+and the self-provisioning multi-chip dryrun.
+
+The dryrun must succeed even when the calling process has too few JAX
+devices (the driver runs it on a 1-chip TPU platform): in that case it
+re-execs itself in a subprocess on a virtual CPU mesh
+(``JAX_PLATFORMS=cpu`` + ``--xla_force_host_platform_device_count``).
+"""
+
+import sys
+
+import jax
+import pytest
+
+
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import (  # noqa: E402
+    _dryrun_multichip_subprocess,
+    dryrun_multichip,
+    entry,
+)
+
+
+def test_entry_jits_and_is_finite():
+    fn, args = entry()
+    loss, acc = jax.jit(fn)(*args)
+    assert float(loss) > 0 and 0.0 <= float(acc) <= 1.0
+
+
+def test_dryrun_local_on_virtual_mesh():
+    # conftest provisions 8 CPU devices, so this exercises the local path.
+    dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_self_provisions_when_short_on_devices(capfd):
+    # More devices than this process has → must take the subprocess path
+    # and still succeed (fresh process, its own virtual mesh).
+    assert len(jax.devices()) < 16
+    _dryrun_multichip_subprocess(16)
+    out = capfd.readouterr().out
+    assert "dryrun_multichip(16)" in out and "chunked OK" in out
