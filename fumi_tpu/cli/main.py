@@ -51,6 +51,16 @@ def _load_data(cfg: Config):
             image_embedding_model=cfg.image_embedding_model)
         dictionary = (data.dictionary.token2id
                       if data.dictionary is not None else {})
+        if cfg.dataset == "inat-anim" and \
+                cfg.text_encoder in ("glove", "w2v", "RNN", "RNNhid"):
+            # attach the pretrained-vector artifact (actionable error if
+            # missing — the reference trains these encoders on real gensim
+            # vectors, never random init; ref: common.py:164-196)
+            from fumi_tpu.data.vectors import (Vocabulary,
+                                               vectors_for_encoder)
+            dictionary = Vocabulary(
+                dictionary,
+                vectors_for_encoder(cfg.text_encoder, cfg.data_dir))
         return data.splits, data.image_table, data.image_ids, dictionary
     if cfg.dataset == "synthetic":
         from fumi_tpu.data.synthetic import (synthetic_dictionary,
@@ -197,16 +207,12 @@ def main(cfg: Config) -> dict:
         data = {s: (supervised_from_class_set(splits[s]), image_table)
                 for s in ("train", "val", "test")}
         if cfg.checkpoint:
+            ckpt_dir = ckpt_lib.resolve_checkpoint(cfg.checkpoint, cfg.model)
             params, _, _ = ckpt_lib.load_checkpoint(
-                cfg.checkpoint, params, opt.init(params), best=True)
+                ckpt_dir, params, opt.init(params), best=True)
         clip_mesh = None
-        if len(jax.devices()) > 1 and cfg.batch_size % max(
-                1, min(len(jax.devices()), cfg.batch_size)) == 0:
-            dp = 1
-            for d in range(min(len(jax.devices()), cfg.batch_size), 0, -1):
-                if cfg.batch_size % d == 0:
-                    dp = d
-                    break
+        if len(jax.devices()) > 1:
+            dp = mesh_lib.auto_dp(cfg.batch_size)
             if dp > 1:
                 clip_mesh = mesh_lib.make_mesh(dp, 1)
         if not cfg.evaluate:
@@ -227,11 +233,7 @@ def main(cfg: Config) -> dict:
     dp = cfg.mesh_dp
     if dp == 0 and n_dev > 1:
         # auto: the largest dp that divides the meta-batch and fits devices
-        dp = 1
-        for d in range(min(n_dev, cfg.batch_size), 0, -1):
-            if cfg.batch_size % d == 0:
-                dp = d
-                break
+        dp = mesh_lib.auto_dp(cfg.batch_size, n_dev)
     if dp > 1:
         from fumi_tpu.parallel import make_parallel_steps
         mesh = mesh_lib.make_mesh(dp, cfg.mesh_mp)
@@ -242,16 +244,24 @@ def main(cfg: Config) -> dict:
     params = steps.params
     restored_opt_state = None
     if cfg.checkpoint:
+        ckpt_dir = ckpt_lib.resolve_checkpoint(cfg.checkpoint, cfg.model)
         params, restored_opt_state, _ = ckpt_lib.load_checkpoint(
-            cfg.checkpoint, params, steps.opt.init(params), best=True)
+            ckpt_dir, params, steps.opt.init(params), best=True)
         steps = steps._replace(params=params)
 
-    if not cfg.evaluate:
-        from fumi_tpu.utils.profiling import profile_trace
-        with profile_trace(cfg.profile_dir):
-            params = training_run(cfg, steps, train_s, val_s, writer,
-                                  run_dir, k_train,
-                                  opt_state=restored_opt_state)
+    try:
+        if not cfg.evaluate:
+            from fumi_tpu.utils.profiling import profile_trace
+            with profile_trace(cfg.profile_dir):
+                params = training_run(cfg, steps, train_s, val_s, writer,
+                                      run_dir, k_train,
+                                      opt_state=restored_opt_state)
+    finally:
+        # stop the --num_workers prefetch thread (otherwise it keeps
+        # drawing episodes until interpreter exit)
+        close = getattr(train_s, "close", None)
+        if close is not None:
+            close()
 
     test_m = test_loop(cfg, steps, params, test_s, cfg.max_test_batches,
                        k_test, collect_artifacts=True)

@@ -28,6 +28,22 @@ DP_AXIS = "dp"
 MP_AXIS = "mp"
 
 
+def largest_divisor_leq(m: int, cap: int) -> int:
+    """Largest d ≤ cap with m % d == 0 (≥ 1)."""
+    for d in range(min(cap, m), 0, -1):
+        if m % d == 0:
+            return d
+    return 1
+
+
+def auto_dp(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Auto dp pick: the largest device count that evenly divides the
+    meta-batch (tasks split evenly across shards)."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return largest_divisor_leq(batch_size, n_devices)
+
+
 def make_mesh(dp: int = 0, mp: int = 1,
               devices: Optional[list] = None) -> Mesh:
     """Build a (dp, mp) mesh. ``dp == 0`` means "use all devices / mp"."""

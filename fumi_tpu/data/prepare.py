@@ -10,6 +10,10 @@ Usage:
   python -m fumi_tpu.data.prepare bert --data_dir ./data \
       --text_type description [--remove_stop_words]
 
+  # ingest local pretrained word vectors (GloVe/word2vec text format)
+  python -m fumi_tpu.data.prepare vectors --src /path/to/glove.txt \
+      --kind glove --data_dir ./data
+
   # inspect a dataset directory (splits, class sizes, artifact status)
   python -m fumi_tpu.data.prepare inspect --data_dir ./data
 """
@@ -27,6 +31,17 @@ def cmd_bert(args) -> int:
                                text_type=tuple(args.text_type),
                                remove_stop_words=args.remove_stop_words)
     print(f"wrote {path}")
+    return 0
+
+
+def cmd_vectors(args) -> int:
+    from fumi_tpu.data.vectors import build_vectors_artifact
+    path = build_vectors_artifact(
+        args.src, args.kind, args.data_dir, json_name=args.json_name,
+        filter_to_dataset=not args.no_filter)
+    import numpy as np
+    n = len(np.load(path)["words"])
+    print(f"wrote {path} ({n} words)")
     return 0
 
 
@@ -73,6 +88,18 @@ def main(argv=None) -> int:
                    default=["description"])
     b.add_argument("--remove_stop_words", action="store_true")
     b.set_defaults(fn=cmd_bert)
+
+    v = sub.add_parser("vectors",
+                       help="ingest pretrained word vectors (text format)")
+    v.add_argument("--src", type=str, required=True,
+                   help="local GloVe-text or word2vec-text vector file")
+    v.add_argument("--kind", type=str, choices=("glove", "w2v"),
+                   required=True)
+    v.add_argument("--data_dir", type=str, default="./data")
+    v.add_argument("--json_name", type=str, default="inat_anim.json")
+    v.add_argument("--no_filter", action="store_true",
+                   help="keep ALL words (skip dataset-vocabulary filtering)")
+    v.set_defaults(fn=cmd_vectors)
 
     i = sub.add_parser("inspect", help="inspect dataset dir")
     i.add_argument("--data_dir", type=str, default="./data")

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fumi_tpu.core.mesh import largest_divisor_leq
 from fumi_tpu.core.episode import Episode, EpisodeSpec
 from fumi_tpu.data.class_set import ClassSet
 
@@ -46,13 +47,6 @@ class SamplerTables(NamedTuple):
     class_counts: jnp.ndarray  # (C,) int32
     text_features: jnp.ndarray  # (C, E|T)
     text_mask: Optional[jnp.ndarray]  # (C, T) or None
-
-
-def _largest_divisor_leq(m: int, cap: int) -> int:
-    for d in range(min(cap, m), 0, -1):
-        if m % d == 0:
-            return d
-    return 1
 
 
 def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
@@ -108,7 +102,7 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     if use_pallas_gather:
         def _gather(r):
             M = r.shape[0] * r.shape[1]
-            br = _largest_divisor_leq(M, 64)
+            br = largest_divisor_leq(M, 64)
             flat = gather_rows(tables.image_table, r.reshape(M), br)
             return flat.reshape(r.shape[0], r.shape[1], -1)
         support_im = _gather(s_rows)

@@ -234,7 +234,15 @@ def make_text_encoder(kind: str,
                       fine_tune: bool = False,
                       vectors: Optional[Mapping[str, np.ndarray]] = None,
                       ) -> TextEncoder:
-    """Build a text encoder (plugin set of ref am3.py:50-71, fumi.py:47-63)."""
+    """Build a text encoder (plugin set of ref am3.py:50-71, fumi.py:47-63).
+
+    Pretrained vectors come either from the ``vectors`` argument or from a
+    ``dictionary.vectors`` attribute (fumi_tpu.data.vectors.Vocabulary — the
+    data loader attaches the ingested glove/w2v artifact there, replacing
+    the reference's in-ctor gensim downloads, ref: common.py:164-196).
+    """
+    if vectors is None:
+        vectors = getattr(dictionary, "vectors", None)
     if kind in ("BERT", "precomputed"):
         return TextEncoder(kind, {}, lambda p, t: t, text_emb_dim,
                            trainable=False)

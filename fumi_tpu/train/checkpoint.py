@@ -51,6 +51,52 @@ def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
                         os.path.join(run_dir, "best.meta.json"))
 
 
+def resolve_checkpoint(checkpoint: str, model: str,
+                       entity: str = "multimodal-image-cls",
+                       dest_root: str = "./checkpoints") -> str:
+    """Resolve ``--checkpoint`` to a local run dir.
+
+    The reference pulls ``best.pth.tar`` from a wandb run path
+    ``multimodal-image-cls/{model}/{checkpoint}`` into
+    ``./checkpoints/{model}/{checkpoint}`` (ref: fumi/main.py:61-76). Here:
+
+    - an existing local directory is used as-is;
+    - otherwise the value is treated as a wandb run path — either the full
+      ``entity/project/run_id`` or a bare run id (composed with the
+      reference's entity and the model name as project) — and the run's
+      checkpoint files are downloaded into ``dest_root/{model}/{run_id}``.
+    """
+    if os.path.isdir(checkpoint):
+        return checkpoint
+    run_path = (checkpoint if checkpoint.count("/") == 2
+                else f"{entity}/{model}/{checkpoint}")
+    run_id = run_path.rsplit("/", 1)[-1]
+    dest = os.path.join(dest_root, model, run_id)
+    if os.path.isdir(os.path.join(dest, "best")) or \
+            os.path.isdir(os.path.join(dest, "ckpt")):
+        return dest  # already downloaded
+    try:
+        import wandb
+        api = wandb.Api()
+        run = api.run(run_path)
+        os.makedirs(dest, exist_ok=True)
+        for f in run.files():
+            # checkpoint payloads + metadata only
+            if f.name.startswith(("best", "ckpt")):
+                f.download(root=dest, replace=True)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise FileNotFoundError(
+            f"--checkpoint {checkpoint!r} is neither a local run dir nor a "
+            f"retrievable wandb run path ({type(e).__name__}: {e})") from e
+    if not (os.path.isdir(os.path.join(dest, "best")) or
+            os.path.isdir(os.path.join(dest, "ckpt"))):
+        raise FileNotFoundError(
+            f"wandb run {run_path} had no best/ or ckpt/ checkpoint files")
+    return dest
+
+
 def load_checkpoint(run_dir: str, params_like, opt_state_like,
                     best: bool = True) -> Tuple[Any, Any, Dict]:
     """Restore params + opt state (ref: utils.py:422-441).

@@ -52,9 +52,13 @@ ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
 # Chunked-eval function cache: test_loop runs at every eval boundary, and a
 # freshly-built jitted closure would recompile each time (jit caches on
-# function identity). Keyed by the identities of the family/sampler/mesh,
-# which outlive the training run.
+# function identity). Keyed by the identities of the family/sampler/mesh;
+# each entry also holds STRONG references to those key objects, so their
+# ids cannot be recycled onto a different family/sampler while the entry
+# lives (id() aliasing after GC would otherwise hand a stale closure to a
+# new object). Bounded: cleared when it outgrows _EVAL_FN_CACHE_MAX.
 _EVAL_FN_CACHE = {}
+_EVAL_FN_CACHE_MAX = 64
 
 
 # module-level jitted sampler for the per-batch path (a fresh jax.jit
@@ -66,15 +70,19 @@ _jitted_sample = jax.jit(_sample_episode, static_argnums=(1,))
 def _chunked_eval_fn(cfg, steps, sampler, collect):
     key = (id(steps.family), id(sampler), bool(collect),
            id(steps.mesh) if steps.mesh is not None else None)
-    fn = _EVAL_FN_CACHE.get(key)
-    if fn is None:
-        if steps.mesh is not None:
-            from fumi_tpu.parallel.engine import make_parallel_chunked_eval
-            fn = make_parallel_chunked_eval(cfg, steps.family, sampler,
-                                            steps.mesh, collect=collect)
-        else:
-            fn = make_chunked_eval(steps.family, sampler, collect=collect)
-        _EVAL_FN_CACHE[key] = fn
+    entry = _EVAL_FN_CACHE.get(key)
+    if entry is not None:
+        fn, _refs = entry
+        return fn
+    if steps.mesh is not None:
+        from fumi_tpu.parallel.engine import make_parallel_chunked_eval
+        fn = make_parallel_chunked_eval(cfg, steps.family, sampler,
+                                        steps.mesh, collect=collect)
+    else:
+        fn = make_chunked_eval(steps.family, sampler, collect=collect)
+    if len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
+        _EVAL_FN_CACHE.clear()
+    _EVAL_FN_CACHE[key] = (fn, (steps.family, sampler, steps.mesh))
     return fn
 
 
@@ -266,10 +274,15 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     return params
 
 
+def _train_log_keys(m: Dict, is_am3: bool):
+    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc", "grad_norm")
+    # per-layer grad norms ride along (wandb.watch's role, utils.py:272)
+    return [k for k in m if k in keys or k.startswith("grad_norm/")]
+
+
 def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
                is_am3: bool) -> None:
-    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc", "grad_norm")
-    rec = {f"train/{k}": float(m[k]) for k in keys if k in m}
+    rec = {f"train/{k}": float(m[k]) for k in _train_log_keys(m, is_am3)}
     rec["num_episodes"] = (batch_idx + 1) * cfg.batch_size
     writer.log(rec, step=batch_idx)
 
@@ -277,8 +290,7 @@ def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
 def _log_train_stack(writer: MetricWriter, cfg: Config, start_idx: int,
                      ms: Dict, is_am3: bool) -> None:
     """Per-step logs from a chunk's stacked metrics (one device sync)."""
-    keys = AM3_TRAIN_KEYS if is_am3 else ("loss", "acc", "grad_norm")
-    stacked = {k: np.asarray(ms[k]) for k in keys if k in ms}
+    stacked = {k: np.asarray(ms[k]) for k in _train_log_keys(ms, is_am3)}
     n = len(next(iter(stacked.values())))
     for j in range(n):
         rec = {f"train/{k}": float(v[j]) for k, v in stacked.items()}

@@ -287,15 +287,34 @@ def steps_from_family(family: Family, opt: optax.GradientTransformation
                        eval_step=eval_step, family=family)
 
 
+def per_layer_grad_norms(grads) -> Dict[str, jnp.ndarray]:
+    """Per-top-level-component gradient norms — the observability role of
+    the reference's ``wandb.watch(model, log="all")`` per-parameter
+    histograms (ref: utils.py:272). Scalars, so they stack through the
+    chunked drivers' ``lax.scan`` like every other per-step metric."""
+    if isinstance(grads, dict):
+        items = list(grads.items())
+    elif isinstance(grads, (list, tuple)):
+        items = [(f"layer{i}", g) for i, g in enumerate(grads)]
+    else:
+        return {}
+    out = {}
+    for k, g in items:
+        if jax.tree_util.tree_leaves(g):  # skip empty subtrees
+            out[f"grad_norm/{k}"] = optax.global_norm(g)
+    return out
+
+
 def _train_metrics(family: Family, loss, aux, episode,
                    grads=None) -> Dict:
     """Per-train-step metric dict matching the reference's logs
-    (ref: am3.py:247-257, maml.py:61-67, fumi.py:248-254), plus the global
-    gradient norm when grads are supplied — the observability role of the
-    reference's ``wandb.watch(model, log="all")`` (ref: utils.py:272)."""
+    (ref: am3.py:247-257, maml.py:61-67, fumi.py:248-254), plus global and
+    per-layer gradient norms when grads are supplied (the observability
+    role of ``wandb.watch``, ref: utils.py:272)."""
     extra = {}
     if grads is not None:
         extra["grad_norm"] = optax.global_norm(grads)
+        extra.update(per_layer_grad_norms(grads))
     if family.name == "am3":
         conf = aux["conf"]
         prec, rec, f1 = metrics_ops.macro_prf1(conf)

@@ -1,0 +1,106 @@
+"""--checkpoint resolution: local run dirs pass through; wandb run paths
+(full ``entity/project/run_id`` or bare run id) download checkpoint files
+into ``./checkpoints/{model}/{run_id}`` (ref: fumi/main.py:61-76). wandb is
+mocked — no network."""
+
+import os
+import sys
+import types
+
+import pytest
+
+from fumi_tpu.train.checkpoint import resolve_checkpoint
+
+
+class _FakeFile:
+    def __init__(self, name, payload=b"x"):
+        self.name = name
+        self._payload = payload
+
+    def download(self, root, replace=False):
+        path = os.path.join(root, self.name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(self._payload)
+
+
+class _FakeRun:
+    def __init__(self, files):
+        self._files = files
+
+    def files(self):
+        return self._files
+
+
+def _install_fake_wandb(monkeypatch, runs):
+    mod = types.ModuleType("wandb")
+    seen = {}
+
+    class Api:
+        def run(self, run_path):
+            seen["run_path"] = run_path
+            if run_path not in runs:
+                raise KeyError(run_path)
+            return runs[run_path]
+
+    mod.Api = Api
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return seen
+
+
+def test_local_dir_passthrough(tmp_path):
+    d = tmp_path / "run_x"
+    d.mkdir()
+    assert resolve_checkpoint(str(d), "fumi") == str(d)
+
+
+def test_full_run_path_downloads(tmp_path, monkeypatch):
+    files = [_FakeFile("best/checkpoint"), _FakeFile("best.meta.json"),
+             _FakeFile("other.txt")]
+    seen = _install_fake_wandb(
+        monkeypatch, {"me/proj/abc123": _FakeRun(files)})
+    dest = resolve_checkpoint("me/proj/abc123", "fumi",
+                              dest_root=str(tmp_path / "ckpts"))
+    assert seen["run_path"] == "me/proj/abc123"
+    assert os.path.isdir(os.path.join(dest, "best"))
+    assert os.path.exists(os.path.join(dest, "best.meta.json"))
+    # non-checkpoint files are not downloaded
+    assert not os.path.exists(os.path.join(dest, "other.txt"))
+
+
+def test_bare_run_id_composes_reference_path(tmp_path, monkeypatch):
+    """Bare run ids compose entity/model/run_id like the reference
+    (main.py:63: multimodal-image-cls/{model}/{checkpoint})."""
+    files = [_FakeFile("ckpt/checkpoint")]
+    seen = _install_fake_wandb(
+        monkeypatch, {"multimodal-image-cls/am3/run9": _FakeRun(files)})
+    dest = resolve_checkpoint("run9", "am3",
+                              dest_root=str(tmp_path / "ckpts"))
+    assert seen["run_path"] == "multimodal-image-cls/am3/run9"
+    assert dest.endswith(os.path.join("am3", "run9"))
+    assert os.path.isdir(os.path.join(dest, "ckpt"))
+
+
+def test_already_downloaded_skips_wandb(tmp_path, monkeypatch):
+    dest = tmp_path / "ckpts" / "fumi" / "zzz"
+    (dest / "best").mkdir(parents=True)
+    # no fake wandb installed: resolution must not touch it
+    out = resolve_checkpoint("zzz", "fumi",
+                             dest_root=str(tmp_path / "ckpts"))
+    assert out == str(dest)
+
+
+def test_unretrievable_is_actionable(tmp_path, monkeypatch):
+    _install_fake_wandb(monkeypatch, {})
+    with pytest.raises(FileNotFoundError, match="neither a local run dir"):
+        resolve_checkpoint("nope", "fumi",
+                           dest_root=str(tmp_path / "ckpts"))
+
+
+def test_run_without_checkpoints_is_actionable(tmp_path, monkeypatch):
+    _install_fake_wandb(
+        monkeypatch,
+        {"multimodal-image-cls/fumi/empty": _FakeRun([_FakeFile("log.txt")])})
+    with pytest.raises(FileNotFoundError, match="no best/ or ckpt/"):
+        resolve_checkpoint("empty", "fumi",
+                           dest_root=str(tmp_path / "ckpts"))

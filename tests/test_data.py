@@ -288,3 +288,48 @@ def test_device_host_sampler_distribution_match(synth):
     h_pos = np.bincount(h_ids % per, minlength=per) / len(h_ids)
     np.testing.assert_allclose(d_pos, 1.0 / per, atol=0.02)
     np.testing.assert_allclose(h_pos, 1.0 / per, atol=0.02)
+
+
+def test_prefetching_sampler_close_stops_thread(synth):
+    """close() terminates the worker thread (the CLI closes the
+    --num_workers prefetcher on loop exit; a leaked thread would keep
+    drawing episodes until interpreter exit)."""
+    from fumi_tpu.data.sampler import PrefetchingSampler
+    cs, table, ids = synth
+    host = HostEpisodeSampler(table, ids, cs, SPEC, seed=0)
+    pre = PrefetchingSampler(host, depth=2)
+    pre.sample()
+    pre.close()
+    pre._thread.join(timeout=5.0)
+    assert not pre._thread.is_alive()
+
+
+def test_cli_num_workers_prefetch_path(tmp_path):
+    """--num_workers>0 host path: liveness + determinism-free ordering
+    assertions (ref worker concurrency, utils.py:95-98), and the CLI must
+    close the prefetch thread on exit."""
+    import threading
+
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    before = {t.ident for t in threading.enumerate()}
+    cfg = Config(
+        model="maml", dataset="synthetic", im_emb_dim=32, text_emb_dim=16,
+        im_hid_dim=(16,), num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=1, num_test_adapt_steps=1,
+        batch_size=4, epochs=6, eval_freq=3, patience=0, num_ep_test=2,
+        lr=1e-2, optim="adam", dropout=0.0, text_encoder="precomputed",
+        step_size=0.1, log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        device_sampler=False, num_workers=2,
+        prng_impl="threefry2x32",
+    )
+    out = main(cfg)
+    assert np.isfinite(out["test/loss"])
+    # no leaked prefetch worker threads
+    leaked = [t for t in threading.enumerate()
+              if t.ident not in before and t.is_alive()
+              and t.name.startswith("Thread-")]
+    for t in leaked:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in leaked)

@@ -139,3 +139,46 @@ def test_parallel_chunked_training():
         losses.append(float(np.asarray(ms["loss"]).mean()))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_per_shard_rng_stream_semantics():
+    """Pin the engine's per-shard PRNG policy (parallel/engine.py): each dp
+    shard draws ``fold_in(rng, shard_index)``, so with dropout ON the
+    parallel loss equals the mean over shards of the serial train loss on
+    that shard's task slice under the folded key — distinct, deterministic
+    streams (documented deviation from serial ≡ parallel in PARITY.md)."""
+    cfg = small_cfg("fumi", dropout=0.3)
+    dp = 4
+    mesh = make_mesh(dp=dp, mp=1)
+    episode = sample_episode(cfg)
+    par = make_parallel_steps(cfg, jax.random.PRNGKey(0), mesh)
+    rng = jax.random.PRNGKey(7)
+
+    ep_sharded = put_episode(episode, mesh)
+    params = put_replicated(par.params, mesh)
+    state = put_replicated(par.opt.init(par.params), mesh)
+    _, _, m1 = par.train_step(params, state, ep_sharded, rng)
+    _, _, m2 = par.train_step(params, state, ep_sharded, rng)
+    # deterministic: same key -> same result
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    # exact restatement of the intended semantics, shard by shard
+    fam = par.family
+    per = cfg.batch_size // dp
+    losses = []
+    for s in range(dp):
+        sl = jax.tree_util.tree_map(
+            lambda x, s=s: x[s * per:(s + 1) * per], episode)
+        k = jax.random.fold_in(rng, s)
+        loss, _ = fam.train_loss(par.params, sl, k)
+        losses.append(float(loss))
+    assert abs(float(m1["loss"]) - float(np.mean(losses))) < 1e-5
+
+    # distinct streams: identical tasks under different shard keys give
+    # different dropout masks, hence different losses
+    sl0 = jax.tree_util.tree_map(lambda x: x[:per], episode)
+    l0 = float(fam.train_loss(par.params, sl0,
+                              jax.random.fold_in(rng, 0))[0])
+    l1 = float(fam.train_loss(par.params, sl0,
+                              jax.random.fold_in(rng, 1))[0])
+    assert l0 != l1

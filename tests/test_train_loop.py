@@ -164,3 +164,41 @@ def test_family_registry_extensible():
             build_family(cfg.replace(model="nope"), jax.random.PRNGKey(0))
     finally:
         FAMILY_REGISTRY.pop("mymaml", None)
+
+
+def test_per_layer_grad_norms_logged():
+    """Per-layer gradient norms (wandb.watch's observability role,
+    ref utils.py:272) are emitted per train step and are consistent with
+    the global norm."""
+    import jax
+    import numpy as np
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
+    from fumi_tpu.train.steps import make_steps
+
+    cfg = Config(model="fumi", im_emb_dim=16, text_emb_dim=8,
+                 im_hid_dim=(8, 4), text_hid_dim=4, num_ways=3,
+                 num_shots=2, num_shots_test=3, num_train_adapt_steps=1,
+                 num_test_adapt_steps=1, batch_size=2, lr=1e-2,
+                 optim="adam", dropout=0.0, text_encoder="precomputed",
+                 step_size=0.1)
+    cs, table, ids = synthetic_class_set(
+        num_classes=6, images_per_class=8, im_dim=16, text_dim=8, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, 16, 8)
+    import jax.numpy as jnp
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    episode = sampler.sample(jax.random.PRNGKey(1))
+    _, _, m = steps.train_step(steps.params, steps.opt.init(steps.params),
+                               episode, jax.random.PRNGKey(2))
+    per_layer = {k: float(v) for k, v in m.items()
+                 if k.startswith("grad_norm/")}
+    # fumi components: hyper_net + im_net (text_encoder is empty/frozen)
+    assert set(per_layer) == {"grad_norm/hyper_net", "grad_norm/im_net"}
+    total = float(m["grad_norm"])
+    recon = np.sqrt(sum(v ** 2 for v in per_layer.values()))
+    np.testing.assert_allclose(recon, total, rtol=1e-5)

@@ -120,3 +120,278 @@ def test_maml_training_trajectory_matches_torch():
                                    rtol=1e-3, atol=1e-4)
     # sanity: training actually moved the loss
     assert jax_losses[-1] < jax_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# FuMI trajectory parity (ref: fumi.py:115-196 — hypernet dual update,
+# always second-order, through Adam meta-updates)
+# ---------------------------------------------------------------------------
+
+BF, NF, KF, QF = 2, 3, 2, 4
+D_IM, E_TXT, T_HID, IM_HID = 12, 10, 8, (16, 8)
+F_STEPS, F_SS, F_LR = 3, 0.05, 1e-2
+N_UPDATES_F = 25
+
+
+def make_fumi_episodes(rng, n):
+    eps = []
+    for _ in range(n):
+        s_im = rng.randn(BF, NF * KF, D_IM).astype(np.float32)
+        s_text = rng.randn(BF, NF * KF, E_TXT).astype(np.float32)
+        q_im = rng.randn(BF, NF * QF, D_IM).astype(np.float32)
+        s_y = np.tile(np.repeat(np.arange(NF), KF)[None], (BF, 1))
+        q_y = np.tile(np.repeat(np.arange(NF), QF)[None], (BF, 1))
+        eps.append((s_text, s_im, s_y.astype(np.int64),
+                    q_im, q_y.astype(np.int64)))
+    return eps
+
+
+def torch_fumi_train(params_np, episodes, norm_hypernet):
+    F = torch.nn.functional
+    h1w = torch.tensor(params_np["hyper_net"][0]["w"], requires_grad=True)
+    h1b = torch.tensor(params_np["hyper_net"][0]["b"], requires_grad=True)
+    h2w = torch.tensor(params_np["hyper_net"][1]["w"], requires_grad=True)
+    h2b = torch.tensor(params_np["hyper_net"][1]["b"], requires_grad=True)
+    im_leaves = [[torch.tensor(p["w"], requires_grad=True),
+                  torch.tensor(p["b"], requires_grad=True)]
+                 for p in params_np["im_net"]]
+    all_p = [h1w, h1b, h2w, h2b] + [p for pair in im_leaves for p in pair]
+    opt = torch.optim.Adam(all_p, lr=F_LR, weight_decay=WD)
+
+    losses = []
+    for (s_text, s_im, s_y, q_im, q_y) in episodes:
+        outer = torch.tensor(0.0)
+        for t in range(BF):
+            s_y_t = torch.tensor(s_y[t])
+            # per-class text = first support sample of each class
+            # (ref: fumi.py:207-210)
+            first_idx = [int(np.argmax(s_y[t] == c)) for c in range(NF)]
+            class_enc = torch.tensor(s_text[t])[first_idx]
+            h = F.relu(F.linear(class_enc, h1w, h1b))
+            hyp = F.linear(h, h2w, h2b)
+            if norm_hypernet:
+                hyp = torch.tanh(hyp)  # ref: fumi.py:104-105
+
+            im_ps = [tuple(pair) for pair in im_leaves]
+
+            def fwd(ps, hyp_, x):
+                for (w, b) in ps:
+                    x = F.relu(F.linear(x, w, b))
+                return x @ hyp_[:, :-1].T + hyp_[:, -1]
+
+            for _ in range(F_STEPS):
+                logits = fwd(im_ps, hyp, torch.tensor(s_im[t]))
+                inner = F.cross_entropy(logits, s_y_t)
+                flat = [p for pair in im_ps for p in pair] + [hyp]
+                grads = torch.autograd.grad(inner, flat, create_graph=True)
+                im_ps = [(flat[2 * i] - F_SS * grads[2 * i],
+                          flat[2 * i + 1] - F_SS * grads[2 * i + 1])
+                         for i in range(len(im_ps))]
+                hyp = hyp - F_SS * grads[-1]  # ref: fumi.py:165-168
+
+            q_logits = fwd(im_ps, hyp, torch.tensor(q_im[t]))
+            outer = outer + F.cross_entropy(q_logits, torch.tensor(q_y[t]))
+        outer = outer / BF
+        opt.zero_grad()
+        outer.backward()
+        opt.step()
+        losses.append(float(outer.detach()))
+    return losses, dict(h1w=h1w, h2w=h2w, im0w=im_leaves[0][0])
+
+
+def test_fumi_training_trajectory_matches_torch():
+    from fumi_tpu.metalearn import fumi_episode_loss
+    from fumi_tpu.models import text_encoders
+    from fumi_tpu.models.fumi import FUMI
+
+    rng = np.random.RandomState(3)
+    episodes = make_fumi_episodes(rng, N_UPDATES_F)
+
+    enc = text_encoders.make_text_encoder(
+        "precomputed", jax.random.PRNGKey(1), E_TXT)
+    model = FUMI(n_way=NF, im_emb_dim=D_IM, im_hid_dim=IM_HID,
+                 text_encoder=enc, text_emb_dim=E_TXT, text_hid_dim=T_HID,
+                 dropout_rate=0.0, norm_hypernet=True, fine_tune=False,
+                 init_bias=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+
+    opt = init_optim("adam", lr=F_LR, weight_decay=WD)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, episode, k):
+        def loss_fn(p_):
+            return fumi_episode_loss(model, p_, episode, n_steps=F_STEPS,
+                                     step_size=F_SS, rng=k, train=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    jax_losses = []
+    for i, (s_text, s_im, s_y, q_im, q_y) in enumerate(episodes):
+        episode = Episode(
+            support_im=jnp.asarray(s_im),
+            support_text=jnp.asarray(s_text),
+            support_text_mask=None,
+            support_ids=jnp.zeros((BF, NF * KF), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((BF, NF * QF), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32)),
+        )
+        params, opt_state, loss = train_step(params, opt_state, episode,
+                                             jax.random.PRNGKey(i))
+        jax_losses.append(float(loss))
+
+    torch_losses, torch_final = torch_fumi_train(params_np, episodes,
+                                                 norm_hypernet=True)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["hyper_net"][0]["w"]),
+        torch_final["h1w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["im_net"][0]["w"]),
+        torch_final["im0w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    assert jax_losses[-1] < jax_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# AM3 trajectory parity (ref: am3.py:128-212 — prototypical path, and the
+# adamw_lin_schedule scheduler-stepping quirk, ref: am3.py:195-196)
+# ---------------------------------------------------------------------------
+
+BA, NA, KA, QA = 2, 3, 2, 4
+P_DIM, WARM = 8, 5
+A_LR = 1e-3
+N_UPDATES_A = 25
+
+
+def torch_am3_train(params_np, episodes):
+    F = torch.nn.functional
+    t = {k: None for k in ()}
+    iew = torch.tensor(params_np["image_encoder"]["w"], requires_grad=True)
+    ieb = torch.tensor(params_np["image_encoder"]["b"], requires_grad=True)
+    g1w = torch.tensor(params_np["g"][0]["w"], requires_grad=True)
+    g1b = torch.tensor(params_np["g"][0]["b"], requires_grad=True)
+    g2w = torch.tensor(params_np["g"][1]["w"], requires_grad=True)
+    g2b = torch.tensor(params_np["g"][1]["b"], requires_grad=True)
+    h1w = torch.tensor(params_np["h"][0]["w"], requires_grad=True)
+    h1b = torch.tensor(params_np["h"][0]["b"], requires_grad=True)
+    h2w = torch.tensor(params_np["h"][1]["w"], requires_grad=True)
+    h2b = torch.tensor(params_np["h"][1]["b"], requires_grad=True)
+    all_p = [iew, ieb, g1w, g1b, g2w, g2b, h1w, h1b, h2w, h2b]
+    # HF AdamW == torch AdamW(weight_decay=0, eps=1e-6)
+    opt = torch.optim.AdamW(all_p, lr=A_LR, weight_decay=0.0, eps=1e-6)
+
+    def hf_lambda(step):  # get_linear_schedule_with_warmup
+        if step < WARM:
+            return step / max(1, WARM)
+        return max(0.0, (N_UPDATES_A - step) / max(1, N_UPDATES_A - WARM))
+
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, hf_lambda)
+
+    losses = []
+    for (s_text, s_im, s_y, q_im, q_y) in episodes:
+        s_im_t = torch.tensor(s_im)
+        s_text_t = torch.tensor(s_text)
+        q_im_t = torch.tensor(q_im)
+        s_y_t = torch.tensor(s_y)
+        q_y_t = torch.tensor(q_y)
+
+        im_emb = F.linear(s_im_t, iew, ieb)  # (B, NK, P)
+        text_emb = F.linear(F.relu(F.linear(s_text_t, g1w, g1b)), g2w, g2b)
+        lam = torch.sigmoid(
+            F.linear(F.relu(F.linear(text_emb, h1w, h1b)), h2w, h2b))
+        q_emb = F.linear(q_im_t, iew, ieb)
+
+        # get_prototypes (ref: utils.py:331-376)
+        onehot = F.one_hot(s_y_t, NA).float()  # (B, NK, N)
+        counts = onehot.sum(dim=1).clamp(min=1.0).unsqueeze(-1)  # (B, N, 1)
+        im_p = onehot.transpose(1, 2) @ im_emb / counts
+        tx_p = onehot.transpose(1, 2) @ text_emb / counts
+        lam_c = onehot.transpose(1, 2) @ lam / counts
+        protos = lam_c * im_p + (1 - lam_c) * tx_p  # (B, N, P)
+
+        # prototypical CE over −‖·‖² (ref: utils.py:390-402)
+        diff = q_emb.unsqueeze(2) - protos.unsqueeze(1)  # (B, M, N, P)
+        sq = (diff * diff).sum(-1)
+        loss = F.cross_entropy((-sq).reshape(-1, NA), q_y_t.reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()  # only AM3 steps the scheduler (ref: am3.py:195-196)
+        losses.append(float(loss.detach()))
+    return losses, dict(iew=iew, g2w=g2w, h2w=h2w)
+
+
+def make_am3_episodes(rng, n):
+    eps = []
+    for _ in range(n):
+        s_im = rng.randn(BA, NA * KA, D_IM).astype(np.float32)
+        s_text = rng.randn(BA, NA * KA, E_TXT).astype(np.float32)
+        q_im = rng.randn(BA, NA * QA, D_IM).astype(np.float32)
+        s_y = np.tile(np.repeat(np.arange(NA), KA)[None], (BA, 1))
+        q_y = np.tile(np.repeat(np.arange(NA), QA)[None], (BA, 1))
+        eps.append((s_text, s_im, s_y.astype(np.int64),
+                    q_im, q_y.astype(np.int64)))
+    return eps
+
+
+def test_am3_training_trajectory_matches_torch():
+    from fumi_tpu.models import text_encoders
+    from fumi_tpu.models.am3 import AM3
+
+    rng = np.random.RandomState(5)
+    episodes = make_am3_episodes(rng, N_UPDATES_A)
+
+    enc = text_encoders.make_text_encoder(
+        "precomputed", jax.random.PRNGKey(1), E_TXT)
+    model = AM3(im_emb_dim=D_IM, prototype_dim=P_DIM, text_encoder=enc,
+                text_emb_dim=E_TXT, text_hid_dim=T_HID, dropout=0.0,
+                fine_tune=False, lamda_fixed=None)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+
+    opt = init_optim("adamw_lin_schedule", lr=A_LR, num_warmup_steps=WARM,
+                     epochs=N_UPDATES_A, schedule_active=True)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, episode, k):
+        def loss_fn(p_):
+            loss, _ = model.episode_loss(p_, episode, NA, rng=k, train=True)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    jax_losses = []
+    for i, (s_text, s_im, s_y, q_im, q_y) in enumerate(episodes):
+        episode = Episode(
+            support_im=jnp.asarray(s_im),
+            support_text=jnp.asarray(s_text),
+            support_text_mask=None,
+            support_ids=jnp.zeros((BA, NA * KA), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((BA, NA * QA), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32)),
+        )
+        params, opt_state, loss = train_step(params, opt_state, episode,
+                                             jax.random.PRNGKey(i))
+        jax_losses.append(float(loss))
+
+    torch_losses, torch_final = torch_am3_train(params_np, episodes)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["image_encoder"]["w"]),
+        torch_final["iew"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["h"][1]["w"]),
+        torch_final["h2w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    assert jax_losses[-1] < jax_losses[0]
