@@ -45,6 +45,14 @@ def cmd_vectors(args) -> int:
     return 0
 
 
+def cmd_cub(args) -> int:
+    from fumi_tpu.data.cub import convert_cub
+    out = convert_cub(args.raw_dir, args.data_dir,
+                      image_size=args.image_size)
+    print(f"wrote CUB artifacts under {out}")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     import json
 
@@ -100,6 +108,14 @@ def main(argv=None) -> int:
     v.add_argument("--no_filter", action="store_true",
                    help="keep ALL words (skip dataset-vocabulary filtering)")
     v.set_defaults(fn=cmd_vectors)
+
+    c = sub.add_parser("cub",
+                       help="convert a raw CUB_200_2011 dir to artifacts")
+    c.add_argument("--raw_dir", type=str, required=True,
+                   help="path to the extracted CUB_200_2011 release")
+    c.add_argument("--data_dir", type=str, default="./data")
+    c.add_argument("--image_size", type=int, default=84)
+    c.set_defaults(fn=cmd_cub)
 
     i = sub.add_parser("inspect", help="inspect dataset dir")
     i.add_argument("--data_dir", type=str, default="./data")

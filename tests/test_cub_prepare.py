@@ -66,3 +66,81 @@ def test_prepare_inspect(tmp_path, capsys):
 def test_prepare_inspect_missing(tmp_path, capsys):
     rc = prepare_main(["inspect", "--data_dir", str(tmp_path)])
     assert rc == 1
+
+
+# ---------------------------------------------------------------------------
+# Offline conversion: raw CUB_200_2011 layout -> artifacts
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def raw_cub_dir(tmp_path_factory):
+    """A tiny fake CUB_200_2011 release: 8 classes x 5 images."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("CUB_200_2011")
+    (root / "images").mkdir()
+    rng = np.random.RandomState(0)
+    images_lines, label_lines, class_lines = [], [], []
+    img_id = 1
+    for cid in range(1, 9):
+        cname = f"{cid:03d}.Bird_{cid}"
+        class_lines.append(f"{cid} {cname}")
+        cdir = root / "images" / cname
+        cdir.mkdir()
+        for j in range(5):
+            rel = f"{cname}/img_{j}.jpg"
+            arr = rng.randint(0, 255, (20, 24, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(cdir / f"img_{j}.jpg")
+            images_lines.append(f"{img_id} {rel}")
+            label_lines.append(f"{img_id} {cid}")
+            img_id += 1
+    (root / "images.txt").write_text("\n".join(images_lines))
+    (root / "image_class_labels.txt").write_text("\n".join(label_lines))
+    (root / "classes.txt").write_text("\n".join(class_lines))
+    return str(root)
+
+
+def test_convert_cub_roundtrips_through_load_cub(raw_cub_dir, tmp_path):
+    from fumi_tpu.data.cub import convert_cub
+
+    # injectable frozen encoder (mean-pool channels to a 12-dim embedding)
+    def embed_fn(imgs):
+        B = imgs.shape[0]
+        return imgs.reshape(B, -1)[:, :12].astype(np.float32)
+
+    out = convert_cub(raw_cub_dir, str(tmp_path), embed_fn=embed_fn,
+                      image_size=8)
+    assert out == os.path.join(str(tmp_path), "CUB")
+
+    splits, table, ids = load_cub(str(tmp_path))
+    assert table.shape == (40, 12)
+    # 100/50/50 proportions over 8 classes -> 4/2/2
+    assert splits["train"].num_classes == 4
+    assert splits["val"].num_classes == 2
+    assert splits["test"].num_classes == 2
+    # every class has its 5 images, rows index into the table
+    for s in ("train", "val", "test"):
+        assert np.all(splits[s].class_counts == 5)
+        assert splits[s].class_image_rows.max() < 40
+    # splits partition the classes in classes.txt order
+    cats = np.concatenate([splits[s].categories
+                           for s in ("train", "val", "test")])
+    np.testing.assert_array_equal(np.sort(cats), np.arange(1, 9))
+
+
+def test_prepare_cub_cli(raw_cub_dir, tmp_path):
+    rc = prepare_main(["cub", "--raw_dir", raw_cub_dir,
+                       "--data_dir", str(tmp_path), "--image_size", "8"])
+    assert rc == 0
+    splits, table, ids = load_cub(str(tmp_path))
+    # default pixels encoder: D = 8*8*3
+    assert table.shape == (40, 192)
+    assert np.all(table >= 0) and np.all(table <= 1)
+
+
+def test_convert_cub_rejects_non_cub_dir(tmp_path):
+    from fumi_tpu.data.cub import convert_cub
+    empty = tmp_path / "nope"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        convert_cub(str(empty), str(tmp_path))
