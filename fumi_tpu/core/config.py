@@ -105,7 +105,17 @@ class Config:
     # numpy sampler with reference-faithful semantics.
     device_sampler: bool = True
     # Pallas DMA row gather for episode assembly (vs the XLA gather).
+    # Opt-in: measured SLOWER end-to-end inside the fused train program
+    # (pallas_call is a fusion barrier; see docs/PERFORMANCE.md).
     pallas_gather: bool = False
+    # Fused Pallas eval-adaptation kernel (whole n-step inner loop in one
+    # grid program per task; weights in VMEM). 1.8x lower LATENCY per
+    # adaptation (1.41 vs 2.58 ms at the 100-step protocol) but 0.97x in
+    # the chunked eval driver, where XLA already overlaps independent
+    # episodes across scan iterations — so opt-in here; the serving
+    # request path (fumi_tpu/serve.py episode_logits) uses it by default.
+    # fp reassociation: logits differ from the scan engine ~2e-3/100 steps.
+    pallas_fused_eval: bool = False
     # Compute dtype for episodic math (params stay fp32).
     compute_dtype: str = "float32"
     # PRNG implementation: "rbg" is ~free on TPU where threefry costs
@@ -263,6 +273,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused device sampler")
     p.add_argument("--tpu_pallas_gather", action="store_true",
                    help="use the Pallas DMA row gather for episode assembly")
+    p.add_argument("--tpu_pallas_fused_eval", action="store_true",
+                   help="use the fused Pallas eval-adaptation kernel in the "
+                        "eval harness (lower latency per adaptation; the "
+                        "chunked driver's scan engine has higher throughput)")
     p.add_argument("--tpu_compute_dtype", type=str, default="float32")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
@@ -330,6 +344,7 @@ def config_from_args(argv=None) -> Config:
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
         pallas_gather=args.tpu_pallas_gather,
+        pallas_fused_eval=args.tpu_pallas_fused_eval,
         compute_dtype=args.tpu_compute_dtype,
         prng_impl=args.tpu_prng_impl,
         im_size=args.tpu_im_size,

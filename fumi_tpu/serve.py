@@ -46,6 +46,9 @@ class FewShotClassifier:
         self.params = params if params is not None else self.family.params
         self._state = None  # adapted params / prototypes
         self._classify_fn = None
+        self._episode_fn = None  # one-call adapt+classify (episode_logits)
+        self._adapt_fn = None  # cached jitted adaptation program
+        self._serve_fn = None  # cached jitted classify program
 
     @classmethod
     def from_checkpoint(cls, run_dir: str, cfg: Config, dictionary=None,
@@ -60,21 +63,15 @@ class FewShotClassifier:
         return self
 
     # ------------------------------------------------------------------
-    def adapt(self, support_im, support_text=None, support_y=None,
-              rng: Optional[jax.Array] = None) -> None:
-        """Run the one-time adaptation for this support set.
+    # Adaptation / classification programs are built ONCE per classifier
+    # and take the support set as ARGUMENTS: re-jitting a fresh closure per
+    # adapt() call would retrace+recompile on every request AND bake the
+    # support arrays into the executable as constants (both documented
+    # hazards of the tunneled TPU runtime — see docs/PERFORMANCE.md).
 
-        support_im: (N*K, D) or (N*K, H, W, C); support_y: (N*K,) int in
-        [0, num_ways); support_text: (N*K, E) / (N*K, T) for text models.
-        """
+    def _build_adapt_fns(self):
         cfg = self.cfg
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        support_im = jnp.asarray(support_im)
-        support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        if support_text is not None:
-            support_text = jnp.asarray(support_text)
-        n_steps = cfg.num_test_adapt_steps
-        step = cfg.step_size
+        n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
 
         if cfg.model == "maml":
             if cfg.im_encoder == "conv4":
@@ -83,32 +80,32 @@ class FewShotClassifier:
                 from fumi_tpu.models import mlp as net
             apply_fn = net.apply
 
-            def adapt_fn(p):
+            @jax.jit
+            def adapt_fn(p, s_im, s_text, s_y, rng):
                 def inner(p_, _):
                     g = jax.grad(lambda q: fewshot.cross_entropy(
-                        apply_fn(q, support_im), support_y))(p_)
+                        apply_fn(q, s_im), s_y))(p_)
                     return sgd_inner_update(p_, g, step), None
                 p_T, _ = jax.lax.scan(inner, p, None, length=n_steps)
                 return p_T
 
-            adapted = jax.jit(adapt_fn)(self.params)
-            self._state = ("maml", adapted)
-            self._classify_fn = jax.jit(lambda q: apply_fn(adapted, q))
+            classify = jax.jit(lambda state, q: apply_fn(state, q))
+            return adapt_fn, classify
 
-        elif cfg.model == "fumi":
+        if cfg.model == "fumi":
             model = self.family.model
 
-            def adapt_fn(p):
-                hyper0 = model.get_hyper_params(p, support_text, support_y,
-                                                rng=rng)
+            @jax.jit
+            def adapt_fn(p, s_im, s_text, s_y, rng):
+                hyper0 = model.get_hyper_params(p, s_text, s_y, rng=rng)
                 im0 = p["im_net"]
 
                 def inner(carry, _):
                     im_p, hyp = carry
                     g_im, g_h = jax.grad(
                         lambda a, b: fewshot.cross_entropy(
-                            model.im_forward(a, b, support_im, rng=rng,
-                                             train=False), support_y),
+                            model.im_forward(a, b, s_im, rng=rng,
+                                             train=False), s_y),
                         argnums=(0, 1))(im_p, hyp)
                     return (sgd_inner_update(im_p, g_im, step),
                             hyp - step * g_h), None
@@ -117,41 +114,114 @@ class FewShotClassifier:
                                                 length=n_steps)
                 return im_T, hyp_T
 
-            im_T, hyp_T = jax.jit(adapt_fn)(self.params)
-            self._state = ("fumi", (im_T, hyp_T))
-            self._classify_fn = jax.jit(
-                lambda q: model.im_forward(im_T, hyp_T, q, rng=rng,
-                                           train=False))
+            @jax.jit
+            def classify(state, q):
+                im_T, hyp_T = state
+                return model.im_forward(im_T, hyp_T, q,
+                                        rng=jax.random.PRNGKey(0),
+                                        train=False)
+            return adapt_fn, classify
 
-        elif cfg.model == "am3":
+        if cfg.model == "am3":
             model = self.family.model
+            params = self.params
 
-            def protos_fn(p):
+            @jax.jit
+            def adapt_fn(p, s_im, s_text, s_y, rng):
                 im_e, tx_e, lam = model.forward(
-                    p, support_text[None], support_im[None], rng=rng,
-                    train=False)
+                    p, s_text[None], s_im[None], rng=rng, train=False)
                 if model.lamda_fixed == 0:
                     lam = jnp.zeros_like(lam)
                 elif model.lamda_fixed == 1:
                     lam = jnp.ones_like(lam)
                 return fewshot.get_prototypes(
-                    im_e, tx_e, lam, support_y[None], cfg.num_ways)[0]
+                    im_e, tx_e, lam, s_y[None], cfg.num_ways)[0]
 
-            protos = jax.jit(protos_fn)(self.params)
-            self._state = ("am3", protos)
-            params = self.params
-
-            def classify(q):
+            @jax.jit
+            def classify(protos, q):
                 emb = model.encode_image(params, q[None])[0]
                 return fewshot.prototype_logits(protos[None], emb[None])[0]
-            self._classify_fn = jax.jit(classify)
+            return adapt_fn, classify
 
+        raise NotImplementedError(
+            f"serving for model {cfg.model!r} (CLIP retrieval uses "
+            "fumi_tpu.models.clip.CLIP.retrieval_scores)")
+
+    def adapt(self, support_im, support_text=None, support_y=None,
+              rng: Optional[jax.Array] = None) -> None:
+        """Run the one-time adaptation for this support set.
+
+        support_im: (N*K, D) or (N*K, H, W, C); support_y: (N*K,) int in
+        [0, num_ways); support_text: (N*K, E) / (N*K, T) for text models.
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        if support_text is None:
+            support_text = jnp.zeros((support_im.shape[0], 1), jnp.float32)
         else:
-            raise NotImplementedError(
-                f"serving for model {cfg.model!r} (CLIP retrieval uses "
-                "fumi_tpu.models.clip.CLIP.retrieval_scores)")
+            support_text = jnp.asarray(support_text)
+
+        if getattr(self, "_adapt_fn", None) is None:
+            self._adapt_fn, self._serve_fn = self._build_adapt_fns()
+        state = self._adapt_fn(self.params, support_im, support_text,
+                               support_y, rng)
+        self._state = (self.cfg.model, state)
+        serve_fn = self._serve_fn
+        self._classify_fn = lambda q: serve_fn(state, q)
 
     # ------------------------------------------------------------------
+    def episode_logits(self, support_im, support_y, query_im,
+                       support_text=None,
+                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """One-call request path: adapt on this support set AND classify
+        these queries in a single dispatch (few-shot-as-a-service, where
+        every request carries its own episode).
+
+        Latency-bound, so MAML/FuMI use the fused Pallas adaptation kernel
+        where supported — the whole n-step inner loop in one grid program,
+        1.8x lower latency than the scan engine at the 100-step protocol
+        (1.41 vs 2.58 ms; docs/PERFORMANCE.md). Returns (M, N) logits.
+        """
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        if support_text is not None:
+            support_text = jnp.asarray(support_text)
+        query_im = jnp.asarray(query_im)
+
+        from fumi_tpu.ops.pallas_kernels import (fused_adapt_supported,
+                                                 fused_fumi_adapt,
+                                                 fused_maml_adapt)
+        fused_ok = (cfg.model in ("maml", "fumi")
+                    and cfg.im_encoder != "conv4"
+                    and fused_adapt_supported(cfg.im_hid_dim,
+                                              cfg.num_test_adapt_steps))
+
+        if self._episode_fn is None:
+            n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
+            if cfg.model == "maml" and fused_ok:
+                def fn(p, s_im, s_y, q_im, s_text, k):
+                    return fused_maml_adapt(p, s_im[None], s_y[None],
+                                            q_im[None], n_steps, step)[0]
+            elif cfg.model == "fumi" and fused_ok:
+                model = self.family.model
+
+                def fn(p, s_im, s_y, q_im, s_text, k):
+                    hyper0 = model.get_hyper_params(p, s_text, s_y, rng=k)
+                    return fused_fumi_adapt(p["im_net"], hyper0[None],
+                                            s_im[None], s_y[None],
+                                            q_im[None], n_steps, step)[0]
+            else:
+                # fallback (AM3, conv4, short horizons, non-TPU): the
+                # stateful adapt+classify path, two dispatches
+                self.adapt(support_im, support_text, support_y, rng=rng)
+                return self.logits(query_im)
+            self._episode_fn = jax.jit(fn)
+        return self._episode_fn(self.params, support_im, support_y,
+                                query_im, support_text, rng)
+
     def logits(self, query_im) -> jnp.ndarray:
         if self._classify_fn is None:
             raise RuntimeError("call adapt(...) before classify/logits")

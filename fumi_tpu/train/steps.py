@@ -70,6 +70,24 @@ def _make_text_encoder(cfg: Config, key, dictionary):
         pooling_strat=cfg.pooling_strat, fine_tune=cfg.fine_tune)
 
 
+def _use_fused_eval(cfg: Config) -> bool:
+    """Gate for the fused Pallas eval-adaptation kernel: default path on
+    TPU for 2-hidden-layer stacks and long horizons (measured 1.8x on the
+    100-step protocol; docs/PERFORMANCE.md)."""
+    from fumi_tpu.ops.pallas_kernels import fused_adapt_supported
+    return cfg.pallas_fused_eval and fused_adapt_supported(
+        cfg.im_hid_dim, cfg.num_test_adapt_steps)
+
+
+def _eval_raw_from_logits(logits, episode):
+    """Eval-raw dict from post-adaptation query logits (fused kernels)."""
+    loss = fewshot.cross_entropy(logits, episode.query_y)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    acc = jnp.mean((preds == episode.query_y).astype(jnp.float32))
+    return {"loss": loss, "acc": acc, "preds": preds,
+            "targets": episode.query_y}
+
+
 # ---------------------------------------------------------------------------
 # Family builders
 # ---------------------------------------------------------------------------
@@ -103,6 +121,15 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         loss, aux = eval_loss(p, episode, rng)
         return {"loss": loss, "acc": aux["acc"], "preds": aux["preds"],
                 "targets": episode.query_y}
+
+    if _use_fused_eval(cfg) and cfg.im_encoder != "conv4":
+        from fumi_tpu.ops.pallas_kernels import fused_maml_adapt
+
+        def eval_raw(p, episode, rng):  # noqa: F811 — fused fast path
+            logits = fused_maml_adapt(
+                p, episode.support_im, episode.support_y, episode.query_im,
+                cfg.num_test_adapt_steps, cfg.step_size)
+            return _eval_raw_from_logits(logits, episode)
 
     return Family(
         name="maml", params=params,
@@ -141,6 +168,24 @@ def build_fumi_family(cfg: Config, key: jax.Array,
         loss, aux = eval_loss(p, episode, rng)
         return {"loss": loss, "acc": aux["acc"], "preds": aux["preds"],
                 "targets": episode.query_y}
+
+    if _use_fused_eval(cfg):
+        from fumi_tpu.ops.pallas_kernels import fused_fumi_adapt
+
+        def eval_raw(p, episode, rng):  # noqa: F811 — fused fast path
+            # per-task hypernet head, same rng stream as the scan engine
+            # (task_rng -> split(3)[0] is k_hyper, metalearn/inner_loop.py)
+            B = episode.support_im.shape[0]
+            task_rngs = jax.random.split(rng, B)
+            k_hyper = jax.vmap(lambda k: jax.random.split(k, 3)[0])(
+                task_rngs)
+            hyper0 = jax.vmap(
+                lambda t, y, k: model.get_hyper_params(p, t, y, rng=k)
+            )(episode.support_text, episode.support_y, k_hyper)
+            logits = fused_fumi_adapt(
+                p["im_net"], hyper0, episode.support_im, episode.support_y,
+                episode.query_im, cfg.num_test_adapt_steps, cfg.step_size)
+            return _eval_raw_from_logits(logits, episode)
 
     return Family(
         name="fumi", params=params,

@@ -134,3 +134,74 @@ def test_fused_maml_adapt_rejects_wrong_depth():
         fused_maml_adapt(params, jnp.zeros((1, 2, 8)),
                          jnp.zeros((1, 2), jnp.int32),
                          jnp.zeros((1, 2, 8)), 1, 0.1, interpret=True)
+
+
+def test_fused_fumi_adapt_matches_scan_engine(rng_np):
+    """The fused kernel with a per-task hypernet head (interpret mode)
+    reproduces FuMI's joint (im_net, head) eval adaptation
+    (metalearn/inner_loop.py fumi_episode_loss, train=False)."""
+    from fumi_tpu.core.episode import Episode
+    from fumi_tpu.metalearn.inner_loop import fumi_episode_loss
+    from fumi_tpu.models import text_encoders
+    from fumi_tpu.models.fumi import FUMI
+    from fumi_tpu.ops.pallas_kernels import fused_fumi_adapt
+
+    B, N, K, Qn, D, E, TH = 2, 3, 2, 4, 16, 8, 8
+    enc = text_encoders.make_text_encoder(
+        "precomputed", jax.random.PRNGKey(1), E)
+    model = FUMI(n_way=N, im_emb_dim=D, im_hid_dim=(8, 8),
+                 text_encoder=enc, text_emb_dim=E, text_hid_dim=TH,
+                 dropout_rate=0.0, norm_hypernet=True, fine_tune=False,
+                 init_bias=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    sx = jnp.asarray(rng_np.randn(B, N * K, D).astype(np.float32))
+    st = jnp.asarray(rng_np.randn(B, N * K, E).astype(np.float32))
+    qx = jnp.asarray(rng_np.randn(B, N * Qn, D).astype(np.float32))
+    sy = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)[None],
+                  (B, 1))
+    qy = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), Qn)[None],
+                  (B, 1))
+    ep = Episode(support_im=sx, support_text=st, support_text_mask=None,
+                 support_ids=jnp.zeros((B, N * K), jnp.int32),
+                 support_y=sy, query_im=qx,
+                 query_ids=jnp.zeros((B, N * Qn), jnp.int32), query_y=qy)
+
+    rng = jax.random.PRNGKey(7)
+    _, aux = fumi_episode_loss(model, params, ep, n_steps=10,
+                               step_size=0.1, rng=rng, train=False)
+
+    # same per-task hyper rng stream as the engine
+    task_rngs = jax.random.split(rng, B)
+    k_hyper = jax.vmap(lambda k: jax.random.split(k, 3)[0])(task_rngs)
+    hyper0 = jax.vmap(
+        lambda t, y, k: model.get_hyper_params(params, t, y, rng=k)
+    )(st, sy, k_hyper)
+    logits = fused_fumi_adapt(params["im_net"], hyper0, sx, sy, qx,
+                              n_steps=10, step_size=0.1, interpret=True)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  np.asarray(aux["preds"]))
+
+
+def test_fused_adapt_batched_matches_per_task(rng_np):
+    """The batched-task single-program variant is numerically identical to
+    the per-task grid kernel (kept as a measured NEGATIVE result: 2.10 vs
+    1.41 ms at reference shapes — interleaving tasks inside one program
+    does not beat the per-task grid; docs/PERFORMANCE.md)."""
+    from fumi_tpu.models import mlp
+    from fumi_tpu.ops.pallas_kernels import (fused_maml_adapt,
+                                             fused_maml_adapt_batched)
+
+    B, S, Qn, D, H1, H2, N = 2, 6, 8, 16, 8, 8, 3
+    params = mlp.init(jax.random.PRNGKey(0), D, N, (H1, H2))
+    sx = jnp.asarray(rng_np.randn(B, S, D).astype(np.float32))
+    qx = jnp.asarray(rng_np.randn(B, Qn, D).astype(np.float32))
+    sy = jnp.asarray(np.tile(np.array([0, 0, 1, 1, 2, 2]),
+                             (B, 1)).astype(np.int32))
+    a = fused_maml_adapt(params, sx, sy, qx, n_steps=10, step_size=0.1,
+                         interpret=True)
+    b = fused_maml_adapt_batched(params, sx, sy, qx, n_steps=10,
+                                 step_size=0.1, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)

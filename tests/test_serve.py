@@ -125,3 +125,38 @@ def test_serve_clip_not_implemented():
     with pytest.raises(NotImplementedError):
         FewShotClassifier.adapt(clf, np.zeros((2, D), np.float32),
                                 support_y=np.zeros(2, np.int32))
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_episode_logits_one_call_matches_stateful(model):
+    """episode_logits (one-call request path) predicts identically to the
+    stateful adapt() + classify() path. On CPU this exercises the scan
+    fallback; on TPU the fused Pallas kernel serves MAML/FuMI (parity
+    verified on hardware, docs/PERFORMANCE.md)."""
+    rng = np.random.RandomState(3)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+    cfg = base_cfg(model)
+
+    clf = FewShotClassifier(cfg, None)
+    logits = clf.episode_logits(s_im, s_y, q_im, support_text=s_tx)
+    one_call = np.asarray(jnp.argmax(logits, -1))
+
+    clf2 = FewShotClassifier(cfg, None)
+    clf2.adapt(s_im, s_tx, s_y)
+    stateful = np.asarray(clf2.classify(q_im))
+    np.testing.assert_array_equal(one_call, stateful)
+
+
+def test_adapt_does_not_retrace_per_support_set():
+    """adapt() must reuse one compiled program across support sets (a fresh
+    closure per call would retrace AND bake support arrays as constants —
+    the documented tunneled-TPU hazards)."""
+    rng = np.random.RandomState(4)
+    cfg = base_cfg("maml")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+    clf.adapt(s_im, s_tx, s_y)
+    fn1 = clf._adapt_fn
+    s_im2, s_tx2, s_y2, _ = episode_data(rng)
+    clf.adapt(s_im2, s_tx2, s_y2)
+    assert clf._adapt_fn is fn1  # same jitted program object
