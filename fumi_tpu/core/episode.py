@@ -34,8 +34,10 @@ class Episode(NamedTuple):
     - ``support_im``:   (B, N*K, D) float — image embeddings.
     - ``support_text``: (B, N*K, E) float precomputed text embeddings, or
                         (B, N*K, T) int32 token ids, depending on encoder.
-    - ``support_text_mask``: (B, N*K, T) padding mask for token inputs, or
-                        None when text is precomputed.
+    - ``support_text_mask``: always None on the production samplers (every
+                        encoder derives token validity from PAD ids, so the
+                        mask would be dead HBM traffic); the slot exists for
+                        custom pipelines whose padding is not PAD-coded.
     - ``support_ids``:  (B, N*K) int32 — raw image ids (for artifacts).
     - ``support_y``:    (B, N*K) int32 — targets remapped to 0..N-1
                         (the torchmeta ``Categorical`` transform,
@@ -86,9 +88,7 @@ class EpisodeSpec:
         return Episode(
             support_im=jnp.zeros((B, NK, self.im_dim), jnp.float32),
             support_text=jnp.zeros((B, NK, self.text_dim), text_dtype),
-            support_text_mask=(
-                jnp.ones((B, NK, self.text_dim), jnp.int32)
-                if self.text_is_tokens else None),
+            support_text_mask=None,
             support_ids=jnp.zeros((B, NK), jnp.int32),
             support_y=jnp.tile(
                 jnp.repeat(jnp.arange(self.num_ways, dtype=jnp.int32),

@@ -126,8 +126,6 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     # per-class text repeated per shot, class-major like the targets
     text_cls = tables.text_features[class_idx]  # (B, N, E|T)
     support_text = jnp.repeat(text_cls, K, axis=1)  # (B, N*K, E|T)
-    mask = (jnp.repeat(tables.text_mask[class_idx], K, axis=1)
-            if tables.text_mask is not None else None)
 
     s_y = jnp.tile(jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)[None],
                    (B, 1))
@@ -136,7 +134,10 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     return Episode(
         support_im=support_im,
         support_text=support_text,
-        support_text_mask=mask,
+        # validity is recoverable from PAD tokens — every encoder derives
+        # its own mask (text_encoders.py), so carrying a (B, NK, T) mask
+        # per episode is wasted HBM traffic in the hot path
+        support_text_mask=None,
         support_ids=tables.image_ids[s_rows],
         support_y=s_y,
         query_im=query_im,
@@ -260,8 +261,6 @@ class HostEpisodeSampler:
 
         text_cls = cs.text_features[text_idx]  # (B, N, E|T)
         support_text = np.repeat(text_cls, K, axis=1)
-        mask = (np.repeat(cs.text_mask[text_idx], K, axis=1)
-                if cs.text_mask is not None else None)
         s_y = np.tile(np.repeat(np.arange(N, dtype=np.int32), K)[None],
                       (B, 1))
         q_y = np.tile(np.repeat(np.arange(N, dtype=np.int32), Q)[None],
@@ -269,8 +268,8 @@ class HostEpisodeSampler:
         return Episode(
             support_im=jnp.asarray(self.image_table[s_rows]),
             support_text=jnp.asarray(support_text),
-            support_text_mask=(jnp.asarray(mask) if mask is not None
-                               else None),
+            # encoders re-derive the padding mask from PAD tokens
+            support_text_mask=None,
             support_ids=jnp.asarray(self.image_ids[s_rows]),
             support_y=jnp.asarray(s_y),
             query_im=jnp.asarray(self.image_table[q_rows]),
