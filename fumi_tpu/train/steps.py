@@ -358,8 +358,15 @@ def _train_metrics(family: Family, loss, aux, episode,
     role of ``wandb.watch``, ref: utils.py:272)."""
     extra = {}
     if grads is not None:
-        extra["grad_norm"] = optax.global_norm(grads)
-        extra.update(per_layer_grad_norms(grads))
+        per_layer = per_layer_grad_norms(grads)
+        if per_layer:
+            # components partition the grad tree, so the global norm is
+            # free given the per-component norms (one tree pass, not two)
+            extra["grad_norm"] = jnp.sqrt(
+                sum(v * v for v in per_layer.values()))
+            extra.update(per_layer)
+        else:
+            extra["grad_norm"] = optax.global_norm(grads)
     if family.name == "am3":
         conf = aux["conf"]
         prec, rec, f1 = metrics_ops.macro_prf1(conf)
