@@ -122,12 +122,13 @@ def bench_eval(episodes: int = 256, chunk: int = 64) -> float:
     _ = float(_np.asarray(ms["loss"])[-1])
     iters = max(1, episodes // (chunk * BATCH))
     iters = max(iters, 2)
-    t0 = time.perf_counter()
+    best = 0.0
     for i in range(iters):
+        t0 = time.perf_counter()
         _, ms = run(family.params, jax.random.PRNGKey(2 + i), chunk)
         _ = float(_np.asarray(ms["loss"])[-1])
-    dt = time.perf_counter() - t0
-    return iters * chunk * BATCH / dt
+        best = max(best, chunk * BATCH / (time.perf_counter() - t0))
+    return best
 
 
 def bench_torch_baseline(num_steps: int = 3) -> float:
@@ -193,11 +194,14 @@ def bench_torch_baseline(num_steps: int = 3) -> float:
         opt.step()
 
     one_meta_step()  # warmup
-    t0 = time.perf_counter()
+    # best-of-steps (min-time), same statistic as bench_tpu so the
+    # vs_baseline ratio compares like with like
+    best = 0.0
     for _ in range(num_steps):
+        t0 = time.perf_counter()
         one_meta_step()
-    dt = time.perf_counter() - t0
-    return num_steps * BATCH / dt
+        best = max(best, BATCH / (time.perf_counter() - t0))
+    return best
 
 
 def get_baseline(refresh: bool = False) -> float:

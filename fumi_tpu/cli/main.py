@@ -207,7 +207,9 @@ def main(cfg: Config) -> dict:
         data = {s: (supervised_from_class_set(splits[s]), image_table)
                 for s in ("train", "val", "test")}
         if cfg.checkpoint:
-            ckpt_dir = ckpt_lib.resolve_checkpoint(cfg.checkpoint, cfg.model)
+            ckpt_dir = ckpt_lib.resolve_checkpoint(
+                cfg.checkpoint, cfg.model, entity=cfg.wandb_entity,
+                project=cfg.wandb_project)
             params, _, _ = ckpt_lib.load_checkpoint(
                 ckpt_dir, params, opt.init(params), best=True)
         clip_mesh = None
@@ -244,7 +246,9 @@ def main(cfg: Config) -> dict:
     params = steps.params
     restored_opt_state = None
     if cfg.checkpoint:
-        ckpt_dir = ckpt_lib.resolve_checkpoint(cfg.checkpoint, cfg.model)
+        ckpt_dir = ckpt_lib.resolve_checkpoint(
+            cfg.checkpoint, cfg.model, entity=cfg.wandb_entity,
+            project=cfg.wandb_project)
         params, restored_opt_state, _ = ckpt_lib.load_checkpoint(
             ckpt_dir, params, steps.opt.init(params), best=True)
         steps = steps._replace(params=params)

@@ -46,7 +46,6 @@ class SamplerTables(NamedTuple):
     class_rows: jnp.ndarray  # (C, max_count) int32
     class_counts: jnp.ndarray  # (C,) int32
     text_features: jnp.ndarray  # (C, E|T)
-    text_mask: Optional[jnp.ndarray]  # (C, T) or None
 
 
 def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
@@ -176,8 +175,6 @@ class DeviceEpisodeSampler:
             class_counts=jnp.asarray(class_set.class_counts,
                                      dtype=jnp.int32),
             text_features=jnp.asarray(class_set.text_features),
-            text_mask=(jnp.asarray(class_set.text_mask)
-                       if class_set.text_mask is not None else None),
         )
         if class_set.num_classes < spec.num_ways:
             raise ValueError(

@@ -89,7 +89,7 @@ class FewShotClassifier:
                 p_T, _ = jax.lax.scan(inner, p, None, length=n_steps)
                 return p_T
 
-            classify = jax.jit(lambda state, q: apply_fn(state, q))
+            classify = jax.jit(lambda p, state, q: apply_fn(state, q))
             return adapt_fn, classify
 
         if cfg.model == "fumi":
@@ -115,7 +115,7 @@ class FewShotClassifier:
                 return im_T, hyp_T
 
             @jax.jit
-            def classify(state, q):
+            def classify(p, state, q):
                 im_T, hyp_T = state
                 return model.im_forward(im_T, hyp_T, q,
                                         rng=jax.random.PRNGKey(0),
@@ -124,7 +124,6 @@ class FewShotClassifier:
 
         if cfg.model == "am3":
             model = self.family.model
-            params = self.params
 
             @jax.jit
             def adapt_fn(p, s_im, s_text, s_y, rng):
@@ -138,8 +137,11 @@ class FewShotClassifier:
                     im_e, tx_e, lam, s_y[None], cfg.num_ways)[0]
 
             @jax.jit
-            def classify(protos, q):
-                emb = model.encode_image(params, q[None])[0]
+            def classify(p, protos, q):
+                # params enter as an argument — baking self.params into the
+                # closure would silently pin query encoding to the params at
+                # build time even after a hot-swap of clf.params
+                emb = model.encode_image(p, q[None])[0]
                 return fewshot.prototype_logits(protos[None], emb[None])[0]
             return adapt_fn, classify
 
@@ -167,8 +169,8 @@ class FewShotClassifier:
         state = self._adapt_fn(self.params, support_im, support_text,
                                support_y, rng)
         self._state = (self.cfg.model, state)
-        serve_fn = self._serve_fn
-        self._classify_fn = lambda q: serve_fn(state, q)
+        serve_fn, params = self._serve_fn, self.params
+        self._classify_fn = lambda q: serve_fn(params, state, q)
 
     # ------------------------------------------------------------------
     def episode_logits(self, support_im, support_y, query_im,
@@ -187,7 +189,9 @@ class FewShotClassifier:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        if support_text is not None:
+        if support_text is None:
+            support_text = jnp.zeros((support_im.shape[0], 1), jnp.float32)
+        else:
             support_text = jnp.asarray(support_text)
         query_im = jnp.asarray(query_im)
 
@@ -214,10 +218,15 @@ class FewShotClassifier:
                                             s_im[None], s_y[None],
                                             q_im[None], n_steps, step)[0]
             else:
-                # fallback (AM3, conv4, short horizons, non-TPU): the
-                # stateful adapt+classify path, two dispatches
-                self.adapt(support_im, support_text, support_y, rng=rng)
-                return self.logits(query_im)
+                # fallback (AM3, conv4, short horizons, non-TPU): the same
+                # adapt/classify programs, two dispatches — WITHOUT touching
+                # the classifier's stateful adapted state (a one-call
+                # request must not clobber a prior adapt()'s state)
+                if getattr(self, "_adapt_fn", None) is None:
+                    self._adapt_fn, self._serve_fn = self._build_adapt_fns()
+                state = self._adapt_fn(self.params, support_im,
+                                       support_text, support_y, rng)
+                return self._serve_fn(self.params, state, query_im)
             self._episode_fn = jax.jit(fn)
         return self._episode_fn(self.params, support_im, support_y,
                                 query_im, support_text, rng)

@@ -50,28 +50,54 @@ def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
         shutil.copyfile(os.path.join(run_dir, "ckpt.meta.json"),
                         os.path.join(run_dir, "best.meta.json"))
 
+    _wandb_save(run_dir, is_best)
+
+
+def _wandb_save(run_dir: str, is_best: bool) -> None:
+    """Best-effort checkpoint upload to a live wandb run (the reference
+    wandb.saves both checkpoint files, ref: utils.py:406-419) — this is
+    what makes ``--checkpoint <run_path>`` restore round-trip."""
+    try:
+        import wandb
+        if getattr(wandb, "run", None) is None:
+            return
+        names = ["ckpt", "ckpt.meta.json"] + \
+            (["best", "best.meta.json"] if is_best else [])
+        for n in names:
+            p = os.path.join(run_dir, n)
+            glob = os.path.join(p, "**") if os.path.isdir(p) else p
+            wandb.save(glob, base_path=run_dir, policy="now")
+    except Exception:
+        pass  # logging-side failure must never kill a training step
+
 
 def resolve_checkpoint(checkpoint: str, model: str,
                        entity: str = "multimodal-image-cls",
+                       project: Optional[str] = None,
                        dest_root: str = "./checkpoints") -> str:
     """Resolve ``--checkpoint`` to a local run dir.
 
-    The reference pulls ``best.pth.tar`` from a wandb run path
-    ``multimodal-image-cls/{model}/{checkpoint}`` into
-    ``./checkpoints/{model}/{checkpoint}`` (ref: fumi/main.py:61-76). Here:
+    The reference pulls ``best.pth.tar`` from a wandb run path into
+    ``./checkpoints/{model}/{checkpoint}`` (ref: fumi/main.py:61-76). Note
+    the reference composes bare run ids as
+    ``multimodal-image-cls/{model}/{run_id}`` even though its own runs log
+    under ``args.wandb_entity/args.wandb_project`` — here bare ids compose
+    with the CONFIG's entity/project (``cfg.wandb_entity`` /
+    ``cfg.wandb_project``), so checkpoints this framework logged are
+    actually findable (documented deviation). Resolution:
 
     - an existing local directory is used as-is;
-    - otherwise the value is treated as a wandb run path — either the full
-      ``entity/project/run_id`` or a bare run id (composed with the
-      reference's entity and the model name as project) — and the run's
-      checkpoint files are downloaded into ``dest_root/{model}/{run_id}``.
+    - otherwise the value is a wandb run path — full
+      ``entity/project/run_id`` or a bare run id — and the run's
+      checkpoint files are downloaded into
+      ``dest_root/{entity}/{project}/{run_id}`` (full path in the key so
+      same-id runs under different projects cannot collide).
     """
     if os.path.isdir(checkpoint):
         return checkpoint
     run_path = (checkpoint if checkpoint.count("/") == 2
-                else f"{entity}/{model}/{checkpoint}")
-    run_id = run_path.rsplit("/", 1)[-1]
-    dest = os.path.join(dest_root, model, run_id)
+                else f"{entity}/{project or model}/{checkpoint}")
+    dest = os.path.join(dest_root, *run_path.split("/"))
     if os.path.isdir(os.path.join(dest, "best")) or \
             os.path.isdir(os.path.join(dest, "ckpt")):
         return dest  # already downloaded
@@ -105,6 +131,12 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
     """
     run_dir = os.path.abspath(run_dir)
     name = "best" if best else "ckpt"
+    if best and not os.path.isdir(os.path.join(run_dir, "best")) and \
+            os.path.isdir(os.path.join(run_dir, "ckpt")):
+        # a run checkpointed before any val improvement (or a wandb run
+        # that only uploaded ckpt/) has no best/ — fall back explicitly
+        print(f"no best/ under {run_dir}; loading ckpt/ instead")
+        name = "ckpt"
     path = os.path.join(run_dir, name)
     cp = _checkpointer()
     restored = cp.restore(

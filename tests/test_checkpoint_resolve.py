@@ -82,12 +82,27 @@ def test_bare_run_id_composes_reference_path(tmp_path, monkeypatch):
 
 
 def test_already_downloaded_skips_wandb(tmp_path, monkeypatch):
-    dest = tmp_path / "ckpts" / "fumi" / "zzz"
+    # dest is keyed by the FULL run path so same-id runs under different
+    # entities/projects cannot collide
+    dest = tmp_path / "ckpts" / "multimodal-image-cls" / "fumi" / "zzz"
     (dest / "best").mkdir(parents=True)
     # no fake wandb installed: resolution must not touch it
     out = resolve_checkpoint("zzz", "fumi",
                              dest_root=str(tmp_path / "ckpts"))
     assert out == str(dest)
+
+
+def test_bare_id_composes_with_config_entity_project(tmp_path, monkeypatch):
+    """Bare run ids compose with the CONFIG's entity/project (where this
+    framework's own runs actually log) — documented deviation from the
+    reference's hardcoded multimodal-image-cls/{model} (main.py:63)."""
+    files = [_FakeFile("best/checkpoint")]
+    seen = _install_fake_wandb(
+        monkeypatch, {"me/myproj/r1": _FakeRun(files)})
+    dest = resolve_checkpoint("r1", "fumi", entity="me", project="myproj",
+                              dest_root=str(tmp_path / "ckpts"))
+    assert seen["run_path"] == "me/myproj/r1"
+    assert dest.endswith(os.path.join("me", "myproj", "r1"))
 
 
 def test_unretrievable_is_actionable(tmp_path, monkeypatch):
@@ -104,3 +119,20 @@ def test_run_without_checkpoints_is_actionable(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError, match="no best/ or ckpt/"):
         resolve_checkpoint("empty", "fumi",
                            dest_root=str(tmp_path / "ckpts"))
+
+
+def test_load_checkpoint_falls_back_to_ckpt(tmp_path):
+    """A run dir with only ckpt/ (no val improvement yet, or a wandb run
+    that only uploaded ckpt/) loads explicitly instead of crashing."""
+    import jax
+    import numpy as np
+
+    from fumi_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    opt_state = {"m": np.zeros((2, 2), np.float32)}
+    save_checkpoint(str(tmp_path), params, opt_state, 3, 9.9, is_best=False)
+    assert not (tmp_path / "best").exists()
+    p, s, meta = load_checkpoint(str(tmp_path), params, opt_state, best=True)
+    np.testing.assert_array_equal(np.asarray(p["w"]), params["w"])
+    assert meta["batch_idx"] == 3

@@ -7,13 +7,14 @@ re-execs itself in a subprocess on a virtual CPU mesh
 (``JAX_PLATFORMS=cpu`` + ``--xla_force_host_platform_device_count``).
 """
 
+import os
 import sys
 
 import jax
 import pytest
 
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __graft_entry__ import (  # noqa: E402
     _dryrun_multichip_subprocess,
     dryrun_multichip,

@@ -160,3 +160,44 @@ def test_adapt_does_not_retrace_per_support_set():
     s_im2, s_tx2, s_y2, _ = episode_data(rng)
     clf.adapt(s_im2, s_tx2, s_y2)
     assert clf._adapt_fn is fn1  # same jitted program object
+
+
+def test_episode_logits_does_not_clobber_adapted_state():
+    """A one-call request must not overwrite the classifier's stateful
+    adapted state from a prior adapt()."""
+    rng = np.random.RandomState(5)
+    cfg = base_cfg("am3")  # fallback path on CPU touches adapt machinery
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+    clf.adapt(s_im, s_tx, s_y)
+    before = np.asarray(clf.classify(q_im))
+
+    s_im2, s_tx2, s_y2, q_im2 = episode_data(rng)
+    clf.episode_logits(s_im2, s_y2, q_im2, support_text=s_tx2)
+
+    after = np.asarray(clf.classify(q_im))
+    np.testing.assert_array_equal(before, after)
+
+
+def test_classify_tracks_hot_swapped_params():
+    """classify after a params hot-swap + re-adapt must use the NEW params
+    (a baked-at-build-time closure would silently keep the old ones)."""
+    rng = np.random.RandomState(6)
+    cfg = base_cfg("am3")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+    clf.adapt(s_im, s_tx, s_y)
+    old_logits = np.asarray(clf.logits(q_im))
+
+    # hot-swap params, re-adapt: logits must change and must equal a fresh
+    # classifier built directly on the new params
+    new_params = jax.tree_util.tree_map(lambda x: x * 1.5, clf.params)
+    clf.params = new_params
+    clf.adapt(s_im, s_tx, s_y)
+    swapped = np.asarray(clf.logits(q_im))
+    assert not np.allclose(swapped, old_logits)
+
+    fresh = FewShotClassifier(cfg, new_params)
+    fresh.adapt(s_im, s_tx, s_y)
+    np.testing.assert_allclose(swapped, np.asarray(fresh.logits(q_im)),
+                               rtol=1e-6)
