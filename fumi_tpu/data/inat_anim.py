@@ -45,6 +45,14 @@ DESCRIPTION_KEYS = {
 SPLITS = ("train", "val", "test")
 
 
+def dataset_root(data_dir: str) -> str:
+    """Resolve a --data_dir that either IS the dataset dir or contains an
+    ``iNat-Anim/`` subdirectory (both layouts appear in the wild)."""
+    nested = os.path.join(data_dir, "iNat-Anim")
+    return nested if os.path.isdir(nested) else data_dir
+
+
+
 def split_categories(num_categories: int, split: str,
                      seed: int = 0) -> np.ndarray:
     """The reference's category split (ref: data.py:377-393).
@@ -147,8 +155,7 @@ def load_inat_anim(data_dir: str,
                    image_embedding_model: str = "resnet-152",
                    image_dtype=np.float32) -> InatAnimData:
     """Build all three splits. One pass; returns dense tables."""
-    root = os.path.join(data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(data_dir, "iNat-Anim")) else data_dir
+    root = dataset_root(data_dir)
     json_path = os.path.join(root, json_name)
     with open(json_path) as f:
         annotations = json.load(f)
@@ -221,8 +228,7 @@ def build_bert_artifact(data_dir: str,
                         remove_stop_words: bool = False) -> str:
     """Offline step: precompute + cache BERT text embeddings for ALL
     categories. Returns the artifact path."""
-    root = os.path.join(data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(data_dir, "iNat-Anim")) else data_dir
+    root = dataset_root(data_dir)
     with open(os.path.join(root, json_name)) as f:
         annotations = json.load(f)
     cats = np.arange(len(annotations["categories"]))

@@ -58,11 +58,9 @@ def cmd_inspect(args) -> int:
 
     import numpy as np
 
-    from fumi_tpu.data.inat_anim import (category_image_map,
+    from fumi_tpu.data.inat_anim import (category_image_map, dataset_root,
                                          split_categories)
-    root = os.path.join(args.data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(args.data_dir, "iNat-Anim")) \
-        else args.data_dir
+    root = dataset_root(args.data_dir)
     json_path = os.path.join(root, "inat_anim.json")
     if not os.path.exists(json_path):
         print(f"no inat_anim.json under {root}")

@@ -22,9 +22,11 @@ ref: common.py:180-194, fumi_tpu.models.text_encoders.embedding_weights).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Mapping, Optional, Set
+from typing import Dict, Mapping, Optional, Set
 
 import numpy as np
+
+from fumi_tpu.data.inat_anim import DESCRIPTION_KEYS, dataset_root
 
 # encoder kind -> vector set tag. RNN/RNNhid use glove vectors in the
 # reference (am3.py:63, fumi.py:59); only ``w2v`` uses word2vec.
@@ -99,10 +101,8 @@ def dataset_word_set(data_dir: str,
     import json
 
     from fumi_tpu.data import vocab
-    from fumi_tpu.data.inat_anim import DESCRIPTION_KEYS
 
-    root = os.path.join(data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(data_dir, "iNat-Anim")) else data_dir
+    root = dataset_root(data_dir)
     with open(os.path.join(root, json_name)) as f:
         annotations = json.load(f)
     words: Set[str] = set()
@@ -126,9 +126,7 @@ def build_vectors_artifact(src: str, kind: str, data_dir: str,
         raise ValueError(
             f"no vectors parsed from {src} (wrong format, or none of its "
             "words appear in the dataset vocabulary)")
-    root = os.path.join(data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(data_dir, "iNat-Anim")) else data_dir
-    path = artifact_path(root, kind)
+    path = artifact_path(dataset_root(data_dir), kind)
     words = np.asarray(list(vecs.keys()))
     matrix = np.stack([vecs[w] for w in words]).astype(np.float32)
     np.savez_compressed(path, words=words, vectors=matrix)
@@ -150,9 +148,7 @@ def vectors_for_encoder(text_encoder: str, data_dir: str,
     kind = KIND_FOR_ENCODER.get(text_encoder)
     if kind is None:
         return None
-    root = os.path.join(data_dir, "iNat-Anim") \
-        if os.path.isdir(os.path.join(data_dir, "iNat-Anim")) else data_dir
-    path = artifact_path(root, kind)
+    path = artifact_path(dataset_root(data_dir), kind)
     if not os.path.exists(path):
         if not required:
             return None

@@ -195,15 +195,13 @@ class FewShotClassifier:
             support_text = jnp.asarray(support_text)
         query_im = jnp.asarray(query_im)
 
-        from fumi_tpu.ops.pallas_kernels import (fused_adapt_supported,
-                                                 fused_fumi_adapt,
-                                                 fused_maml_adapt)
-        fused_ok = (cfg.model in ("maml", "fumi")
-                    and cfg.im_encoder != "conv4"
-                    and fused_adapt_supported(cfg.im_hid_dim,
-                                              cfg.num_test_adapt_steps))
-
         if self._episode_fn is None:
+            from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
+                                                     fused_fumi_adapt,
+                                                     fused_maml_adapt)
+            fused_ok = fused_adapt_applicable(
+                cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+                cfg.num_test_adapt_steps)
             n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
             if cfg.model == "maml" and fused_ok:
                 def fn(p, s_im, s_y, q_im, s_text, k):

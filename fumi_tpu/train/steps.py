@@ -71,12 +71,13 @@ def _make_text_encoder(cfg: Config, key, dictionary):
 
 
 def _use_fused_eval(cfg: Config) -> bool:
-    """Gate for the fused Pallas eval-adaptation kernel: default path on
-    TPU for 2-hidden-layer stacks and long horizons (measured 1.8x on the
-    100-step protocol; docs/PERFORMANCE.md)."""
-    from fumi_tpu.ops.pallas_kernels import fused_adapt_supported
-    return cfg.pallas_fused_eval and fused_adapt_supported(
-        cfg.im_hid_dim, cfg.num_test_adapt_steps)
+    """Gate for the fused Pallas eval-adaptation kernel in the eval
+    harness: opt-in (--tpu_pallas_fused_eval) AND covered by the kernel
+    (fused_adapt_applicable; numbers in docs/PERFORMANCE.md)."""
+    from fumi_tpu.ops.pallas_kernels import fused_adapt_applicable
+    return cfg.pallas_fused_eval and fused_adapt_applicable(
+        cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+        cfg.num_test_adapt_steps)
 
 
 def _eval_raw_from_logits(logits, episode):
@@ -122,7 +123,7 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         return {"loss": loss, "acc": aux["acc"], "preds": aux["preds"],
                 "targets": episode.query_y}
 
-    if _use_fused_eval(cfg) and cfg.im_encoder != "conv4":
+    if _use_fused_eval(cfg):
         from fumi_tpu.ops.pallas_kernels import fused_maml_adapt
 
         def eval_raw(p, episode, rng):  # noqa: F811 — fused fast path
