@@ -128,6 +128,10 @@ class Config:
     im_channels: int = 3
     debug_nans: bool = False
     profile_dir: Optional[str] = None
+    # Non-finite-update guard: >0 wraps the optimizer in
+    # optax.apply_if_finite(n) — a NaN/inf meta-gradient skips the update
+    # instead of poisoning params, erroring after n consecutive bad steps.
+    skip_nonfinite: int = 0
 
     # ------------------------------------------------------------------
     @property
@@ -280,6 +284,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_compute_dtype", type=str, default="float32")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
+    p.add_argument("--tpu_skip_nonfinite", type=int, default=0,
+                   help="skip non-finite meta-updates; abort after N "
+                        "consecutive bad steps (0 = off)")
     p.add_argument("--tpu_im_size", type=int, default=84)
     p.add_argument("--tpu_im_channels", type=int, default=3)
     p.add_argument("--tpu_debug_nans", action="store_true")
@@ -347,6 +354,7 @@ def config_from_args(argv=None) -> Config:
         pallas_fused_eval=args.tpu_pallas_fused_eval,
         compute_dtype=args.tpu_compute_dtype,
         prng_impl=args.tpu_prng_impl,
+        skip_nonfinite=args.tpu_skip_nonfinite,
         im_size=args.tpu_im_size,
         im_channels=args.tpu_im_channels,
         debug_nans=args.tpu_debug_nans,

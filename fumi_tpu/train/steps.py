@@ -306,9 +306,17 @@ def make_opt(cfg: Config) -> optax.GradientTransformation:
     # scheduler quirk: only AM3 steps the lr schedule (ref: am3.py:195-196;
     # fumi.py:230-235 unpacks but never steps it)
     from fumi_tpu.train.optim import init_optim
-    return init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
-                      cfg.num_warmup_steps, cfg.epochs,
-                      schedule_active=(cfg.model == "am3"))
+    opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
+                     cfg.num_warmup_steps, cfg.epochs,
+                     schedule_active=(cfg.model == "am3"))
+    if cfg.skip_nonfinite > 0:
+        # production guard: a non-finite meta-gradient (dead episode, fp
+        # blow-up in a long second-order chain) skips the update instead
+        # of poisoning the params; aborts after N consecutive bad steps.
+        # Opt-in — the reference has no equivalent (it would silently
+        # write NaNs into the model, SURVEY §5.2).
+        opt = optax.apply_if_finite(opt, cfg.skip_nonfinite)
+    return opt
 
 
 def steps_from_family(family: Family, opt: optax.GradientTransformation

@@ -202,3 +202,35 @@ def test_per_layer_grad_norms_logged():
     total = float(m["grad_norm"])
     recon = np.sqrt(sum(v ** 2 for v in per_layer.values()))
     np.testing.assert_allclose(recon, total, rtol=1e-5)
+
+
+def test_skip_nonfinite_guard():
+    """--tpu_skip_nonfinite: a NaN meta-gradient leaves params untouched
+    (optax.apply_if_finite), a finite one updates normally."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import make_opt
+
+    cfg = Config(model="maml", skip_nonfinite=5, lr=1e-2, optim="adam")
+    opt = make_opt(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+    updates, state = opt.update(bad, state, params)
+    p_after_bad = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(p_after_bad["w"]),
+                                  np.asarray(params["w"]))
+
+    good = {"w": jnp.ones((3,))}
+    updates, state = opt.update(good, state, p_after_bad)
+    p_after_good = optax.apply_updates(p_after_bad, updates)
+    assert not np.allclose(np.asarray(p_after_good["w"]),
+                           np.asarray(p_after_bad["w"]))
+
+    # guard off by default: Config().skip_nonfinite == 0 -> raw optimizer
+    assert Config(model="maml").skip_nonfinite == 0
