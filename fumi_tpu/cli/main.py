@@ -232,13 +232,20 @@ def main(cfg: Config) -> dict:
     steps = make_steps(cfg, k_model, dictionary)
     n_dev = len(jax.devices())
     mesh = None
-    dp = cfg.mesh_dp
+    dp, mp = cfg.mesh_dp, cfg.mesh_mp
     if dp == 0 and n_dev > 1:
-        # auto: the largest dp that divides the meta-batch and fits devices
-        dp = mesh_lib.auto_dp(cfg.batch_size, n_dev)
-    if dp > 1:
+        # auto: the largest dp that divides the meta-batch and fits the
+        # devices left over by the model axis
+        dp = mesh_lib.auto_dp(cfg.batch_size, max(1, n_dev // mp))
+    if mp > 1:
+        # 2-D declarative engine: wide weights sharded over mp, episodes
+        # over dp (fumi_tpu/parallel/pjit_engine.py)
+        from fumi_tpu.parallel.pjit_engine import make_pjit_steps
+        mesh = mesh_lib.make_mesh(max(dp, 1), mp)
+        steps = make_pjit_steps(cfg, k_model, mesh, dictionary)
+    elif dp > 1:
         from fumi_tpu.parallel import make_parallel_steps
-        mesh = mesh_lib.make_mesh(dp, cfg.mesh_mp)
+        mesh = mesh_lib.make_mesh(dp, 1)
         steps = make_parallel_steps(cfg, k_model, mesh, dictionary)
 
     train_s, val_s, test_s = _samplers(cfg, splits, image_table, image_ids)

@@ -44,7 +44,8 @@ class Config:
     checkpoint: Optional[str] = None
     log_dir: str = "./results"
     remove_stop_words: bool = False
-    colab: bool = False
+    colab: bool = False  # CLI parity; the ref's Colab-path h5 copy
+    #                      (data.py:421-426) has no TPU counterpart
 
     # optimizer config (ref: utils.py:55-77)
     epochs: int = 50000  # number of meta-batches for episodic models

@@ -108,3 +108,114 @@ def make_pjit_steps(cfg: Config, key: jax.Array, mesh: Mesh,
     train_step.place_params = place_params  # type: ignore[attr-defined]
     train_step.place_episode = place_episode  # type: ignore[attr-defined]
     return steps
+
+
+def make_pjit_chunked_train(cfg: Config, family: Family,
+                            opt: optax.GradientTransformation,
+                            sampler, mesh: Mesh, chunk: int):
+    """Chunked (scan) driver for the 2-D declarative engine: `chunk` fused
+    sample+train steps per dispatch with sharding constraints inside the
+    scan body — wide weights stay sharded over ``mp`` across the whole
+    chunk, episodes shard over ``dp``, XLA inserts the ICI collectives.
+    Same contract as fumi_tpu.train.steps.make_chunked_train."""
+    import functools
+
+    from fumi_tpu.data.sampler import sample_episode
+    from fumi_tpu.train.steps import _train_metrics
+
+    dp = mesh.shape[DP_AXIS]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+
+    p_specs = param_pspecs(family.params, mesh)
+    p_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), p_specs)
+    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
+    tables_rep = jax.device_put(
+        sampler.tables, NamedSharding(mesh, P()))
+    spec = sampler.spec
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run(params, opt_state, key, tables, n_steps):
+        params = jax.lax.with_sharding_constraint(params, p_shardings)
+
+        def body(carry, _):
+            p, s, k = carry
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sample_episode(tables, spec, k_s)
+            episode = jax.lax.with_sharding_constraint(
+                episode, jax.tree_util.tree_map(lambda _: ep_sharding,
+                                                episode))
+            (loss, aux), grads = jax.value_and_grad(
+                family.train_loss, has_aux=True)(p, episode, k_step)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            p = jax.lax.with_sharding_constraint(p, p_shardings)
+            m = _train_metrics(family, loss, aux, episode, grads)
+            m = {k2: v for k2, v in m.items()
+                 if getattr(v, "ndim", 1) == 0}
+            return (p, s, k), m
+
+        (params, opt_state, key), ms = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps)
+        return params, opt_state, key, ms
+
+    def wrapper(params, opt_state, key, n=chunk):
+        return run(params, opt_state, key, tables_rep, n)
+
+    return wrapper
+
+
+def make_pjit_chunked_eval(cfg: Config, family: Family, sampler,
+                           mesh: Mesh, collect: bool = False):
+    """Chunked eval for the 2-D engine. Artifact collection (per-query
+    preds/ids) rides along like the serial driver's; metrics are computed
+    on the global batch (no per-shard reductions needed — XLA handles the
+    sharded compute)."""
+    import functools
+
+    from fumi_tpu.data.sampler import sample_episode
+
+    dp = mesh.shape[DP_AXIS]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+
+    p_specs = param_pspecs(family.params, mesh)
+    p_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), p_specs)
+    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
+    tables_rep = jax.device_put(sampler.tables, NamedSharding(mesh, P()))
+    spec = sampler.spec
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_jit(params, key, tables, n_steps):
+        params = jax.lax.with_sharding_constraint(params, p_shardings)
+
+        def body(k, _):
+            k, k_s, k_step = jax.random.split(k, 3)
+            episode = sample_episode(tables, spec, k_s)
+            episode = jax.lax.with_sharding_constraint(
+                episode, jax.tree_util.tree_map(lambda _: ep_sharding,
+                                                episode))
+            out = family.eval_finalize(family.eval_raw(params, episode,
+                                                       k_step))
+            scalars = {kk: v for kk, v in out.items()
+                       if getattr(v, "ndim", 1) == 0}
+            if collect:
+                for kk in ("preds", "targets", "lamda"):
+                    if kk in out:
+                        scalars[kk] = out[kk]
+                scalars["query_idx"] = episode.query_ids
+                scalars["support_idx"] = episode.support_ids
+            return k, scalars
+
+        key, ms = jax.lax.scan(body, key, None, length=n_steps)
+        return key, ms
+
+    def run(params, key, n):
+        _, ms = run_jit(params, key, tables_rep, n)
+        return key, ms
+
+    return run

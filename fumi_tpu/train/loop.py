@@ -67,6 +67,11 @@ from fumi_tpu.data.sampler import sample_episode as _sample_episode
 _jitted_sample = jax.jit(_sample_episode, static_argnums=(1,))
 
 
+def _mesh_mp(mesh) -> int:
+    from fumi_tpu.core.mesh import MP_AXIS
+    return int(mesh.shape.get(MP_AXIS, 1))
+
+
 def _chunked_eval_fn(cfg, steps, sampler, collect):
     key = (id(steps.family), id(sampler), bool(collect),
            id(steps.mesh) if steps.mesh is not None else None)
@@ -74,7 +79,11 @@ def _chunked_eval_fn(cfg, steps, sampler, collect):
     if entry is not None:
         fn, _refs = entry
         return fn
-    if steps.mesh is not None:
+    if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
+        from fumi_tpu.parallel.pjit_engine import make_pjit_chunked_eval
+        fn = make_pjit_chunked_eval(cfg, steps.family, sampler,
+                                    steps.mesh, collect=collect)
+    elif steps.mesh is not None:
         from fumi_tpu.parallel.engine import make_parallel_chunked_eval
         fn = make_parallel_chunked_eval(cfg, steps.family, sampler,
                                         steps.mesh, collect=collect)
@@ -178,7 +187,14 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
                    and steps.family is not None)
     if device_path:
-        if steps.mesh is not None:
+        if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
+            # 2-D (dp × mp) declarative engine: wide weights sharded over
+            # mp, episodes over dp, XLA-inserted collectives
+            from fumi_tpu.parallel.pjit_engine import make_pjit_chunked_train
+            chunked = make_pjit_chunked_train(
+                cfg, steps.family, steps.opt, train_sampler, steps.mesh,
+                CHUNK)
+        elif steps.mesh is not None:
             from fumi_tpu.parallel.engine import make_parallel_chunked_train
             chunked = make_parallel_chunked_train(
                 cfg, steps.family, steps.opt, train_sampler, steps.mesh,
