@@ -47,6 +47,7 @@ class FewShotClassifier:
         self._state = None  # adapted params / prototypes
         self._classify_fn = None
         self._episode_fn = None  # one-call adapt+classify (episode_logits)
+        self._episode_batch_fn = None  # R-episode batched request path
         self._adapt_fn = None  # cached jitted adaptation program
         self._serve_fn = None  # cached jitted classify program
 
@@ -228,6 +229,65 @@ class FewShotClassifier:
             self._episode_fn = jax.jit(fn)
         return self._episode_fn(self.params, support_im, support_y,
                                 query_im, support_text, rng)
+
+    def episode_logits_batch(self, support_im, support_y, query_im,
+                             support_text=None,
+                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Batched request path: R independent episodes adapted AND
+        classified in one dispatch — support_im (R, NK, D), support_y
+        (R, NK), query_im (R, M, D) → (R, M, N) logits. Amortizes the
+        per-dispatch RPC cost across the whole request batch; MAML/FuMI
+        use the fused kernel's task axis directly, other configs vmap the
+        cached adapt/classify programs."""
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        R = support_im.shape[0]
+        if support_text is None:
+            support_text = jnp.zeros((R, support_im.shape[1], 1),
+                                     jnp.float32)
+        else:
+            support_text = jnp.asarray(support_text)
+        query_im = jnp.asarray(query_im)
+
+        if self._episode_batch_fn is None:
+            from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
+                                                     fused_fumi_adapt,
+                                                     fused_maml_adapt)
+            fused_ok = fused_adapt_applicable(
+                cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+                cfg.num_test_adapt_steps)
+            n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
+            if cfg.model == "maml" and fused_ok:
+                def fn(p, s_im, s_y, q_im, s_text, k):
+                    return fused_maml_adapt(p, s_im, s_y, q_im,
+                                            n_steps, step)
+            elif cfg.model == "fumi" and fused_ok:
+                model = self.family.model
+
+                def fn(p, s_im, s_y, q_im, s_text, k):
+                    ks = jax.random.split(k, s_im.shape[0])
+                    hyper0 = jax.vmap(
+                        lambda t, y, kk: model.get_hyper_params(
+                            p, t, y, rng=kk))(s_text, s_y, ks)
+                    return fused_fumi_adapt(p["im_net"], hyper0, s_im,
+                                            s_y, q_im, n_steps, step)
+            else:
+                if getattr(self, "_adapt_fn", None) is None:
+                    self._adapt_fn, self._serve_fn = self._build_adapt_fns()
+                adapt_fn, serve_fn = self._adapt_fn, self._serve_fn
+
+                def fn(p, s_im, s_y, q_im, s_text, k):
+                    ks = jax.random.split(k, s_im.shape[0])
+                    states = jax.vmap(
+                        adapt_fn, in_axes=(None, 0, 0, 0, 0))(
+                            p, s_im, s_text, s_y, ks)
+                    return jax.vmap(serve_fn, in_axes=(None, 0, 0))(
+                        p, states, q_im)
+            self._episode_batch_fn = jax.jit(fn)
+        return self._episode_batch_fn(self.params, support_im, support_y,
+                                      query_im, support_text, rng)
 
     def logits(self, query_im) -> jnp.ndarray:
         if self._classify_fn is None:

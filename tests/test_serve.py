@@ -201,3 +201,31 @@ def test_classify_tracks_hot_swapped_params():
     fresh.adapt(s_im, s_tx, s_y)
     np.testing.assert_allclose(swapped, np.asarray(fresh.logits(q_im)),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_episode_logits_batch_matches_single(model):
+    """The R-episode batched request path predicts identically to R
+    independent one-call requests (per-episode rng streams match the
+    batched split)."""
+    rng = np.random.RandomState(7)
+    cfg = base_cfg(model)
+    R = 3
+    eps = [episode_data(rng) for _ in range(R)]
+    s_im = np.stack([e[0] for e in eps])
+    s_tx = np.stack([e[1] for e in eps])
+    s_y = np.stack([e[2] for e in eps])
+    q_im = np.stack([e[3] for e in eps])
+
+    clf = FewShotClassifier(cfg, None)
+    key = jax.random.PRNGKey(9)
+    batched = clf.episode_logits_batch(s_im, s_y, q_im, support_text=s_tx,
+                                       rng=key)
+    batched_preds = np.asarray(jnp.argmax(batched, -1))
+
+    ks = jax.random.split(key, R)
+    for r in range(R):
+        single = clf.episode_logits(s_im[r], s_y[r], q_im[r],
+                                    support_text=s_tx[r], rng=ks[r])
+        np.testing.assert_array_equal(
+            batched_preds[r], np.asarray(jnp.argmax(single, -1)))
