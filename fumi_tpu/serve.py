@@ -35,6 +35,11 @@ from fumi_tpu.ops import fewshot
 from fumi_tpu.train.steps import build_family
 
 
+def _stack_keys(keys):
+    """Stack PRNG keys into a (R,) key batch (typed and raw uint32 alike)."""
+    return jnp.stack(keys)
+
+
 class FewShotClassifier:
     """Adapt-once / classify-many wrapper over a trained model."""
 
@@ -46,8 +51,7 @@ class FewShotClassifier:
         self.params = params if params is not None else self.family.params
         self._state = None  # adapted params / prototypes
         self._classify_fn = None
-        self._episode_fn = None  # one-call adapt+classify (episode_logits)
-        self._episode_batch_fn = None  # R-episode batched request path
+        self._episode_fn = None  # shared per-request program (episode_logits[_batch])
         self._adapt_fn = None  # cached jitted adaptation program
         self._serve_fn = None  # cached jitted classify program
 
@@ -174,19 +178,68 @@ class FewShotClassifier:
         self._classify_fn = lambda q: serve_fn(params, state, q)
 
     # ------------------------------------------------------------------
+    # Per-request episode path: adapt on a request's own support set AND
+    # classify its queries in one dispatch (few-shot-as-a-service).
+    # One shared program serves both the single-episode and the batched
+    # form: it takes the episode batch with a LEADING request axis plus
+    # per-episode PRNG keys as an argument, so the single call is exactly
+    # the R=1 view and the two paths cannot drift apart.
+
+    def _build_episode_fn(self):
+        """jitted fn(p, s_im (R,NK,D), s_y (R,NK), q_im (R,M,D),
+        s_text (R,NK,E|T), keys (R,)) -> (R, M, N) logits."""
+        cfg = self.cfg
+        from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
+                                                 fused_fumi_adapt,
+                                                 fused_maml_adapt)
+        fused_ok = fused_adapt_applicable(
+            cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+            cfg.num_test_adapt_steps)
+        n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
+
+        if cfg.model == "maml" and fused_ok:
+            def fn(p, s_im, s_y, q_im, s_text, keys):
+                return fused_maml_adapt(p, s_im, s_y, q_im, n_steps, step)
+        elif cfg.model == "fumi" and fused_ok:
+            model = self.family.model
+
+            def fn(p, s_im, s_y, q_im, s_text, keys):
+                hyper0 = jax.vmap(
+                    lambda t, y, k: model.get_hyper_params(p, t, y, rng=k)
+                )(s_text, s_y, keys)
+                return fused_fumi_adapt(p["im_net"], hyper0, s_im, s_y,
+                                        q_im, n_steps, step)
+        else:
+            # fallback (AM3, conv4, short horizons, non-TPU): vmap the
+            # cached adapt/classify programs over the request axis
+            if getattr(self, "_adapt_fn", None) is None:
+                self._adapt_fn, self._serve_fn = self._build_adapt_fns()
+            adapt_fn, serve_fn = self._adapt_fn, self._serve_fn
+
+            def fn(p, s_im, s_y, q_im, s_text, keys):
+                states = jax.vmap(
+                    adapt_fn, in_axes=(None, 0, 0, 0, 0))(
+                        p, s_im, s_text, s_y, keys)
+                return jax.vmap(serve_fn, in_axes=(None, 0, 0))(
+                    p, states, q_im)
+        return jax.jit(fn)
+
+    def _episode_request(self, s_im, s_y, q_im, s_text, keys):
+        if self._episode_fn is None:
+            self._episode_fn = self._build_episode_fn()
+        return self._episode_fn(self.params, s_im, s_y, q_im, s_text, keys)
+
     def episode_logits(self, support_im, support_y, query_im,
                        support_text=None,
                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """One-call request path: adapt on this support set AND classify
-        these queries in a single dispatch (few-shot-as-a-service, where
-        every request carries its own episode).
+        these queries in a single dispatch.
 
         Latency-bound, so MAML/FuMI use the fused Pallas adaptation kernel
         where supported — the whole n-step inner loop in one grid program,
         1.8x lower latency than the scan engine at the 100-step protocol
         (1.41 vs 2.58 ms; docs/PERFORMANCE.md). Returns (M, N) logits.
         """
-        cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
@@ -195,51 +248,27 @@ class FewShotClassifier:
         else:
             support_text = jnp.asarray(support_text)
         query_im = jnp.asarray(query_im)
-
-        if self._episode_fn is None:
-            from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
-                                                     fused_fumi_adapt,
-                                                     fused_maml_adapt)
-            fused_ok = fused_adapt_applicable(
-                cfg.model, cfg.im_encoder, cfg.im_hid_dim,
-                cfg.num_test_adapt_steps)
-            n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
-            if cfg.model == "maml" and fused_ok:
-                def fn(p, s_im, s_y, q_im, s_text, k):
-                    return fused_maml_adapt(p, s_im[None], s_y[None],
-                                            q_im[None], n_steps, step)[0]
-            elif cfg.model == "fumi" and fused_ok:
-                model = self.family.model
-
-                def fn(p, s_im, s_y, q_im, s_text, k):
-                    hyper0 = model.get_hyper_params(p, s_text, s_y, rng=k)
-                    return fused_fumi_adapt(p["im_net"], hyper0[None],
-                                            s_im[None], s_y[None],
-                                            q_im[None], n_steps, step)[0]
-            else:
-                # fallback (AM3, conv4, short horizons, non-TPU): the same
-                # adapt/classify programs, two dispatches — WITHOUT touching
-                # the classifier's stateful adapted state (a one-call
-                # request must not clobber a prior adapt()'s state)
-                if getattr(self, "_adapt_fn", None) is None:
-                    self._adapt_fn, self._serve_fn = self._build_adapt_fns()
-                state = self._adapt_fn(self.params, support_im,
-                                       support_text, support_y, rng)
-                return self._serve_fn(self.params, state, query_im)
-            self._episode_fn = jax.jit(fn)
-        return self._episode_fn(self.params, support_im, support_y,
-                                query_im, support_text, rng)
+        # the R=1 view of the shared program; this episode's key is rng
+        # itself (batched requests draw split(rng, R) instead)
+        return self._episode_request(
+            support_im[None], support_y[None], query_im[None],
+            support_text[None], _stack_keys([rng]))[0]
 
     def episode_logits_batch(self, support_im, support_y, query_im,
                              support_text=None,
                              rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """Batched request path: R independent episodes adapted AND
         classified in one dispatch — support_im (R, NK, D), support_y
-        (R, NK), query_im (R, M, D) → (R, M, N) logits. Amortizes the
-        per-dispatch RPC cost across the whole request batch; MAML/FuMI
-        use the fused kernel's task axis directly, other configs vmap the
-        cached adapt/classify programs."""
-        cfg = self.cfg
+        (R, NK), query_im (R, M, D) -> (R, M, N) logits. Amortizes the
+        per-dispatch RPC cost across the whole request batch (measured
+        2.6x the single-call throughput at R=16; docs/PERFORMANCE.md).
+        Episode r uses PRNG key ``split(rng, R)[r]``.
+
+        R is padded up to the next power of two internally (repeating the
+        last episode) so variable-size request batches hit a handful of
+        compiled programs instead of retracing per distinct R — a retrace
+        costs seconds on a tunneled runtime vs ~ms steady-state.
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
@@ -250,44 +279,19 @@ class FewShotClassifier:
         else:
             support_text = jnp.asarray(support_text)
         query_im = jnp.asarray(query_im)
+        keys = jax.random.split(rng, R)
 
-        if self._episode_batch_fn is None:
-            from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
-                                                     fused_fumi_adapt,
-                                                     fused_maml_adapt)
-            fused_ok = fused_adapt_applicable(
-                cfg.model, cfg.im_encoder, cfg.im_hid_dim,
-                cfg.num_test_adapt_steps)
-            n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
-            if cfg.model == "maml" and fused_ok:
-                def fn(p, s_im, s_y, q_im, s_text, k):
-                    return fused_maml_adapt(p, s_im, s_y, q_im,
-                                            n_steps, step)
-            elif cfg.model == "fumi" and fused_ok:
-                model = self.family.model
-
-                def fn(p, s_im, s_y, q_im, s_text, k):
-                    ks = jax.random.split(k, s_im.shape[0])
-                    hyper0 = jax.vmap(
-                        lambda t, y, kk: model.get_hyper_params(
-                            p, t, y, rng=kk))(s_text, s_y, ks)
-                    return fused_fumi_adapt(p["im_net"], hyper0, s_im,
-                                            s_y, q_im, n_steps, step)
-            else:
-                if getattr(self, "_adapt_fn", None) is None:
-                    self._adapt_fn, self._serve_fn = self._build_adapt_fns()
-                adapt_fn, serve_fn = self._adapt_fn, self._serve_fn
-
-                def fn(p, s_im, s_y, q_im, s_text, k):
-                    ks = jax.random.split(k, s_im.shape[0])
-                    states = jax.vmap(
-                        adapt_fn, in_axes=(None, 0, 0, 0, 0))(
-                            p, s_im, s_text, s_y, ks)
-                    return jax.vmap(serve_fn, in_axes=(None, 0, 0))(
-                        p, states, q_im)
-            self._episode_batch_fn = jax.jit(fn)
-        return self._episode_batch_fn(self.params, support_im, support_y,
-                                      query_im, support_text, rng)
+        r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
+        if r_pad != R:
+            pad = r_pad - R
+            tile = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            support_im, support_y = tile(support_im), tile(support_y)
+            support_text, query_im = tile(support_text), tile(query_im)
+            keys = tile(keys)
+        out = self._episode_request(support_im, support_y, query_im,
+                                    support_text, keys)
+        return out[:R]
 
     def logits(self, query_im) -> jnp.ndarray:
         if self._classify_fn is None:

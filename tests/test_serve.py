@@ -229,3 +229,85 @@ def test_episode_logits_batch_matches_single(model):
                                     support_text=s_tx[r], rng=ks[r])
         np.testing.assert_array_equal(
             batched_preds[r], np.asarray(jnp.argmax(single, -1)))
+
+
+def test_episode_logits_batch_rng_contract_rand_encoder():
+    """The documented rng contract — batched(K)[r] == single(split(K,R)[r])
+    — asserted on LOGITS with an rng-SENSITIVE config (fumi + 'rand' text
+    encoder, which resamples noise from the key)."""
+    rng = np.random.RandomState(8)
+    cfg = base_cfg("fumi", text_encoder="rand")
+    R = 2
+    eps = [episode_data(rng) for _ in range(R)]
+    s_im = np.stack([e[0] for e in eps])
+    s_tx = np.stack([e[1] for e in eps])
+    s_y = np.stack([e[2] for e in eps])
+    q_im = np.stack([e[3] for e in eps])
+
+    clf = FewShotClassifier(cfg, None)
+    key = jax.random.PRNGKey(11)
+    batched = np.asarray(clf.episode_logits_batch(
+        s_im, s_y, q_im, support_text=s_tx, rng=key))
+    # rng actually matters: a different key gives different logits
+    other = np.asarray(clf.episode_logits_batch(
+        s_im, s_y, q_im, support_text=s_tx, rng=jax.random.PRNGKey(12)))
+    assert not np.allclose(batched, other)
+
+    ks = jax.random.split(key, R)
+    for r in range(R):
+        single = np.asarray(clf.episode_logits(
+            s_im[r], s_y[r], q_im[r], support_text=s_tx[r], rng=ks[r]))
+        np.testing.assert_allclose(batched[r], single, rtol=1e-6, atol=1e-6)
+
+
+def test_episode_logits_batch_pads_to_power_of_two():
+    """Variable R hits a handful of compiled programs: R=3 pads to 4
+    internally, the padding is sliced away, and R=3/R=4 share one jitted
+    program (no per-R retrace)."""
+    rng = np.random.RandomState(9)
+    cfg = base_cfg("am3")
+    clf = FewShotClassifier(cfg, None)
+    eps = [episode_data(rng) for _ in range(4)]
+    s_im = np.stack([e[0] for e in eps])
+    s_tx = np.stack([e[1] for e in eps])
+    s_y = np.stack([e[2] for e in eps])
+    q_im = np.stack([e[3] for e in eps])
+
+    out4 = np.asarray(clf.episode_logits_batch(s_im, s_y, q_im,
+                                               support_text=s_tx))
+    out3 = np.asarray(clf.episode_logits_batch(s_im[:3], s_y[:3], q_im[:3],
+                                               support_text=s_tx[:3]))
+    assert out3.shape[0] == 3
+    # same jitted program serves both (padding, not retracing)
+    assert clf._episode_fn._cache_size() == 1
+
+
+def test_episode_logits_fused_glue_interpret(monkeypatch):
+    """The fused MAML/FuMI branches of the request path (unreachable on
+    CPU by default) exercised via interpret-mode kernels: forcing the
+    applicability gate on must reproduce the fallback path's predictions."""
+    import functools
+
+    from fumi_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(10)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+
+    for model in ("maml", "fumi"):
+        cfg = base_cfg(model, num_test_adapt_steps=10)
+        ref = FewShotClassifier(cfg, None)  # fallback (gate off on CPU)
+        want = np.asarray(jnp.argmax(
+            ref.episode_logits(s_im, s_y, q_im, support_text=s_tx), -1))
+
+        monkeypatch.setattr(pk, "fused_adapt_applicable",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(pk, "fused_maml_adapt", functools.partial(
+            pk.fused_maml_adapt, interpret=True))
+        monkeypatch.setattr(pk, "fused_fumi_adapt", functools.partial(
+            pk.fused_fumi_adapt, interpret=True))
+        fused = FewShotClassifier(cfg, jax.tree_util.tree_map(
+            lambda x: x, ref.params))
+        got = np.asarray(jnp.argmax(
+            fused.episode_logits(s_im, s_y, q_im, support_text=s_tx), -1))
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want)
