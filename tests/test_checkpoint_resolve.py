@@ -136,3 +136,41 @@ def test_load_checkpoint_falls_back_to_ckpt(tmp_path):
     p, s, meta = load_checkpoint(str(tmp_path), params, opt_state, best=True)
     np.testing.assert_array_equal(np.asarray(p["w"]), params["w"])
     assert meta["batch_idx"] == 3
+
+
+def test_save_checkpoint_uploads_to_live_wandb(tmp_path, monkeypatch):
+    """A live wandb run gets checkpoint files wandb.save'd (the
+    reference's utils.py:406-419), enabling run-path restore later."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from fumi_tpu.train.checkpoint import save_checkpoint
+
+    saved = []
+    mod = types.ModuleType("wandb")
+    mod.run = object()  # a live run
+    mod.save = lambda glob, base_path=None, policy=None: saved.append(glob)
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    save_checkpoint(str(tmp_path), params, {"m": params["w"]}, 1, 0.5,
+                    is_best=True)
+    joined = " ".join(saved)
+    assert "ckpt" in joined and "best" in joined
+
+
+def test_save_checkpoint_without_wandb_is_silent(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    from fumi_tpu.train.checkpoint import save_checkpoint
+
+    mod = types.ModuleType("wandb")  # no .run attribute at all
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    params = {"w": np.ones((2, 2), np.float32)}
+    save_checkpoint(str(tmp_path), params, {"m": params["w"]}, 1, 0.5,
+                    is_best=False)  # must not raise

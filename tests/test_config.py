@@ -92,7 +92,8 @@ def test_tpu_extension_flags():
         "--tpu_prng_impl", "threefry2x32", "--tpu_mesh_dp", "2",
         "--tpu_host_sampler", "--tpu_pallas_gather",
         "--tpu_compute_dtype", "bfloat16", "--tpu_im_size", "32",
-        "--tpu_debug_nans",
+        "--tpu_debug_nans", "--tpu_pallas_fused_eval",
+        "--tpu_skip_nonfinite", "4", "--tpu_mesh_mp", "2",
     ])
     assert cfg.prng_impl == "threefry2x32"
     assert cfg.mesh_dp == 2
@@ -101,3 +102,6 @@ def test_tpu_extension_flags():
     assert cfg.compute_dtype == "bfloat16"
     assert cfg.im_size == 32
     assert cfg.debug_nans
+    assert cfg.pallas_fused_eval
+    assert cfg.skip_nonfinite == 4
+    assert cfg.mesh_mp == 2
