@@ -35,7 +35,7 @@ def make_episodes(rng, n):
     return eps
 
 
-def torch_train(params_np, episodes):
+def torch_train(params_np, episodes, first_order=False):
     tparams = [[torch.tensor(p["w"], requires_grad=True),
                 torch.tensor(p["b"], requires_grad=True)]
                for p in params_np]
@@ -58,7 +58,11 @@ def torch_train(params_np, episodes):
                 inner = torch.nn.functional.cross_entropy(
                     logit, torch.tensor(s_y[t]))
                 flat = [p for pair in ps for p in pair]
-                grads = torch.autograd.grad(inner, flat, create_graph=True)
+                # first_order: torchmeta detaches inner grads
+                grads = torch.autograd.grad(inner, flat,
+                                            create_graph=not first_order)
+                if first_order:
+                    grads = [g.detach() for g in grads]
                 ps = [(flat[2 * i] - LR_INNER * grads[2 * i],
                        flat[2 * i + 1] - LR_INNER * grads[2 * i + 1])
                       for i in range(len(ps))]
@@ -395,3 +399,51 @@ def test_am3_training_trajectory_matches_torch():
         np.asarray(params["h"][1]["w"]),
         torch_final["h2w"].detach().numpy(), rtol=1e-3, atol=1e-4)
     assert jax_losses[-1] < jax_losses[0]
+
+
+def test_maml_first_order_trajectory_matches_torch():
+    """--first_order over 40 meta-updates: the stop_gradient inner detach
+    must track torchmeta's first_order=True trajectory (ref
+    gradient_based.py), not just single-step gradients."""
+    rng = np.random.RandomState(13)
+    episodes = make_episodes(rng, N_UPDATES)
+
+    params = mlp.init(jax.random.PRNGKey(2), D, N, (H,))
+    params_np = [{k: np.asarray(v) for k, v in p.items()} for p in params]
+
+    opt = init_optim("adam", lr=LR_OUTER, weight_decay=WD)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, episode):
+        def loss_fn(p_):
+            return maml_episode_loss(mlp.apply, p_, episode, n_steps=STEPS,
+                                     step_size=LR_INNER, first_order=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    jax_losses = []
+    for (s_im, s_y, q_im, q_y) in episodes:
+        episode = Episode(
+            support_im=jnp.asarray(s_im),
+            support_text=jnp.zeros((B, N * K, 1), jnp.float32),
+            support_text_mask=None,
+            support_ids=jnp.zeros((B, N * K), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((B, N * Q), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32)),
+        )
+        params, opt_state, loss = train_step(params, opt_state, episode)
+        jax_losses.append(float(loss))
+
+    torch_losses, torch_final = torch_train(params_np, episodes,
+                                            first_order=True)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4,
+                               atol=2e-4)
+    for jp, (tw, tb) in zip(params, torch_final):
+        np.testing.assert_allclose(np.asarray(jp["w"]), tw.detach().numpy(),
+                                   rtol=1e-3, atol=1e-4)
+    # (no loss-decrease sanity here: the episodes are pure noise and
+    # first-order updates need not descend on them; parity is the claim)
