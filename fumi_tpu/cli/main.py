@@ -172,9 +172,12 @@ def main(cfg: Config) -> dict:
     from fumi_tpu.core.runtime import setup_cache
     setup_cache()
 
+    # multi-host: wandb on process 0 only; run dirs/JSONL/CSV carry a
+    # per-process suffix so hosts on a shared filesystem cannot collide
+    from fumi_tpu.core import distributed as dist
     writer = MetricWriter(
-        results_path, use_wandb=not cfg.wandb_offline,
-        offline=cfg.wandb_offline,
+        results_path, use_wandb=not cfg.wandb_offline and dist.is_primary(),
+        offline=cfg.wandb_offline, run_suffix=dist.process_tag(),
         wandb_kwargs=dict(entity=cfg.wandb_entity, project=cfg.wandb_project,
                           group=cfg.wandb_experiment,
                           job_type="eval" if cfg.evaluate else "train"))
@@ -287,8 +290,12 @@ def main(cfg: Config) -> dict:
 
 def cli(argv=None):
     cfg = config_from_args(argv)
+    # multi-host coordination must come up before any other backend use
+    from fumi_tpu.core import distributed as dist
+    dist.initialize_from_config(cfg)
     print(f"running on {jax.default_backend()} "
-          f"({len(jax.devices())} devices)")
+          f"({len(jax.devices())} devices, "
+          f"process {jax.process_index()}/{jax.process_count()})")
     return main(cfg)
 
 

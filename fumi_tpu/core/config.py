@@ -133,6 +133,14 @@ class Config:
     # optax.apply_if_finite(n) — a NaN/inf meta-gradient skips the update
     # instead of poisoning params, erroring after n consecutive bad steps.
     skip_nonfinite: int = 0
+    # Multi-host (DCN) launch topology. Setting a coordinator address turns
+    # the CLI into one process of a multi-host run (jax.distributed) — the
+    # mesh then spans every host's devices and the episode-parallel engines
+    # ride it unchanged. On TPU pods all three may be left unset
+    # (auto-detected from the TPU metadata); elsewhere pass all three.
+    dist_coordinator: Optional[str] = None
+    dist_num_processes: int = 0
+    dist_process_id: int = -1
 
     # ------------------------------------------------------------------
     @property
@@ -292,6 +300,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_im_channels", type=int, default=3)
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
+    p.add_argument("--tpu_dist_coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(process 0 binds it); unset = single-process")
+    p.add_argument("--tpu_dist_num_processes", type=int, default=0,
+                   help="multi-host: total process count")
+    p.add_argument("--tpu_dist_process_id", type=int, default=-1,
+                   help="multi-host: this process's index")
     return p
 
 
@@ -360,5 +375,8 @@ def config_from_args(argv=None) -> Config:
         im_channels=args.tpu_im_channels,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
+        dist_coordinator=args.tpu_dist_coordinator,
+        dist_num_processes=args.tpu_dist_num_processes,
+        dist_process_id=args.tpu_dist_process_id,
     )
     return cfg.validate()

@@ -1,24 +1,30 @@
-"""Multi-host (DCN) initialization.
+"""Multi-host (DCN) initialization and process-role helpers.
 
 SURVEY §5.8: the single-slice (ICI) path needs nothing beyond a local mesh;
 multi-host pods coordinate via ``jax.distributed.initialize`` before any
-backend use. This wrapper is the one supported entry point:
-
-- on TPU pods the coordinator/process env is auto-detected (GKE/TPU-VM
-  metadata), so a bare :func:`initialize` works;
-- elsewhere pass coordinator_address/num_processes/process_id explicitly.
+backend use. The CLI becomes one process of a multi-host run through the
+``--tpu_dist_*`` flags (or a bare :func:`initialize` on TPU pods, where the
+coordinator/process env is auto-detected from GKE/TPU-VM metadata).
 
 After initialization, ``jax.devices()`` spans the pod and
 ``fumi_tpu.core.mesh.make_mesh`` builds pod-wide meshes; the episode-parallel
-engines need no changes (their collectives ride whatever mesh they get —
-dp groups should map onto ICI-contiguous devices, which ``make_mesh``'s
-default device order preserves). Per-host data loading: each host holds the
-full (replicated) embedding tables; samplers draw per-shard episodes
-on-device, so there is NO per-host input pipeline to coordinate.
+engines need no changes — their shard_map collectives ride whatever mesh
+they get, dp groups map onto ICI-contiguous devices (``make_mesh``'s default
+device order preserves locality), and every engine output is replicated
+(losses/metrics pmean/psum-reduced, artifacts all_gathered inside the
+shard), so each process can fetch results from its addressable shards.
 
-Untestable in this environment (single tunneled chip) — validated only for
-API shape; the multi-chip execution path itself is covered by the virtual
-mesh tests and ``dryrun_multichip``.
+Per-host data policy: every host holds the full (replicated) embedding
+tables and the device samplers draw per-shard episodes on-device from a
+shared key stream, so there is NO per-host input pipeline to coordinate.
+Artifact policy: run dirs / JSONL / CSV get a per-process suffix (hosts on
+a shared filesystem cannot collide; per-host filesystems each keep a local
+copy — checkpoints hold replicated arrays, so every host's copy is the
+same); wandb logging runs on process 0 only.
+
+Tested end to end in ``tests/test_distributed.py``: two coordinated CPU
+processes (4 virtual devices each) run the full CLI on a global dp=8 mesh
+and must produce identical replicated test metrics.
 """
 
 from __future__ import annotations
@@ -41,6 +47,35 @@ def initialize(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
+def initialize_from_config(cfg) -> bool:
+    """Initialize multi-host coordination from ``--tpu_dist_*`` flags.
+
+    Returns True when a multi-host topology was requested (and therefore
+    initialized). Must run before any other JAX backend use.
+    """
+    if cfg.dist_coordinator is None and cfg.dist_num_processes <= 0:
+        return False
+    initialize(
+        coordinator_address=cfg.dist_coordinator,
+        num_processes=(cfg.dist_num_processes
+                       if cfg.dist_num_processes > 0 else None),
+        process_id=(cfg.dist_process_id
+                    if cfg.dist_process_id >= 0 else None))
+    return True
+
+
 def is_multihost() -> bool:
     import jax
     return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """True for the process that owns singleton side effects (wandb)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def process_tag() -> str:
+    """Per-process artifact suffix: '' single-process, '-pN' multi-host."""
+    import jax
+    return f"-p{jax.process_index()}" if jax.process_count() > 1 else ""

@@ -21,7 +21,30 @@ import orbax.checkpoint as ocp
 
 
 def _checkpointer():
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: every process saves its own complete local copy
+        # (trees are host-local numpy by then — see _host_local); with the
+        # default primary_host=0 orbax would skip writing on other hosts,
+        # leaving their per-process run dirs empty
+        opts = ocp.options.MultiprocessingOptions(primary_host=None)
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=opts),
+            multiprocessing_options=opts)
     return ocp.PyTreeCheckpointer()
+
+
+def _host_local(tree):
+    """Fetch a pytree to host numpy before serializing.
+
+    Params/opt states are replicated (every engine keeps them so), which
+    makes each process's copy fully addressable — fetching first means a
+    multi-host run saves plain local arrays per host instead of relying on
+    orbax's distributed-write path (each host keeps a complete, identical
+    checkpoint; see core/distributed.py artifact policy)."""
+    import jax
+    import numpy as np
+    return jax.tree.map(np.asarray, tree)
 
 
 def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
@@ -32,7 +55,7 @@ def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
     os.makedirs(run_dir, exist_ok=True)
     ckpt_dir = os.path.join(run_dir, "ckpt")
     cp = _checkpointer()
-    tree = {"params": params, "opt_state": opt_state}
+    tree = _host_local({"params": params, "opt_state": opt_state})
     if os.path.exists(ckpt_dir):
         shutil.rmtree(ckpt_dir)
     cp.save(ckpt_dir, tree)
@@ -140,7 +163,8 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
     path = os.path.join(run_dir, name)
     cp = _checkpointer()
     restored = cp.restore(
-        path, item={"params": params_like, "opt_state": opt_state_like})
+        path, item=_host_local({"params": params_like,
+                                "opt_state": opt_state_like}))
     meta_path = os.path.join(run_dir, f"{name}.meta.json")
     meta = {}
     if os.path.exists(meta_path):

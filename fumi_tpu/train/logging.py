@@ -20,8 +20,9 @@ class MetricWriter:
 
     def __init__(self, log_dir: str, run_name: Optional[str] = None,
                  use_wandb: bool = True, wandb_kwargs: Optional[dict] = None,
-                 offline: bool = False):
-        self.run_name = run_name or f"run_{int(time.time())}"
+                 offline: bool = False, run_suffix: str = ""):
+        self.run_name = (run_name or f"run_{int(time.time())}") + run_suffix
+        self._run_suffix = run_suffix
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._wandb = None
@@ -31,7 +32,7 @@ class MetricWriter:
                 self._wandb = wandb
                 wandb.init(**(wandb_kwargs or {}))
                 if wandb.run is not None and wandb.run.name:
-                    self.run_name = wandb.run.name
+                    self.run_name = wandb.run.name + run_suffix
             except Exception:
                 self._wandb = None
         self._jsonl = open(

@@ -1,0 +1,105 @@
+"""Multi-host (DCN) execution: two coordinated processes, one global mesh.
+
+The reference is strictly single-device (ref: fumi/main.py:145-146; no
+torch.distributed anywhere — SURVEY §5.8). This framework's multi-host
+path is ``jax.distributed`` + pod-wide meshes; the closest thing this
+environment has to a pod is 2 OS processes x 4 virtual CPU devices,
+coordinated over localhost gRPC. The test runs the FULL CLI
+(``--tpu_dist_*`` flags) in both processes on a global dp=8 mesh: every
+engine output is replicated, so the processes must report identical test
+metrics, and per-process artifact suffixes must keep their run dirs from
+colliding on the shared filesystem.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(n_local: int = 4) -> dict:
+    env = dict(os.environ)
+    # force the virtual CPU platform in the children (the image's
+    # sitecustomize otherwise registers the tunneled accelerator plugin)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    kept = [f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    kept.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(kept)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _parse_test_line(out: str) -> dict:
+    m = re.search(r"TEST: (\{.*\})", out)
+    assert m, f"no TEST line in output:\n{out[-3000:]}"
+    return ast.literal_eval(m.group(1))
+
+
+@pytest.mark.slow
+def test_two_process_cli_dp8(tmp_path):
+    port = _free_port()
+    common = [
+        sys.executable, "-m", "fumi_tpu.cli.main",
+        "--model", "maml", "--dataset", "synthetic",
+        "--im_emb_dim", "32", "--im_hid_dim", "16", "8",
+        "--text_emb_dim", "16",
+        "--num_ways", "3", "--num_shots", "2", "--num_shots_test", "3",
+        "--num_train_adapt_steps", "2", "--num_test_adapt_steps", "2",
+        "--batch_size", "8",  # dp=8 over the 2x4 global device set
+        "--epochs", "6", "--eval_freq", "3", "--num_ep_test", "16",
+        "--seed", "0", "--lr", "1e-2", "--dropout", "0.0",
+        "--wandb_offline", "--log_dir", str(tmp_path),
+        "--tpu_prng_impl", "threefry2x32",  # identical streams on CPU
+        "--tpu_dist_coordinator", f"localhost:{port}",
+        "--tpu_dist_num_processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(common + ["--tpu_dist_process_id", str(i)],
+                         env=_worker_env(), cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    # both processes saw the pod-wide device set
+    for i, out in enumerate(outs):
+        assert f"process {i}/2" in out and "(8 devices" in out, out[-2000:]
+
+    # replicated engine outputs -> identical finite test metrics
+    m0, m1 = (_parse_test_line(o) for o in outs)
+    assert set(m0) == set(m1)
+    for k in m0:
+        assert np.isfinite(m0[k]), (k, m0)
+        assert m0[k] == pytest.approx(m1[k], abs=1e-6), (k, m0, m1)
+
+    # per-process artifact suffixes: distinct run dirs on the SHARED
+    # log_dir, each with its own checkpoint
+    runs = sorted(os.listdir(tmp_path / "runs"))
+    assert len(runs) == 2
+    assert any(r.endswith("-p0") for r in runs), runs
+    assert any(r.endswith("-p1") for r in runs), runs
+    for r in runs:
+        assert (tmp_path / "runs" / r / "ckpt").is_dir(), r
