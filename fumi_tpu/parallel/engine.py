@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fumi_tpu.core.config import Config
 from fumi_tpu.core.mesh import DP_AXIS
-from fumi_tpu.train.steps import (Family, FamilySteps, _train_metrics,
+from fumi_tpu.train.steps import (TRAIN_SCAN_UNROLL,
+                                  Family, FamilySteps, _train_metrics,
                                   build_family, make_opt)
 
 try:  # jax>=0.6 exposes shard_map at top level
@@ -168,7 +169,8 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
             return (p, s, k), m
 
         (params, opt_state, shard_key), ms = jax.lax.scan(
-            body, (params, opt_state, shard_key), None, length=n_steps)
+            body, (params, opt_state, shard_key), None, length=n_steps,
+            unroll=TRAIN_SCAN_UNROLL)
         return params, opt_state, ms
 
     @functools.partial(jax.jit, static_argnums=(4,))

@@ -427,6 +427,15 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
 # Per-step metrics come back stacked, so the reference's per-step logging
 # granularity is preserved (ref: am3.py:247-257) at 1/chunk the sync cost.
 
+# Outer-scan unroll for the chunked TRAIN drivers: the per-step program is
+# tiny (~0.2 ms), so the scan's per-iteration sequencing overhead is
+# visible; unroll=4 measured +3.7% train throughput on hardware (19.1k ->
+# 19.8k eps/s interleaved best-of-8; unroll=8 regressed to 19.7k). Eval
+# scans stay unroll=1 — their 100-step adaptation bodies dwarf loop
+# overhead and XLA already overlaps independent episodes across iterations.
+TRAIN_SCAN_UNROLL = 4
+
+
 def make_chunked_train(family: Family, opt: optax.GradientTransformation,
                        sampler, chunk: int) -> Callable:
     """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
@@ -446,7 +455,8 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
             return (p, s, k), m
 
         (params, opt_state, key), ms = jax.lax.scan(
-            body, (params, opt_state, key), None, length=n_steps)
+            body, (params, opt_state, key), None, length=n_steps,
+            unroll=TRAIN_SCAN_UNROLL)
         return params, opt_state, key, ms
 
     return lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)
