@@ -232,7 +232,8 @@ def main(cfg: Config) -> dict:
         return {"test/acc": test_acc}
 
     # ---- episodic families ----
-    steps = make_steps(cfg, k_model, dictionary)
+    # decide the mesh BEFORE building steps (each engine constructs its own
+    # family; building the serial one first would just be discarded work)
     n_dev = len(jax.devices())
     mesh = None
     dp, mp = cfg.mesh_dp, cfg.mesh_mp
@@ -250,6 +251,8 @@ def main(cfg: Config) -> dict:
         from fumi_tpu.parallel import make_parallel_steps
         mesh = mesh_lib.make_mesh(dp, 1)
         steps = make_parallel_steps(cfg, k_model, mesh, dictionary)
+    else:
+        steps = make_steps(cfg, k_model, dictionary)
 
     train_s, val_s, test_s = _samplers(cfg, splits, image_table, image_ids)
 

@@ -76,3 +76,23 @@ def put_episode(episode, mesh: Mesh):
     """Place an episode with its task axis sharded over dp."""
     sharding = episode_sharding(mesh)
     return jax.device_put(episode, sharding)
+
+
+def host_fetch(x) -> np.ndarray:
+    """``np.asarray`` that also works on multi-host global arrays.
+
+    Replicated arrays (losses, pmean'd metrics) are fully addressable from
+    every process and fetch directly. Arrays sharded across hosts — e.g.
+    mp-sharded pjit weights, or jit-chosen output shardings under a
+    pod-wide mesh — span non-addressable devices, so they are re-placed
+    replicated first (a collective; every process must call this at the
+    same point, which the harness's lockstep loops guarantee)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        mesh = getattr(x.sharding, "mesh", None)
+        if isinstance(mesh, Mesh):
+            rep = NamedSharding(mesh, P())
+            x = jax.jit(lambda a: a, out_shardings=rep)(x)
+        else:  # no concrete mesh on the sharding: gather across processes
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)

@@ -1,4 +1,4 @@
-"""Runtime setup: persistent compilation cache.
+"""Runtime setup: persistent compilation cache + virtual-mesh env.
 
 Chunked training/eval programs take tens of seconds to minutes to compile
 through remote-compile TPU runtimes; JAX's persistent cache reuses the
@@ -11,6 +11,30 @@ FUMI_TPU_CACHE_DIR=0.
 from __future__ import annotations
 
 import os
+
+
+def virtual_cpu_env(n_devices: int, base: dict = None) -> dict:
+    """Subprocess env for an n-device virtual CPU mesh (SURVEY §4's fake
+    backend for multi-chip tests). One shared definition — the multichip
+    dryrun and the multi-host tests both sanitize the same platform quirks:
+
+    - JAX_PLATFORMS=cpu, and PALLAS_AXON_POOL_IPS cleared (the image's
+      sitecustomize registers an accelerator PJRT plugin and force-sets
+      JAX_PLATFORMS whenever that var is present);
+    - the persistent compilation cache disabled (it may hold XLA:CPU AOT
+      results compiled on a different host profile — SIGILL risk);
+    - ``--xla_force_host_platform_device_count=<n>`` replacing any stale
+      value in XLA_FLAGS.
+    """
+    env = dict(os.environ if base is None else base)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    kept = [f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    kept.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(kept)
+    return env
 
 _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "fumi_tpu_xla")
 _done = False

@@ -155,7 +155,12 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
         def body(carry, _):
             p, s, k = carry
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sample_episode(tables, local_spec, k_s)
+            # carry the sampler's options (augment jitter, pallas gather) —
+            # a bare sample_episode call would silently drop --augment here
+            episode = sample_episode(
+                tables, local_spec, k_s,
+                use_pallas_gather=sampler.use_pallas_gather,
+                augment_scale=sampler.augment_scale)
             (loss, aux), grads = jax.value_and_grad(
                 family.train_loss, has_aux=True)(p, episode, k_step)
             grads = jax.lax.pmean(grads, DP_AXIS)
@@ -216,7 +221,10 @@ def make_parallel_chunked_eval(cfg: Config, family: Family, sampler,
 
         def body(k, _):
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sample_episode(tables, local_spec, k_s)
+            episode = sample_episode(
+                tables, local_spec, k_s,
+                use_pallas_gather=sampler.use_pallas_gather,
+                augment_scale=sampler.augment_scale)
             raw = family.eval_raw(params, episode, k_step)
             raw = _reduce_raw(raw, family.eval_reduce)
             out = family.eval_finalize(raw)

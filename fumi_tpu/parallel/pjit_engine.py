@@ -55,21 +55,31 @@ def episode_pspecs(episode):
     return jax.tree_util.tree_map(lambda _: P(DP_AXIS), episode)
 
 
-def make_pjit_steps(cfg: Config, key: jax.Array, mesh: Mesh,
-                    dictionary=None) -> FamilySteps:
-    """Declarative-sharding train/eval steps on a (dp, mp) mesh."""
+def _mesh_setup(cfg: Config, family: Family, mesh: Mesh, sampler=None):
+    """Shared sharding preamble for every builder in this engine:
+    dp-divisibility check, param shardings (wide input dims over mp),
+    episode sharding, and — when a sampler is given — its tables placed
+    replicated on the mesh ONCE (passing single-device tables would
+    re-broadcast them across chips on every dispatch)."""
     dp = mesh.shape[DP_AXIS]
     if cfg.batch_size % dp != 0:
         raise ValueError(
             f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+    p_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_pspecs(family.params, mesh))
+    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
+    tables_rep = (jax.device_put(sampler.tables, NamedSharding(mesh, P()))
+                  if sampler is not None else None)
+    return p_shardings, ep_sharding, tables_rep
 
+
+def make_pjit_steps(cfg: Config, key: jax.Array, mesh: Mesh,
+                    dictionary=None) -> FamilySteps:
+    """Declarative-sharding train/eval steps on a (dp, mp) mesh."""
     family = build_family(cfg, key, dictionary)
     opt = make_opt(cfg)
 
-    p_specs = param_pspecs(family.params, mesh)
-    p_shardings = jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), p_specs)
-    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
+    p_shardings, ep_sharding, _ = _mesh_setup(cfg, family, mesh)
 
     def place_params(params):
         return jax.device_put(params, p_shardings)
@@ -121,19 +131,9 @@ def make_pjit_chunked_train(cfg: Config, family: Family,
     import functools
 
     from fumi_tpu.data.sampler import sample_episode
-    from fumi_tpu.train.steps import _train_metrics
 
-    dp = mesh.shape[DP_AXIS]
-    if cfg.batch_size % dp != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
-
-    p_specs = param_pspecs(family.params, mesh)
-    p_shardings = jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), p_specs)
-    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
-    tables_rep = jax.device_put(
-        sampler.tables, NamedSharding(mesh, P()))
+    p_shardings, ep_sharding, tables_rep = _mesh_setup(cfg, family, mesh,
+                                                       sampler)
     spec = sampler.spec
 
     @functools.partial(jax.jit, static_argnums=(4,))
@@ -143,7 +143,12 @@ def make_pjit_chunked_train(cfg: Config, family: Family,
         def body(carry, _):
             p, s, k = carry
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sample_episode(tables, spec, k_s)
+            # carry the sampler's options (augment jitter, pallas gather) —
+            # a bare sample_episode call would silently drop --augment here
+            episode = sample_episode(
+                tables, spec, k_s,
+                use_pallas_gather=sampler.use_pallas_gather,
+                augment_scale=sampler.augment_scale)
             episode = jax.lax.with_sharding_constraint(
                 episode, jax.tree_util.tree_map(lambda _: ep_sharding,
                                                 episode))
@@ -179,16 +184,8 @@ def make_pjit_chunked_eval(cfg: Config, family: Family, sampler,
 
     from fumi_tpu.data.sampler import sample_episode
 
-    dp = mesh.shape[DP_AXIS]
-    if cfg.batch_size % dp != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by dp={dp}")
-
-    p_specs = param_pspecs(family.params, mesh)
-    p_shardings = jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), p_specs)
-    ep_sharding = NamedSharding(mesh, P(DP_AXIS))
-    tables_rep = jax.device_put(sampler.tables, NamedSharding(mesh, P()))
+    p_shardings, ep_sharding, tables_rep = _mesh_setup(cfg, family, mesh,
+                                                       sampler)
     spec = sampler.spec
 
     @functools.partial(jax.jit, static_argnums=(3,))
@@ -197,7 +194,10 @@ def make_pjit_chunked_eval(cfg: Config, family: Family, sampler,
 
         def body(k, _):
             k, k_s, k_step = jax.random.split(k, 3)
-            episode = sample_episode(tables, spec, k_s)
+            episode = sample_episode(
+                tables, spec, k_s,
+                use_pallas_gather=sampler.use_pallas_gather,
+                augment_scale=sampler.augment_scale)
             episode = jax.lax.with_sharding_constraint(
                 episode, jax.tree_util.tree_map(lambda _: ep_sharding,
                                                 episode))

@@ -37,14 +37,15 @@ def _checkpointer():
 def _host_local(tree):
     """Fetch a pytree to host numpy before serializing.
 
-    Params/opt states are replicated (every engine keeps them so), which
-    makes each process's copy fully addressable — fetching first means a
-    multi-host run saves plain local arrays per host instead of relying on
-    orbax's distributed-write path (each host keeps a complete, identical
-    checkpoint; see core/distributed.py artifact policy)."""
+    Fetching first means a multi-host run saves plain local arrays per host
+    instead of relying on orbax's distributed-write path (each host keeps a
+    complete, identical checkpoint; see core/distributed.py artifact
+    policy). Most leaves are replicated (addressable from every process);
+    mp-sharded weights from the pjit engine span non-addressable devices in
+    a multi-host run — ``host_fetch`` re-places those replicated first."""
     import jax
-    import numpy as np
-    return jax.tree.map(np.asarray, tree)
+    from fumi_tpu.core.mesh import host_fetch
+    return jax.tree.map(host_fetch, tree)
 
 
 def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
@@ -88,8 +89,16 @@ def _wandb_save(run_dir: str, is_best: bool) -> None:
             (["best", "best.meta.json"] if is_best else [])
         for n in names:
             p = os.path.join(run_dir, n)
-            glob = os.path.join(p, "**") if os.path.isdir(p) else p
-            wandb.save(glob, base_path=run_dir, policy="now")
+            if os.path.isdir(p):
+                # orbax payloads are NESTED (d/<hash>, ocdbt.process_0/...);
+                # a single-level glob would skip them and the later
+                # run-path restore would download an unrestorable subset
+                for root, _dirs, files in os.walk(p):
+                    for fname in files:
+                        wandb.save(os.path.join(root, fname),
+                                   base_path=run_dir, policy="now")
+            elif os.path.exists(p):
+                wandb.save(p, base_path=run_dir, policy="now")
     except Exception:
         pass  # logging-side failure must never kill a training step
 
@@ -123,26 +132,36 @@ def resolve_checkpoint(checkpoint: str, model: str,
     dest = os.path.join(dest_root, *run_path.split("/"))
     if os.path.isdir(os.path.join(dest, "best")) or \
             os.path.isdir(os.path.join(dest, "ckpt")):
-        return dest  # already downloaded
+        return dest  # already downloaded (only complete downloads land
+        #              here — see the atomic rename below)
+    # download into a scratch dir and publish with one atomic rename, so a
+    # failure partway through can never leave a half-download at `dest`
+    # that this cache check would then trust forever
+    tmp = dest + ".partial"
+    shutil.rmtree(tmp, ignore_errors=True)
     try:
         import wandb
         api = wandb.Api()
         run = api.run(run_path)
-        os.makedirs(dest, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         for f in run.files():
             # checkpoint payloads + metadata only
             if f.name.startswith(("best", "ckpt")):
-                f.download(root=dest, replace=True)
+                f.download(root=tmp, replace=True)
     except FileNotFoundError:
         raise
     except Exception as e:
+        shutil.rmtree(tmp, ignore_errors=True)
         raise FileNotFoundError(
             f"--checkpoint {checkpoint!r} is neither a local run dir nor a "
             f"retrievable wandb run path ({type(e).__name__}: {e})") from e
-    if not (os.path.isdir(os.path.join(dest, "best")) or
-            os.path.isdir(os.path.join(dest, "ckpt"))):
+    if not (os.path.isdir(os.path.join(tmp, "best")) or
+            os.path.isdir(os.path.join(tmp, "ckpt"))):
+        shutil.rmtree(tmp, ignore_errors=True)
         raise FileNotFoundError(
             f"wandb run {run_path} had no best/ or ckpt/ checkpoint files")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.rename(tmp, dest)
     return dest
 
 

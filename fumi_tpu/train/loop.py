@@ -108,7 +108,10 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
             steps.family is not None:
         run = _chunked_eval_fn(cfg, steps, sampler, collect_artifacts)
         _, ms = run(params, rng, total)
-        ms = {k: np.asarray(v) for k, v in ms.items()}
+        # host_fetch, not np.asarray: under a pod-wide mesh the pjit eval's
+        # artifact outputs can come back host-sharded
+        from fumi_tpu.core.mesh import host_fetch
+        ms = {k: host_fetch(v) for k, v in ms.items()}
         out = {k: float(v.mean()) for k, v in ms.items()
                if k not in ARTIFACT_KEYS}
         if collect_artifacts:
@@ -306,7 +309,8 @@ def _log_train(writer: MetricWriter, cfg: Config, batch_idx: int, m: Dict,
 def _log_train_stack(writer: MetricWriter, cfg: Config, start_idx: int,
                      ms: Dict, is_am3: bool) -> None:
     """Per-step logs from a chunk's stacked metrics (one device sync)."""
-    stacked = {k: np.asarray(ms[k]) for k in _train_log_keys(ms, is_am3)}
+    from fumi_tpu.core.mesh import host_fetch
+    stacked = {k: host_fetch(ms[k]) for k in _train_log_keys(ms, is_am3)}
     n = len(next(iter(stacked.values())))
     for j in range(n):
         rec = {f"train/{k}": float(v[j]) for k, v in stacked.items()}

@@ -112,6 +112,30 @@ def test_unretrievable_is_actionable(tmp_path, monkeypatch):
                            dest_root=str(tmp_path / "ckpts"))
 
 
+def test_failed_download_is_not_cached(tmp_path, monkeypatch):
+    """A download that dies partway must not leave a partial dir that the
+    'already downloaded' check would trust forever — downloads land at the
+    destination only via the final atomic rename."""
+    class _BoomFile(_FakeFile):
+        def download(self, root, replace=False):
+            raise RuntimeError("network died")
+
+    files = [_FakeFile("best/checkpoint"), _BoomFile("best/d/payload")]
+    _install_fake_wandb(monkeypatch, {"me/p/r1": _FakeRun(files)})
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint("me/p/r1", "fumi",
+                           dest_root=str(tmp_path / "ckpts"))
+    dest = tmp_path / "ckpts" / "me" / "p" / "r1"
+    assert not (dest / "best").exists()
+
+    # a retry against a now-healthy run succeeds (nothing poisoned)
+    _install_fake_wandb(
+        monkeypatch, {"me/p/r1": _FakeRun([_FakeFile("best/checkpoint")])})
+    out = resolve_checkpoint("me/p/r1", "fumi",
+                             dest_root=str(tmp_path / "ckpts"))
+    assert os.path.isdir(os.path.join(out, "best"))
+
+
 def test_run_without_checkpoints_is_actionable(tmp_path, monkeypatch):
     _install_fake_wandb(
         monkeypatch,
@@ -159,6 +183,17 @@ def test_save_checkpoint_uploads_to_live_wandb(tmp_path, monkeypatch):
                     is_best=True)
     joined = " ".join(saved)
     assert "ckpt" in joined and "best" in joined
+    # COVERAGE, not just presence: orbax nests its payloads (d/<hash>,
+    # ocdbt.process_0/...); every file under ckpt/ and best/ must be
+    # uploaded or a later run-path restore downloads an unrestorable subset
+    expected = set()
+    for sub in ("ckpt", "best"):
+        for root, _dirs, files in os.walk(os.path.join(str(tmp_path), sub)):
+            for fn in files:
+                expected.add(os.path.join(root, fn))
+    assert expected, "orbax wrote no payload files?"
+    missing = expected - set(saved)
+    assert not missing, f"not uploaded: {sorted(missing)[:5]}"
 
 
 def test_save_checkpoint_without_wandb_is_silent(tmp_path, monkeypatch):

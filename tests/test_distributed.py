@@ -4,11 +4,13 @@ The reference is strictly single-device (ref: fumi/main.py:145-146; no
 torch.distributed anywhere — SURVEY §5.8). This framework's multi-host
 path is ``jax.distributed`` + pod-wide meshes; the closest thing this
 environment has to a pod is 2 OS processes x 4 virtual CPU devices,
-coordinated over localhost gRPC. The test runs the FULL CLI
-(``--tpu_dist_*`` flags) in both processes on a global dp=8 mesh: every
-engine output is replicated, so the processes must report identical test
-metrics, and per-process artifact suffixes must keep their run dirs from
-colliding on the shared filesystem.
+coordinated over localhost gRPC. The tests run the FULL CLI
+(``--tpu_dist_*`` flags) in both processes: every engine output is
+replicated, so the processes must report identical test metrics, and
+per-process artifact suffixes must keep their run dirs from colliding on
+the shared filesystem. The dp4×mp2 variant shards weights ACROSS the two
+processes (pjit engine), exercising the host_fetch path for checkpoints
+and artifacts.
 """
 
 from __future__ import annotations
@@ -35,16 +37,10 @@ def _free_port() -> int:
 
 
 def _worker_env(n_local: int = 4) -> dict:
-    env = dict(os.environ)
-    # force the virtual CPU platform in the children (the image's
-    # sitecustomize otherwise registers the tunneled accelerator plugin)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
-    kept = [f for f in env.get("XLA_FLAGS", "").split()
-            if not f.startswith("--xla_force_host_platform_device_count")]
-    kept.append(f"--xla_force_host_platform_device_count={n_local}")
-    env["XLA_FLAGS"] = " ".join(kept)
+    # one shared definition of the virtual-CPU platform sanitization
+    # (same quirks as the multichip dryrun's subprocess)
+    from fumi_tpu.core.runtime import virtual_cpu_env
+    env = virtual_cpu_env(n_local)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
@@ -55,24 +51,21 @@ def _parse_test_line(out: str) -> dict:
     return ast.literal_eval(m.group(1))
 
 
-@pytest.mark.slow
-def test_two_process_cli_dp8(tmp_path):
+def _run_two_process_cli(tmp_path, extra_args):
+    """Launch the CLI twice with a shared coordinator; return both outputs."""
     port = _free_port()
     common = [
         sys.executable, "-m", "fumi_tpu.cli.main",
         "--model", "maml", "--dataset", "synthetic",
-        "--im_emb_dim", "32", "--im_hid_dim", "16", "8",
-        "--text_emb_dim", "16",
+        "--im_hid_dim", "16", "8", "--text_emb_dim", "16",
         "--num_ways", "3", "--num_shots", "2", "--num_shots_test", "3",
         "--num_train_adapt_steps", "2", "--num_test_adapt_steps", "2",
-        "--batch_size", "8",  # dp=8 over the 2x4 global device set
-        "--epochs", "6", "--eval_freq", "3", "--num_ep_test", "16",
         "--seed", "0", "--lr", "1e-2", "--dropout", "0.0",
         "--wandb_offline", "--log_dir", str(tmp_path),
         "--tpu_prng_impl", "threefry2x32",  # identical streams on CPU
         "--tpu_dist_coordinator", f"localhost:{port}",
         "--tpu_dist_num_processes", "2",
-    ]
+    ] + extra_args
     procs = [
         subprocess.Popen(common + ["--tpu_dist_process_id", str(i)],
                          env=_worker_env(), cwd=REPO,
@@ -83,18 +76,22 @@ def test_two_process_cli_dp8(tmp_path):
     outs = [p.communicate(timeout=900)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
-
     # both processes saw the pod-wide device set
     for i, out in enumerate(outs):
         assert f"process {i}/2" in out and "(8 devices" in out, out[-2000:]
+    return outs
 
-    # replicated engine outputs -> identical finite test metrics
+
+def _assert_identical_metrics(outs):
     m0, m1 = (_parse_test_line(o) for o in outs)
     assert set(m0) == set(m1)
     for k in m0:
         assert np.isfinite(m0[k]), (k, m0)
         assert m0[k] == pytest.approx(m1[k], abs=1e-6), (k, m0, m1)
+    return m0
 
+
+def _assert_per_process_artifacts(tmp_path):
     # per-process artifact suffixes: distinct run dirs on the SHARED
     # log_dir, each with its own checkpoint
     runs = sorted(os.listdir(tmp_path / "runs"))
@@ -103,3 +100,28 @@ def test_two_process_cli_dp8(tmp_path):
     assert any(r.endswith("-p1") for r in runs), runs
     for r in runs:
         assert (tmp_path / "runs" / r / "ckpt").is_dir(), r
+
+
+@pytest.mark.slow
+def test_two_process_cli_dp8(tmp_path):
+    outs = _run_two_process_cli(tmp_path, [
+        "--im_emb_dim", "32", "--batch_size", "8",  # dp=8 auto
+        "--epochs", "6", "--eval_freq", "3", "--num_ep_test", "16",
+    ])
+    _assert_identical_metrics(outs)
+    _assert_per_process_artifacts(tmp_path)
+
+
+@pytest.mark.slow
+def test_two_process_cli_dp4_mp2(tmp_path):
+    """dp=4 × mp=2 pod-wide mesh: the first-layer weight (input dim 256)
+    is mp-SHARDED across the two processes, so checkpoint saves and
+    artifact fetches must go through host_fetch (re-replicate, then
+    np.asarray) — plain np.asarray raises on non-addressable spans."""
+    outs = _run_two_process_cli(tmp_path, [
+        "--im_emb_dim", "256", "--batch_size", "4",
+        "--epochs", "4", "--eval_freq", "2", "--num_ep_test", "8",
+        "--tpu_mesh_dp", "4", "--tpu_mesh_mp", "2",
+    ])
+    _assert_identical_metrics(outs)
+    _assert_per_process_artifacts(tmp_path)

@@ -141,6 +141,40 @@ def test_parallel_chunked_training():
     assert losses[-1] < losses[0]
 
 
+def test_chunked_train_carries_sampler_augment():
+    """Regression: the chunked drivers must sample with the SAMPLER's
+    options — a bare sample_episode call silently drops --augment (the jit
+    default is augment_scale=0.0), training unaugmented with no warning."""
+    from fumi_tpu.parallel.engine import make_parallel_chunked_train
+    from fumi_tpu.train.steps import build_family, make_opt
+
+    cfg = small_cfg("maml", batch_size=8)
+    mesh = make_mesh(dp=4, mp=1)
+    cs, table, ids = synthetic_class_set(
+        num_classes=10, images_per_class=20, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, IM_DIM, TXT_DIM)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+
+    def chunk_losses(augment_scale):
+        sampler = DeviceEpisodeSampler(
+            jnp.asarray(table), jnp.asarray(ids), cs, spec,
+            augment_scale=augment_scale)
+        chunked = make_parallel_chunked_train(cfg, family, opt, sampler,
+                                              mesh, chunk=2)
+        p = put_replicated(family.params, mesh)
+        s = put_replicated(opt.init(family.params), mesh)
+        _, _, _, ms = chunked(p, s, jax.random.PRNGKey(5))
+        return np.asarray(ms["loss"])
+
+    base = chunk_losses(0.0)
+    jittered = chunk_losses(0.9)
+    assert np.isfinite(base).all() and np.isfinite(jittered).all()
+    assert not np.allclose(base, jittered), (base, jittered)
+
+
 def test_per_shard_rng_stream_semantics():
     """Pin the engine's per-shard PRNG policy (parallel/engine.py): each dp
     shard draws ``fold_in(rng, shard_index)``, so with dropout ON the

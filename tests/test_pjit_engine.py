@@ -118,6 +118,38 @@ def test_pjit_chunked_train_matches_serial():
         sp, pp)
 
 
+def test_pjit_chunked_train_carries_sampler_augment():
+    """Regression: the 2-D chunked driver must sample with the sampler's
+    options (--augment jitter) rather than bare sample_episode defaults."""
+    from fumi_tpu.parallel.pjit_engine import make_pjit_chunked_train
+    from fumi_tpu.train.steps import build_family, make_opt
+
+    cfg = small_cfg("maml")
+    cs, table, ids = synthetic_class_set(
+        num_classes=8, images_per_class=16, im_dim=IM_DIM,
+        text_dim=TXT_DIM, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, IM_DIM, TXT_DIM)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+    mesh = make_mesh(dp=4, mp=2)
+
+    def chunk_losses(augment_scale):
+        sampler = DeviceEpisodeSampler(
+            jnp.asarray(table), jnp.asarray(ids), cs, spec,
+            augment_scale=augment_scale)
+        pj = make_pjit_chunked_train(cfg, family, opt, sampler, mesh,
+                                     chunk=2)
+        _, _, _, ms = pj(family.params, opt.init(family.params),
+                         jax.random.PRNGKey(5), 2)
+        return np.asarray(ms["loss"])
+
+    base = chunk_losses(0.0)
+    jittered = chunk_losses(0.9)
+    assert np.isfinite(base).all() and np.isfinite(jittered).all()
+    assert not np.allclose(base, jittered), (base, jittered)
+
+
 def test_cli_mesh_mp_2d_end_to_end(tmp_path):
     """--tpu_mesh_mp 2 routes the CLI through the 2-D declarative engine
     (make_pjit_steps + chunked pjit drivers) end to end."""
