@@ -1,0 +1,229 @@
+"""HTTP serving front-end: few-shot-as-a-service over JSON.
+
+The reference has no inference story at all (SURVEY §5; training ends at
+wandb metrics + a CSV). :mod:`fumi_tpu.serve` provides the device-side
+request programs (adapt-once/classify-many and the one-dispatch episode
+path); this module puts them behind a wire protocol using only the
+standard library — no web-framework dependency to gate deployment on.
+
+Endpoints (JSON in / JSON out):
+
+- ``GET  /healthz`` — liveness: model family, backend, device count.
+- ``POST /v1/episode`` — one-dispatch few-shot request: adapt on the
+  request's own support set AND classify its queries
+  (``serve.FewShotClassifier.episode_logits``; fused Pallas adaptation on
+  TPU where supported). Body: ``{"support_im": [[...]], "support_y":
+  [...], "query_im": [[...]], "support_text": [[...]]?, "return":
+  "labels"|"probs"|"logits"?}``.
+- ``POST /v1/episode_batch`` — R independent episodes in one dispatch
+  (leading request axis on every field; R is power-of-two padded
+  device-side).
+- ``POST /v1/adapt`` — stateful: run the one-time adaptation, keep the
+  adapted state on device. Body: support fields as above.
+- ``POST /v1/classify`` — classify queries against the adapted state.
+  Body: ``{"query_im": [[...]], "return": ...?}``.
+
+Run:  ``python -m fumi_tpu.serve_http --checkpoint <run_dir> --model fumi
+--port 8080 <model/config flags>`` — the full training CLI flag surface
+applies, so the server reconstructs exactly the trained architecture.
+
+Concurrency: requests are handled on a thread pool
+(`ThreadingHTTPServer`) but device work is serialized under one lock —
+the classifier's adapt state is a single device-resident slot, and JAX
+dispatch from many threads would interleave anyway. Scale-out is
+process-level (one server per chip), matching the one-chip-per-replica
+serving shape.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.serve import FewShotClassifier
+
+
+class ServeError(Exception):
+    """Client error with an HTTP status."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _array(body: dict, key: str, dtype=np.float32,
+           required: bool = True) -> Optional[np.ndarray]:
+    if key not in body or body[key] is None:
+        if required:
+            raise ServeError(400, f"missing field {key!r}")
+        return None
+    try:
+        return np.asarray(body[key], dtype=dtype)
+    except (TypeError, ValueError) as e:
+        raise ServeError(400, f"field {key!r} is not a numeric array: {e}")
+
+
+def _render(logits, mode: str) -> list:
+    import jax
+    import jax.numpy as jnp
+    if mode == "logits":
+        out = logits
+    elif mode == "probs":
+        out = jax.nn.softmax(logits, axis=-1)
+    elif mode == "labels":
+        out = jnp.argmax(logits, axis=-1)
+    else:
+        raise ServeError(400, f"unknown return mode {mode!r} "
+                              "(labels|probs|logits)")
+    return np.asarray(out).tolist()
+
+
+class FewShotService:
+    """The endpoint logic, separated from HTTP plumbing for testability."""
+
+    def __init__(self, clf: FewShotClassifier):
+        self.clf = clf
+        self.lock = threading.Lock()
+
+    def healthz(self) -> dict:
+        import jax
+        return {"ok": True, "model": self.clf.cfg.model,
+                "backend": jax.default_backend(),
+                "devices": len(jax.devices())}
+
+    def episode(self, body: dict) -> dict:
+        s_im = _array(body, "support_im")
+        s_y = _array(body, "support_y", dtype=np.int32)
+        q_im = _array(body, "query_im")
+        s_text = _array(body, "support_text", required=False)
+        mode = body.get("return", "labels")
+        with self.lock:
+            logits = self.clf.episode_logits(s_im, s_y, q_im,
+                                             support_text=s_text)
+        return {"result": _render(logits, mode)}
+
+    def episode_batch(self, body: dict) -> dict:
+        s_im = _array(body, "support_im")
+        s_y = _array(body, "support_y", dtype=np.int32)
+        q_im = _array(body, "query_im")
+        s_text = _array(body, "support_text", required=False)
+        if s_im.ndim != 3:
+            raise ServeError(400, "episode_batch expects a leading request "
+                                  f"axis; support_im has shape {s_im.shape}")
+        mode = body.get("return", "labels")
+        with self.lock:
+            logits = self.clf.episode_logits_batch(s_im, s_y, q_im,
+                                                   support_text=s_text)
+        return {"result": _render(logits, mode)}
+
+    def adapt(self, body: dict) -> dict:
+        s_im = _array(body, "support_im")
+        s_y = _array(body, "support_y", dtype=np.int32)
+        s_text = _array(body, "support_text", required=False)
+        with self.lock:
+            self.clf.adapt(s_im, support_text=s_text, support_y=s_y)
+        return {"ok": True}
+
+    def classify(self, body: dict) -> dict:
+        q_im = _array(body, "query_im")
+        mode = body.get("return", "labels")
+        with self.lock:
+            try:
+                logits = self.clf.logits(q_im)
+            except RuntimeError as e:  # adapt() not called yet
+                raise ServeError(409, str(e))
+        return {"result": _render(logits, mode)}
+
+    ROUTES = {"/v1/episode": episode, "/v1/episode_batch": episode_batch,
+              "/v1/adapt": adapt, "/v1/classify": classify}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: FewShotService  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, status: int, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, self.service.healthz())
+        else:
+            self._reply(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        route = FewShotService.ROUTES.get(self.path)
+        if route is None:
+            self._reply(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ServeError(400, "body must be a JSON object")
+            self._reply(200, route(self.service, body))
+        except ServeError as e:
+            self._reply(e.status, {"error": str(e)})
+        except json.JSONDecodeError as e:
+            self._reply(400, {"error": f"invalid JSON: {e}"})
+        except Exception as e:  # device-side failure: fail the request,
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            # not the server
+
+
+def make_server(clf: FewShotClassifier, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` auto-picks.
+    The bound port is ``server.server_address[1]``."""
+    service = FewShotService(clf)
+    handler = type("Handler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from fumi_tpu.core.config import config_from_args
+
+    net = argparse.ArgumentParser(add_help=False)
+    net.add_argument("--host", type=str, default="127.0.0.1")
+    net.add_argument("--port", type=int, default=8080)
+    net_args, rest = net.parse_known_args(argv)
+
+    cfg = config_from_args(rest)  # the full training CLI flag surface
+
+    from fumi_tpu.core.runtime import setup_cache
+    setup_cache()
+    if cfg.checkpoint:
+        from fumi_tpu.train.checkpoint import resolve_checkpoint
+        run_dir = resolve_checkpoint(cfg.checkpoint, cfg.model,
+                                     entity=cfg.wandb_entity,
+                                     project=cfg.wandb_project)
+        clf = FewShotClassifier.from_checkpoint(run_dir, cfg)
+    else:
+        clf = FewShotClassifier(cfg, None)  # fresh init (smoke/testing)
+
+    server = make_server(clf, net_args.host, net_args.port)
+    host, port = server.server_address[:2]
+    print(f"serving {cfg.model} on http://{host}:{port} "
+          f"(POST /v1/episode, /v1/episode_batch, /v1/adapt, /v1/classify)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

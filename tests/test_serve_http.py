@@ -1,0 +1,138 @@
+"""HTTP serving front-end: the JSON wire protocol over a live (threaded)
+server must reproduce the in-process FewShotClassifier results and return
+actionable errors for malformed requests."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.serve import FewShotClassifier
+from fumi_tpu.serve_http import make_server
+
+N, K, M, D = 3, 2, 4, 16
+
+
+def small_cfg(model="maml"):
+    return Config(model=model, dataset="synthetic", im_emb_dim=D,
+                  text_emb_dim=8, im_hid_dim=(16, 8), text_hid_dim=8,
+                  num_ways=N, num_shots=K, num_test_adapt_steps=2,
+                  dropout=0.0, text_encoder="precomputed", step_size=0.1,
+                  image_embedding_model="resnet-152")
+
+
+def _episode_arrays(rng, batch=None):
+    shape = lambda *s: s if batch is None else (batch, *s)
+    s_im = rng.randn(*shape(N * K, D)).astype(np.float32)
+    q_im = rng.randn(*shape(M, D)).astype(np.float32)
+    s_y = np.tile(np.repeat(np.arange(N), K),
+                  (batch, 1) if batch else 1).astype(np.int32)
+    return s_im, s_y, q_im
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    clf = FewShotClassifier(small_cfg(), None)
+    server = make_server(clf, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", clf
+    server.shutdown()
+
+
+def _post(url, path, body, expect=200):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == expect
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        assert e.code == expect, (e.code, e.read())
+        return json.loads(e.read())
+
+
+def test_healthz(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        payload = json.loads(resp.read())
+    assert payload["ok"] is True
+    assert payload["model"] == "maml"
+    assert payload["devices"] >= 1
+
+
+def test_episode_matches_inprocess(server_url):
+    url, clf = server_url
+    s_im, s_y, q_im = _episode_arrays(np.random.RandomState(0))
+    got = _post(url, "/v1/episode", {
+        "support_im": s_im.tolist(), "support_y": s_y.tolist(),
+        "query_im": q_im.tolist(), "return": "logits"})["result"]
+    want = np.asarray(clf.episode_logits(s_im, s_y, q_im))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_episode_batch_and_labels(server_url):
+    url, clf = server_url
+    s_im, s_y, q_im = _episode_arrays(np.random.RandomState(1), batch=3)
+    got = _post(url, "/v1/episode_batch", {
+        "support_im": s_im.tolist(), "support_y": s_y.tolist(),
+        "query_im": q_im.tolist()})["result"]
+    got = np.asarray(got)
+    assert got.shape == (3, M)
+    want = np.argmax(np.asarray(
+        clf.episode_logits_batch(s_im, s_y, q_im)), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_adapt_then_classify(server_url):
+    url, clf = server_url
+    s_im, s_y, q_im = _episode_arrays(np.random.RandomState(2))
+    assert _post(url, "/v1/adapt", {
+        "support_im": s_im.tolist(), "support_y": s_y.tolist()})["ok"]
+    got = _post(url, "/v1/classify", {
+        "query_im": q_im.tolist(), "return": "probs"})["result"]
+    got = np.asarray(got)
+    assert got.shape == (M, N)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_error_paths(server_url):
+    url, _ = server_url
+    # missing field -> 400 with the field named
+    out = _post(url, "/v1/episode", {"support_y": [0]}, expect=400)
+    assert "support_im" in out["error"]
+    # non-numeric payload -> 400
+    out = _post(url, "/v1/episode", {
+        "support_im": [["oops"]], "support_y": [0], "query_im": [[0.0]]},
+        expect=400)
+    assert "support_im" in out["error"]
+    # bad return mode -> 400
+    s_im, s_y, q_im = _episode_arrays(np.random.RandomState(3))
+    out = _post(url, "/v1/episode", {
+        "support_im": s_im.tolist(), "support_y": s_y.tolist(),
+        "query_im": q_im.tolist(), "return": "florps"}, expect=400)
+    assert "florps" in out["error"]
+    # unknown route -> 404
+    out = _post(url, "/v1/nope", {}, expect=404)
+    assert "no route" in out["error"]
+
+
+def test_classify_before_adapt_is_409():
+    clf = FewShotClassifier(small_cfg(), None)
+    server = make_server(clf, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        out = _post(f"http://{host}:{port}", "/v1/classify",
+                    {"query_im": [[0.0] * D]}, expect=409)
+        assert "adapt" in out["error"]
+    finally:
+        server.shutdown()
