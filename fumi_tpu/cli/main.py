@@ -258,6 +258,7 @@ def main(cfg: Config) -> dict:
 
     params = steps.params
     restored_opt_state = None
+    resume_meta = {}
     if cfg.checkpoint:
         ckpt_dir = ckpt_lib.resolve_checkpoint(
             cfg.checkpoint, cfg.model, entity=cfg.wandb_entity,
@@ -265,14 +266,39 @@ def main(cfg: Config) -> dict:
         params, restored_opt_state, _ = ckpt_lib.load_checkpoint(
             ckpt_dir, params, steps.opt.init(params), best=True)
         steps = steps._replace(params=params)
+    elif cfg.auto_resume and not cfg.evaluate:
+        # crash recovery: continue the newest checkpointed run in this
+        # log_dir — LATEST state (ckpt/, not best/) plus the batch counter
+        # and best-loss bookkeeping, so eval cadence/patience/epochs pick
+        # up where the interrupted run stopped
+        prev = ckpt_lib.find_latest_resumable(cfg.log_dir)
+        if prev is not None:
+            params, restored_opt_state, resume_meta = \
+                ckpt_lib.load_checkpoint(
+                    prev, params, steps.opt.init(params), best=False)
+            steps = steps._replace(params=params)
+            # carry the interrupted run's best/ forward so the end-of-
+            # training best reload still works if this segment never
+            # improves on it
+            import shutil
+            for n in ("best", "best.meta.json"):
+                src, dst = os.path.join(prev, n), os.path.join(run_dir, n)
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst, dirs_exist_ok=True)
+                elif os.path.exists(src):
+                    shutil.copyfile(src, dst)
+            print(f"auto-resume: {prev} "
+                  f"(batch {resume_meta.get('batch_idx')})")
 
     try:
         if not cfg.evaluate:
             from fumi_tpu.utils.profiling import profile_trace
             with profile_trace(cfg.profile_dir):
-                params = training_run(cfg, steps, train_s, val_s, writer,
-                                      run_dir, k_train,
-                                      opt_state=restored_opt_state)
+                params = training_run(
+                    cfg, steps, train_s, val_s, writer, run_dir, k_train,
+                    opt_state=restored_opt_state,
+                    start_batch=int(resume_meta.get("batch_idx", -1)) + 1,
+                    initial_best=resume_meta.get("best_loss"))
     finally:
         # stop the --num_workers prefetch thread (otherwise it keeps
         # drawing episodes until interpreter exit)

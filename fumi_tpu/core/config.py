@@ -133,6 +133,11 @@ class Config:
     # optax.apply_if_finite(n) — a NaN/inf meta-gradient skips the update
     # instead of poisoning params, erroring after n consecutive bad steps.
     skip_nonfinite: int = 0
+    # Crash recovery: resume the newest checkpointed run under log_dir/runs
+    # (params + optimizer state + batch counter + best-loss bookkeeping).
+    # The reference's only recovery is a manual --checkpoint restore that
+    # restarts counting at 0 (SURVEY §5.3).
+    auto_resume: bool = False
     # Multi-host (DCN) launch topology. Setting a coordinator address turns
     # the CLI into one process of a multi-host run (jax.distributed) — the
     # mesh then spans every host's devices and the episode-parallel engines
@@ -300,6 +305,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_im_channels", type=int, default=3)
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
+    p.add_argument("--tpu_auto_resume", action="store_true",
+                   help="resume the newest checkpointed run in log_dir "
+                        "(params, optimizer state, batch counter)")
     p.add_argument("--tpu_dist_coordinator", type=str, default=None,
                    help="multi-host: coordinator address host:port "
                         "(process 0 binds it); unset = single-process")
@@ -375,6 +383,7 @@ def config_from_args(argv=None) -> Config:
         im_channels=args.tpu_im_channels,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
+        auto_resume=args.tpu_auto_resume,
         dist_coordinator=args.tpu_dist_coordinator,
         dist_num_processes=args.tpu_dist_num_processes,
         dist_process_id=args.tpu_dist_process_id,

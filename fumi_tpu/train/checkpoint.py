@@ -103,6 +103,26 @@ def _wandb_save(run_dir: str, is_best: bool) -> None:
         pass  # logging-side failure must never kill a training step
 
 
+def find_latest_resumable(log_dir: str) -> Optional[str]:
+    """Newest run dir under ``log_dir/runs`` holding a ckpt/ checkpoint.
+
+    The crash-recovery discovery step for ``--tpu_auto_resume``: ranked by
+    the checkpoint metadata's mtime (the moment of the last save), so the
+    most recently *progressing* run wins, not the most recently created."""
+    runs_dir = os.path.join(log_dir, "runs")
+    if not os.path.isdir(runs_dir):
+        return None
+    best_path, best_t = None, -1.0
+    for name in os.listdir(runs_dir):
+        run = os.path.join(runs_dir, name)
+        meta = os.path.join(run, "ckpt.meta.json")
+        if os.path.exists(meta) and os.path.isdir(os.path.join(run, "ckpt")):
+            t = os.path.getmtime(meta)
+            if t > best_t:
+                best_t, best_path = t, run
+    return best_path
+
+
 def resolve_checkpoint(checkpoint: str, model: str,
                        entity: str = "multimodal-image-cls",
                        project: Optional[str] = None,

@@ -164,12 +164,15 @@ def _flatten_artifacts(ms: Dict) -> Dict:
 
 def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  writer: MetricWriter, run_dir: str,
-                 rng: jax.Array, opt_state=None):
+                 rng: jax.Array, opt_state=None, start_batch: int = 0,
+                 initial_best: float = None):
     """Train loop for the episodic families. Returns final params.
 
     ``opt_state`` (optional) continues from a restored optimizer state —
     the reference restores it on ``--checkpoint`` resume
-    (ref: utils.py:433-435)."""
+    (ref: utils.py:433-435). ``start_batch``/``initial_best`` continue the
+    batch counter and best-loss bookkeeping from a crash-resumed run
+    (``--tpu_auto_resume``; the reference always restarts counting at 0)."""
     is_am3 = cfg.model == "am3"
     eval_at_zero = is_am3  # ref: am3.py:260 vs maml.py:70 / fumi.py:257
     reload_best = cfg.model in ("am3", "fumi")  # ref: maml.py:107 no reload
@@ -183,7 +186,9 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     val_m = test_loop(cfg, steps, params, val_sampler, max_test_batches,
                       k_init)
     best_loss = val_m["loss"]
-    best_batch_idx = 0
+    if initial_best is not None:
+        best_loss = min(best_loss, float(initial_best))
+    best_batch_idx = start_batch  # fresh patience window on resume
     throughput = Throughput()
     print(f"\ninitial loss: {best_loss}, acc: {val_m['acc']}")
 
@@ -224,10 +229,12 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             stops.append(best_batch_idx + cfg.patience + 1)
         return min(stops)
 
-    batch_idx = 0
+    batch_idx = start_batch
     try:
         while True:
             stop = next_stop(batch_idx)
+            if stop < batch_idx:  # resumed at/past the end: nothing to run
+                break
             n = stop - batch_idx + 1  # steps batch_idx..stop inclusive
 
             if device_path:

@@ -122,6 +122,42 @@ def test_cli_resume_continues_optimizer(tmp_path):
     assert np.isfinite(out["test/loss"])
 
 
+def test_cli_auto_resume_continues_batch_counter(tmp_path):
+    """--tpu_auto_resume: a second invocation picks up the newest
+    checkpointed run in the SAME log_dir — params + optimizer state + the
+    batch counter — and finishes the remaining budget (the reference's only
+    recovery is a manual --checkpoint restore that restarts counting at 0,
+    SURVEY §5.3)."""
+    import json
+
+    # "crashed" first run: 4 of 10 batches done, checkpoint at batch 4
+    cfg = small_cfg(tmp_path, "maml", epochs=4, eval_freq=2)
+    main(cfg)
+    first = ckpt_meta_paths = glob.glob(
+        os.path.join(str(tmp_path), "runs", "*", "ckpt.meta.json"))
+    assert len(ckpt_meta_paths) == 1
+    with open(ckpt_meta_paths[0]) as f:
+        assert json.load(f)["batch_idx"] == 4
+
+    # resumed run: same log_dir, full 10-batch budget
+    out = main(cfg.replace(epochs=10, auto_resume=True))
+    assert np.isfinite(out["test/loss"])
+    metas = {}
+    for p in glob.glob(os.path.join(str(tmp_path), "runs", "*",
+                                    "ckpt.meta.json")):
+        with open(p) as f:
+            metas[p] = json.load(f)["batch_idx"]
+    assert len(metas) == 2
+    # the resumed run continued the counter: its last checkpoint is at
+    # batch 10, and no checkpoint was re-written below the resume point
+    new = {p: b for p, b in metas.items() if p not in first}
+    assert list(new.values()) == [10], metas
+
+    # resume-at-end is a no-op segment that still evaluates cleanly
+    out2 = main(cfg.replace(epochs=10, auto_resume=True))
+    assert np.isfinite(out2["test/loss"])
+
+
 def test_cli_clip_supervised_inat(tmp_path):
     """CLIP over the supervised-inat-anim path with a fake dataset dir."""
     import json
