@@ -71,7 +71,8 @@ def _load_data(cfg: Config):
         splits, table, ids = synthetic_splits(
             num_classes=32, images_per_class=64,
             im_dim=cfg.im_emb_dim, text_dim=cfg.text_emb_dim,
-            seed=cfg.seed, raw_images=(cfg.im_encoder == "conv4"),
+            seed=cfg.seed,
+            raw_images=(cfg.im_encoder in ("conv4", "resnet12")),
             im_size=cfg.im_size, channels=cfg.im_channels, **kw)
         dictionary = synthetic_dictionary(128) if tokens else {}
         return splits, table, ids, dictionary

@@ -123,10 +123,13 @@ class Config:
     # ~0.1 ms per step of the fused sampling+dropout chain; "threefry2x32"
     # for cross-platform key-stream reproducibility.
     prng_impl: str = "rbg"
-    # Raw-image mode (--im_encoder conv4): image size/channels of the raw
-    # table. The reference leaves raw images as a TODO (am3.py:44-46).
+    # Raw-image mode (--im_encoder conv4|resnet12): image size/channels of
+    # the raw table. The reference leaves raw images as a TODO
+    # (am3.py:44-46).
     im_size: int = 84
     im_channels: int = 3
+    # ResNet-12 stage widths (default: the standard TADAM/MetaOptNet set).
+    resnet12_channels: Tuple[int, ...] = (64, 160, 320, 640)
     debug_nans: bool = False
     profile_dir: Optional[str] = None
     # Non-finite-update guard: >0 wraps the optimizer in
@@ -188,7 +191,8 @@ class Config:
         if self.text_encoder not in TEXT_ENCODERS:
             raise NameError(
                 f"{self.text_encoder} not allowed as text encoder")
-        if self.im_encoder not in ("precomputed", "resnet", "conv4"):
+        if self.im_encoder not in ("precomputed", "resnet", "conv4",
+                                   "resnet12"):
             # ref raises NameError in the AM3 ctor (am3.py:47-48); here the
             # check guards every family (a typo would otherwise silently
             # fall back to the embedding MLP)
@@ -303,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "consecutive bad steps (0 = off)")
     p.add_argument("--tpu_im_size", type=int, default=84)
     p.add_argument("--tpu_im_channels", type=int, default=3)
+    p.add_argument("--tpu_resnet12_channels", type=int, nargs="+",
+                   default=[64, 160, 320, 640],
+                   help="ResNet-12 stage widths (--im_encoder resnet12)")
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     p.add_argument("--tpu_auto_resume", action="store_true",
@@ -381,6 +388,7 @@ def config_from_args(argv=None) -> Config:
         skip_nonfinite=args.tpu_skip_nonfinite,
         im_size=args.tpu_im_size,
         im_channels=args.tpu_im_channels,
+        resnet12_channels=tuple(args.tpu_resnet12_channels),
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,

@@ -37,22 +37,32 @@ class AM3(NamedTuple):
     fine_tune: bool
     lamda_fixed: Optional[int]
     # "linear" (precomputed/resnet branches, both Linear in the reference,
-    # ref: am3.py:41-46) or "conv4" (raw images — the reference's TODO)
+    # ref: am3.py:41-46) or "conv4"/"resnet12" (raw images — the
+    # reference's TODO)
     im_encoder_kind: str = "linear"
     im_size: int = 84
     im_channels: int = 3
+    resnet12_channels: tuple = (64, 160, 320, 640)
 
     def init_params(self, key: jax.Array) -> Dict:
         k_im, k_g1, k_g2, k_h1, k_h2 = jax.random.split(key, 5)
-        if self.im_encoder_kind == "conv4":
-            from fumi_tpu.models import conv4
+        if self.im_encoder_kind in ("conv4", "resnet12"):
+            from fumi_tpu.models import raw_image_net
+            net = raw_image_net(self.im_encoder_kind)
             k_bb, k_head = jax.random.split(k_im)
+            if self.im_encoder_kind == "resnet12":
+                bb = dict(net.init(k_bb, self.im_size, self.im_channels,
+                                   n_way=1, channels=self.resnet12_channels))
+                fdim = net.feature_dim(self.im_size, self.resnet12_channels)
+            else:
+                bb = dict(net.init(k_bb, self.im_size, self.im_channels,
+                                   n_way=1))
+                fdim = net.feature_dim(self.im_size)
+            bb.pop("head")  # backbone only; prototype projection below
             image_encoder = {
-                "convs": conv4.init(k_bb, self.im_size, self.im_channels,
-                                    n_way=1)["convs"],
-                "head": layers.linear_init(
-                    k_head, conv4.feature_dim(self.im_size),
-                    self.prototype_dim),
+                **bb,
+                "head": layers.linear_init(k_head, fdim,
+                                           self.prototype_dim),
             }
         else:
             image_encoder = layers.linear_init(k_im, self.im_emb_dim,
@@ -73,12 +83,13 @@ class AM3(NamedTuple):
 
     def encode_image(self, params, im: jnp.ndarray) -> jnp.ndarray:
         """(B, M, im_emb_dim) or (B, M, H, W, C) -> (B, M, prototype_dim)
-        (ref: am3.py:108; conv4 raw path is the reference's TODO)."""
-        if self.im_encoder_kind == "conv4":
-            from fumi_tpu.models import conv4
+        (ref: am3.py:108; raw-image paths are the reference's TODO)."""
+        if self.im_encoder_kind in ("conv4", "resnet12"):
+            from fumi_tpu.models import raw_image_net
+            net = raw_image_net(self.im_encoder_kind)
             B, M = im.shape[:2]
-            feats = conv4.backbone(params["image_encoder"],
-                                   im.reshape((B * M,) + im.shape[2:]))
+            feats = net.backbone(params["image_encoder"],
+                                 im.reshape((B * M,) + im.shape[2:]))
             out = layers.linear(params["image_encoder"]["head"], feats)
             return out.reshape(B, M, -1)
         return layers.linear(params["image_encoder"], im)

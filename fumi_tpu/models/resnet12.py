@@ -1,0 +1,106 @@
+"""ResNet-12 — the heavy-duty few-shot raw-image backbone.
+
+The second rung of the raw-image ladder the reference leaves as a TODO
+(ref: fumi/models/am3.py:44-46; conv4.py is the first): the standard
+ResNet-12 of TADAM/MetaOptNet — 4 residual stages of 3×[conv3×3 →
+batch-stat norm → leaky-ReLU] with a 1×1-projection shortcut and a 2×2
+max-pool per stage, channels (64, 160, 320, 640), global average pool →
+640-d features. Pure functions over a params pytree, so the same
+inner-loop engine adapts it (MAML) and the same episode losses consume it
+(AM3); select with ``--im_encoder resnet12``.
+
+As in conv4.py, normalization uses current-batch statistics at train AND
+eval (the standard MAML convention — no running stats), keeping every
+function pure. Layout NHWC; convs lower onto the MXU, and the wide later
+stages (320/640 channels) are exactly the shapes the ``mp`` mesh axis
+exists for.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fumi_tpu.models.conv4 import EPS, conv_init
+
+CHANNELS: Tuple[int, ...] = (64, 160, 320, 640)
+LEAK = 0.1
+
+
+def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """conv (SAME) → batch-stat norm, NHWC. Kernel size from the params."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype) + params["b"]
+    mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + EPS)
+    return y * params["gamma"] + params["beta"]
+
+
+def block_init(key: jax.Array, in_ch: int, out_ch: int) -> Dict:
+    """One residual stage: three 3×3 conv+norm units and the 1×1
+    projection shortcut (always projected — channel counts change at
+    every stage)."""
+    k1, k2, k3, ks = jax.random.split(key, 4)
+    return {
+        "c1": conv_init(k1, in_ch, out_ch),
+        "c2": conv_init(k2, out_ch, out_ch),
+        "c3": conv_init(k3, out_ch, out_ch),
+        "sc": conv_init(ks, in_ch, out_ch, kh=1, kw=1),
+    }
+
+
+def res_block(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3×[conv-norm(-leaky)] + projected shortcut → leaky → maxpool 2×2."""
+    y = jax.nn.leaky_relu(_conv_bn(params["c1"], x), LEAK)
+    y = jax.nn.leaky_relu(_conv_bn(params["c2"], y), LEAK)
+    y = _conv_bn(params["c3"], y)
+    sc = _conv_bn(params["sc"], x)
+    y = jax.nn.leaky_relu(y + sc, LEAK)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def feature_dim(im_size: int = 84,
+                channels: Tuple[int, ...] = CHANNELS) -> int:
+    """Global average pooling makes the feature dim spatial-size free."""
+    if im_size < 2 ** len(channels):
+        raise ValueError(
+            f"im_size={im_size} collapses to zero spatial extent after "
+            f"{len(channels)} 2x2 pools; need im_size >= "
+            f"{2 ** len(channels)}")
+    return channels[-1]
+
+
+def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
+         n_way: int = 5, channels: Tuple[int, ...] = CHANNELS):
+    """Params: one residual stage per entry of ``channels`` + linear head
+    (head omitted by FuMI-style headless consumers via params["blocks"])."""
+    from fumi_tpu.models import layers
+    feature_dim(im_size, channels)  # validates the spatial budget
+    keys = jax.random.split(key, len(channels) + 1)
+    blocks = []
+    ch = in_channels
+    for i, out_ch in enumerate(channels):
+        blocks.append(block_init(keys[i], ch, out_ch))
+        ch = out_ch
+    head = layers.linear_init(keys[-1], channels[-1], n_way)
+    return {"blocks": tuple(blocks), "head": head}
+
+
+def backbone(params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, H, W, C) images → (M, channels[-1]) globally-pooled features."""
+    for p in params["blocks"]:
+        x = res_block(p, x)
+    return jnp.mean(x, axis=(1, 2))
+
+
+def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
+    from fumi_tpu.models import layers
+    return layers.linear(params["head"], backbone(params, x))

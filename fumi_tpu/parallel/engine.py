@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fumi_tpu.core.config import Config
 from fumi_tpu.core.mesh import DP_AXIS
-from fumi_tpu.train.steps import (TRAIN_SCAN_UNROLL,
+from fumi_tpu.train.steps import (train_scan_unroll,
                                   Family, FamilySteps, _train_metrics,
                                   build_family, make_opt)
 
@@ -175,7 +175,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
 
         (params, opt_state, shard_key), ms = jax.lax.scan(
             body, (params, opt_state, shard_key), None, length=n_steps,
-            unroll=TRAIN_SCAN_UNROLL)
+            unroll=train_scan_unroll(n_steps))
         return params, opt_state, ms
 
     @functools.partial(jax.jit, static_argnums=(4,))

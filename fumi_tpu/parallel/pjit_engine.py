@@ -162,10 +162,10 @@ def make_pjit_chunked_train(cfg: Config, family: Family,
                  if getattr(v, "ndim", 1) == 0}
             return (p, s, k), m
 
-        from fumi_tpu.train.steps import TRAIN_SCAN_UNROLL
+        from fumi_tpu.train.steps import train_scan_unroll
         (params, opt_state, key), ms = jax.lax.scan(
             body, (params, opt_state, key), None, length=n_steps,
-            unroll=TRAIN_SCAN_UNROLL)
+            unroll=train_scan_unroll(n_steps))
         return params, opt_state, key, ms
 
     def wrapper(params, opt_state, key, n=chunk):

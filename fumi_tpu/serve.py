@@ -79,8 +79,9 @@ class FewShotClassifier:
         n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
 
         if cfg.model == "maml":
-            if cfg.im_encoder == "conv4":
-                from fumi_tpu.models import conv4 as net
+            from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+            if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+                net = raw_image_net(cfg.im_encoder)
             else:
                 from fumi_tpu.models import mlp as net
             apply_fn = net.apply

@@ -96,15 +96,19 @@ def _eval_raw_from_logits(logits, episode):
 def build_maml_family(cfg: Config, key: jax.Array) -> Family:
     """PureImageNetwork + MAML engine (ref: maml.py:15-33,134-193).
 
-    ``--im_encoder conv4`` swaps the embedding MLP for the raw-image Conv4
-    backbone (fumi_tpu/models/conv4.py) — the capability the reference
-    leaves as a TODO (am3.py:44-46); the same inner-loop engine adapts it.
+    ``--im_encoder conv4|resnet12`` swaps the embedding MLP for a raw-image
+    backbone (fumi_tpu/models/{conv4,resnet12}.py) — the capability the
+    reference leaves as a TODO (am3.py:44-46); the same inner-loop engine
+    adapts either.
     """
-    if cfg.im_encoder == "conv4":
-        from fumi_tpu.models import conv4
-        params = conv4.init(key, cfg.im_size, cfg.im_channels,
-                            n_way=cfg.num_ways)
-        apply_fn = conv4.apply
+    from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+    if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+        net = raw_image_net(cfg.im_encoder)
+        kw = ({"channels": cfg.resnet12_channels}
+              if cfg.im_encoder == "resnet12" else {})
+        params = net.init(key, cfg.im_size, cfg.im_channels,
+                          n_way=cfg.num_ways, **kw)
+        apply_fn = net.apply
     else:
         params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
         apply_fn = mlp.apply
@@ -216,9 +220,11 @@ def build_am3_family(cfg: Config, key: jax.Array,
         text_encoder=enc, text_emb_dim=enc.out_dim,
         text_hid_dim=cfg.text_hid_dim, dropout=cfg.dropout,
         fine_tune=cfg.fine_tune, lamda_fixed=cfg.lamda_fixed,
-        im_encoder_kind=("conv4" if cfg.im_encoder == "conv4"
+        im_encoder_kind=(cfg.im_encoder
+                         if cfg.im_encoder in ("conv4", "resnet12")
                          else "linear"),
-        im_size=cfg.im_size, im_channels=cfg.im_channels)
+        im_size=cfg.im_size, im_channels=cfg.im_channels,
+        resnet12_channels=cfg.resnet12_channels)
     params = model.init_params(k_par)
 
     def train_loss(p, episode, rng):
@@ -433,7 +439,15 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
 # 19.8k eps/s interleaved best-of-8; unroll=8 regressed to 19.7k). Eval
 # scans stay unroll=1 — their 100-step adaptation bodies dwarf loop
 # overhead and XLA already overlaps independent episodes across iterations.
+# Short chunks skip it: unrolling multiplies the compiled graph for a
+# once-executed program (heavy bodies like a second-order ResNet-12 take
+# minutes to compile 4x), while the per-iteration overhead it saves only
+# matters over production-length chunks.
 TRAIN_SCAN_UNROLL = 4
+
+
+def train_scan_unroll(n_steps: int) -> int:
+    return TRAIN_SCAN_UNROLL if n_steps >= 64 else 1
 
 
 def make_chunked_train(family: Family, opt: optax.GradientTransformation,
@@ -456,7 +470,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
 
         (params, opt_state, key), ms = jax.lax.scan(
             body, (params, opt_state, key), None, length=n_steps,
-            unroll=TRAIN_SCAN_UNROLL)
+            unroll=train_scan_unroll(n_steps))
         return params, opt_state, key, ms
 
     return lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)

@@ -1,0 +1,101 @@
+"""ResNet-12 raw-image backbone: residual block ≡ torch restatement,
+shape/geometry contracts, and the MAML/AM3 integration paths."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.models import resnet12
+
+
+def _t(w):  # HWIO -> torch OIHW
+    return torch.tensor(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _torch_conv_bn(p, x):
+    y = torch.nn.functional.conv2d(
+        x, _t(p["w"]), torch.tensor(np.asarray(p["b"])), padding="same")
+    return torch.nn.functional.batch_norm(
+        y, None, None, weight=torch.tensor(np.asarray(p["gamma"])),
+        bias=torch.tensor(np.asarray(p["beta"])), training=True,
+        eps=resnet12.EPS)
+
+
+def torch_res_block(p, x):
+    lrelu = lambda v: torch.nn.functional.leaky_relu(v, resnet12.LEAK)
+    y = lrelu(_torch_conv_bn(p["c1"], x))
+    y = lrelu(_torch_conv_bn(p["c2"], y))
+    y = _torch_conv_bn(p["c3"], y)
+    sc = _torch_conv_bn(p["sc"], x)
+    return torch.nn.functional.max_pool2d(lrelu(y + sc), 2)
+
+
+def test_res_block_matches_torch(rng_np):
+    in_ch, out_ch = 3, 8
+    p = resnet12.block_init(jax.random.PRNGKey(0), in_ch, out_ch)
+    x = rng_np.randn(5, 12, 12, in_ch).astype(np.float32)  # NHWC
+    got = np.asarray(resnet12.res_block(p, jnp.asarray(x)))
+    want = torch_res_block(
+        p, torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_shapes_and_feature_dim():
+    channels = (8, 12, 16, 24)
+    params = resnet12.init(jax.random.PRNGKey(0), im_size=16,
+                           in_channels=3, n_way=5, channels=channels)
+    x = jnp.ones((7, 16, 16, 3))
+    feats = resnet12.backbone(params, x)
+    assert feats.shape == (7, 24)  # global average pool -> channels[-1]
+    logits = resnet12.apply(params, x)
+    assert logits.shape == (7, 5)
+    assert resnet12.feature_dim(16, channels) == 24
+    assert resnet12.feature_dim(84) == resnet12.CHANNELS[-1]
+    with pytest.raises(ValueError, match="collapses"):
+        resnet12.feature_dim(8)  # 4 pools need >= 16
+
+
+@pytest.mark.slow
+def test_maml_resnet12_learns(tmp_path):
+    """--im_encoder resnet12 end to end through the CLI: second-order MAML
+    adapts the full residual backbone and the loss moves."""
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    cfg = Config(
+        model="maml", dataset="synthetic", im_encoder="resnet12",
+        im_size=16, im_channels=3, im_emb_dim=32, text_emb_dim=8,
+        resnet12_channels=(8, 12, 16, 24),  # --tpu_resnet12_channels
+        num_ways=3, num_shots=2, num_shots_test=3,
+        num_train_adapt_steps=1, num_test_adapt_steps=1,
+        batch_size=2, epochs=6, eval_freq=3, patience=0, num_ep_test=2,
+        lr=1e-3, optim="adam", dropout=0.0, text_encoder="precomputed",
+        step_size=0.1, log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32")
+    out = main(cfg)
+    assert np.isfinite(out["test/loss"])
+    assert 0.0 <= out["test/acc"] <= 1.0
+
+
+def test_am3_resnet12_encoder():
+    """AM3's image encoder accepts the resnet12 backbone + prototype
+    projection head."""
+    from fumi_tpu.models import text_encoders
+    from fumi_tpu.models.am3 import AM3
+
+    enc = text_encoders.make_text_encoder("precomputed",
+                                          jax.random.PRNGKey(1), 8)
+    model = AM3(im_emb_dim=32, prototype_dim=8, text_encoder=enc,
+                text_emb_dim=8, text_hid_dim=8, dropout=0.0,
+                fine_tune=False, lamda_fixed=None,
+                im_encoder_kind="resnet12", im_size=16, im_channels=3,
+                resnet12_channels=(8, 12, 16, 24))
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "blocks" in params["image_encoder"]
+    x = jnp.ones((2, 6, 16, 16, 3))  # (B, M, H, W, C)
+    out = model.encode_image(params, x)
+    assert out.shape == (2, 6, 8)
+    assert np.isfinite(np.asarray(out)).all()
