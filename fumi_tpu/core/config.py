@@ -130,6 +130,14 @@ class Config:
     im_channels: int = 3
     # ResNet-12 stage widths (default: the standard TADAM/MetaOptNet set).
     resnet12_channels: Tuple[int, ...] = (64, 160, 320, 640)
+    # Meta-gradient engine for the MAML family: "explicit" backpropagates
+    # through the inner loop (the reference's semantics); "imaml" uses
+    # implicit gradients (proximal inner solve + CG on Hessian-vector
+    # products, arXiv:1909.04630) — meta-gradient cost independent of the
+    # adaptation horizon, no reverse-mode state through the scan.
+    meta_grad: str = "explicit"
+    imaml_lambda: float = 2.0
+    imaml_cg_iters: int = 5
     debug_nans: bool = False
     profile_dir: Optional[str] = None
     # Non-finite-update guard: >0 wraps the optimizer in
@@ -203,6 +211,9 @@ class Config:
                 raise NameError("Invalid text type used")
         if self.optim not in OPTIMIZERS:
             raise NotImplementedError(f"optimizer {self.optim!r}")
+        if self.meta_grad not in ("explicit", "imaml"):
+            raise ValueError(
+                f"meta_grad {self.meta_grad!r} (explicit|imaml)")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -310,6 +321,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_resnet12_channels", type=int, nargs="+",
                    default=[64, 160, 320, 640],
                    help="ResNet-12 stage widths (--im_encoder resnet12)")
+    p.add_argument("--tpu_meta_grad", type=str, default="explicit",
+                   choices=["explicit", "imaml"],
+                   help="MAML meta-gradient engine: backprop through the "
+                        "inner loop, or iMAML implicit gradients")
+    p.add_argument("--tpu_imaml_lambda", type=float, default=2.0,
+                   help="iMAML proximal-regularization strength")
+    p.add_argument("--tpu_imaml_cg_iters", type=int, default=5,
+                   help="iMAML conjugate-gradient iterations")
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     p.add_argument("--tpu_auto_resume", action="store_true",
@@ -389,6 +408,9 @@ def config_from_args(argv=None) -> Config:
         im_size=args.tpu_im_size,
         im_channels=args.tpu_im_channels,
         resnet12_channels=tuple(args.tpu_resnet12_channels),
+        meta_grad=args.tpu_meta_grad,
+        imaml_lambda=args.tpu_imaml_lambda,
+        imaml_cg_iters=args.tpu_imaml_cg_iters,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,

@@ -75,9 +75,12 @@ def _use_fused_eval(cfg: Config) -> bool:
     harness: opt-in (--tpu_pallas_fused_eval) AND covered by the kernel
     (fused_adapt_applicable; numbers in docs/PERFORMANCE.md)."""
     from fumi_tpu.ops.pallas_kernels import fused_adapt_applicable
-    return cfg.pallas_fused_eval and fused_adapt_applicable(
-        cfg.model, cfg.im_encoder, cfg.im_hid_dim,
-        cfg.num_test_adapt_steps)
+    # the fused kernel implements PLAIN GD adaptation — iMAML's proximal
+    # inner objective is a different program
+    return (cfg.pallas_fused_eval and cfg.meta_grad == "explicit"
+            and fused_adapt_applicable(
+                cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+                cfg.num_test_adapt_steps))
 
 
 def _eval_raw_from_logits(logits, episode):
@@ -114,6 +117,16 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         apply_fn = mlp.apply
 
     def loss_for(n_steps):
+        if cfg.meta_grad == "imaml":
+            from fumi_tpu.metalearn.implicit import imaml_episode_loss
+
+            def loss_fn(p, episode, rng):
+                return imaml_episode_loss(
+                    apply_fn, p, episode, n_steps=n_steps,
+                    step_size=cfg.step_size, lam=cfg.imaml_lambda,
+                    cg_iters=cfg.imaml_cg_iters)
+            return loss_fn
+
         def loss_fn(p, episode, rng):
             return maml_episode_loss(
                 apply_fn, p, episode, n_steps=n_steps,
