@@ -40,13 +40,30 @@ class FUMI(NamedTuple):
     fine_tune: bool
     init_bias: bool
     init_all_layers: bool = False
+    # "mlp" (the reference's embedding stack) or "conv4"/"resnet12" — the
+    # hypernet-generated head then rides on raw-image BACKBONE features
+    # (an extension; the reference's raw path is a TODO, am3.py:44-46)
+    im_encoder_kind: str = "mlp"
+    im_size: int = 84
+    im_channels: int = 3
+    resnet12_channels: Tuple[int, ...] = (64, 160, 320, 640)
+
+    @property
+    def head_in_dim(self) -> int:
+        """Feature dim the generated head consumes."""
+        if self.im_encoder_kind == "conv4":
+            from fumi_tpu.models import conv4
+            return conv4.feature_dim(self.im_size)
+        if self.im_encoder_kind == "resnet12":
+            return self.resnet12_channels[-1]
+        return self.im_hid_dim[-1]
 
     def init_params(self, key: jax.Array) -> Dict:
         if self.init_all_layers:
             raise NotImplementedError(
                 "Entire model hypernet initialisation removed")
         k_h1, k_h2, k_bias, k_im = jax.random.split(key, 4)
-        head_out = self.im_hid_dim[-1] + 1  # weights + bias (ref: fumi.py:76-79)
+        head_out = self.head_in_dim + 1  # weights + bias (ref: fumi.py:76-79)
         hyper_head = layers.linear_init(k_h2, self.text_hid_dim, head_out)
         if self.init_bias:
             # ref: fumi.py:81-84 — zero head weight; normc bias with ReLU gain
@@ -55,12 +72,22 @@ class FUMI(NamedTuple):
                 "b": layers.normc_init(k_bias, (1, head_out),
                                        gain=math.sqrt(2.0)).reshape(-1),
             }
-        im_keys = jax.random.split(k_im, max(len(self.im_hid_dim), 1))
-        im_net = []
-        in_dim = self.im_emb_dim
-        for i, hid in enumerate(self.im_hid_dim):
-            im_net.append(layers.linear_init(im_keys[i], in_dim, hid))
-            in_dim = hid
+        if self.im_encoder_kind in ("conv4", "resnet12"):
+            from fumi_tpu.models import raw_image_net
+            net = raw_image_net(self.im_encoder_kind)
+            kw = ({"channels": self.resnet12_channels}
+                  if self.im_encoder_kind == "resnet12" else {})
+            im_net = dict(net.init(k_im, self.im_size, self.im_channels,
+                                   n_way=1, **kw))
+            im_net.pop("head")  # headless: the hypernet generates the head
+        else:
+            im_keys = jax.random.split(k_im, max(len(self.im_hid_dim), 1))
+            stack = []
+            in_dim = self.im_emb_dim
+            for i, hid in enumerate(self.im_hid_dim):
+                stack.append(layers.linear_init(im_keys[i], in_dim, hid))
+                in_dim = hid
+            im_net = tuple(stack)
         return {
             "text_encoder": self.text_encoder.params,
             "hyper_net": (
@@ -68,7 +95,7 @@ class FUMI(NamedTuple):
                                    self.text_hid_dim),
                 hyper_head,
             ),
-            "im_net": tuple(im_net),
+            "im_net": im_net,
         }
 
     # -- forward pieces ---------------------------------------------------
@@ -118,8 +145,11 @@ class FUMI(NamedTuple):
 
     def im_base(self, im_params, x: jnp.ndarray, *, rng: jax.Array,
                 train: bool) -> jnp.ndarray:
-        """Base image MLP without head: Linear-ReLU-(Dropout) stack
-        (ref: fumi.py:88-100)."""
+        """Base image net without head: Linear-ReLU-(Dropout) stack
+        (ref: fumi.py:88-100), or a raw-image backbone (extension)."""
+        if self.im_encoder_kind in ("conv4", "resnet12"):
+            from fumi_tpu.models import raw_image_net
+            return raw_image_net(self.im_encoder_kind).backbone(im_params, x)
         for i, p in enumerate(im_params):
             x = jax.nn.relu(layers.linear(p, x))
             if self.dropout_rate > 0:

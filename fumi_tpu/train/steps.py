@@ -170,7 +170,12 @@ def build_fumi_family(cfg: Config, key: jax.Array,
         text_emb_dim=enc.out_dim, text_hid_dim=cfg.text_hid_dim,
         dropout_rate=cfg.dropout, norm_hypernet=cfg.norm_hypernet,
         fine_tune=cfg.fine_tune, init_bias=cfg.hypernet_bias_init,
-        init_all_layers=cfg.init_all_layers)
+        init_all_layers=cfg.init_all_layers,
+        im_encoder_kind=(cfg.im_encoder
+                         if cfg.im_encoder in ("conv4", "resnet12")
+                         else "mlp"),
+        im_size=cfg.im_size, im_channels=cfg.im_channels,
+        resnet12_channels=cfg.resnet12_channels)
     params = model.init_params(k_par)
 
     def loss_for(n_steps, train):

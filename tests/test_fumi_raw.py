@@ -1,0 +1,109 @@
+"""FuMI over raw-image backbones: the hypernet-generated head rides on
+conv4/resnet12 backbone features, and the joint dual-update inner loop
+adapts backbone + generated head together (extension; the reference's raw
+path is a TODO, am3.py:44-46)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fumi_tpu.models import text_encoders
+from fumi_tpu.models.fumi import FUMI
+
+N, K, Q = 3, 2, 3
+
+
+def _model(kind, im_size=16):
+    enc = text_encoders.make_text_encoder("precomputed",
+                                          jax.random.PRNGKey(1), 8)
+    return FUMI(n_way=N, im_emb_dim=32, im_hid_dim=(16, 8),
+                text_encoder=enc, text_emb_dim=8, text_hid_dim=8,
+                dropout_rate=0.0, norm_hypernet=True, fine_tune=False,
+                init_bias=False, im_encoder_kind=kind, im_size=im_size,
+                im_channels=3, resnet12_channels=(8, 12, 16, 24))
+
+
+@pytest.mark.parametrize("kind,feat", [("conv4", 64), ("resnet12", 24)])
+def test_head_rides_on_backbone_features(kind, feat):
+    model = _model(kind)
+    assert model.head_in_dim == feat
+    params = model.init_params(jax.random.PRNGKey(0))
+    # headless backbone params; hypernet emits feat+1 per class
+    assert "head" not in params["im_net"]
+    assert params["hyper_net"][1]["w"].shape[0] == feat + 1
+
+    rng = np.random.RandomState(0)
+    s_text = jnp.asarray(rng.randn(N * K, 8).astype(np.float32))
+    s_y = jnp.asarray(np.repeat(np.arange(N), K).astype(np.int32))
+    x = jnp.asarray(rng.randn(N * K, 16, 16, 3).astype(np.float32))
+    hyper = model.get_hyper_params(params, s_text, s_y,
+                                   rng=jax.random.PRNGKey(2))
+    assert hyper.shape == (N, feat + 1)
+    logits = model.im_forward(params["im_net"], hyper, x,
+                              rng=jax.random.PRNGKey(3), train=True)
+    assert logits.shape == (N * K, N)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fumi_conv_inner_loop_differentiable():
+    """The dual-update episode loss is finite and differentiable w.r.t.
+    backbone + hypernet params (second order through conv blocks)."""
+    from fumi_tpu.core.episode import Episode
+    from fumi_tpu.metalearn.inner_loop import fumi_episode_loss
+
+    model = _model("resnet12")
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    B = 2
+    episode = Episode(
+        support_im=jnp.asarray(
+            rng.randn(B, N * K, 16, 16, 3).astype(np.float32)),
+        support_text=jnp.asarray(
+            rng.randn(B, N * K, 8).astype(np.float32)),
+        support_text_mask=None,
+        support_ids=jnp.zeros((B, N * K), jnp.int32),
+        support_y=jnp.asarray(np.tile(np.repeat(np.arange(N), K), (B, 1))
+                              .astype(np.int32)),
+        query_im=jnp.asarray(
+            rng.randn(B, N * Q, 16, 16, 3).astype(np.float32)),
+        query_ids=jnp.zeros((B, N * Q), jnp.int32),
+        query_y=jnp.asarray(np.tile(np.repeat(np.arange(N), Q), (B, 1))
+                            .astype(np.int32)),
+    )
+
+    def loss_fn(p):
+        loss, aux = fumi_episode_loss(model, p, episode, n_steps=2,
+                                      step_size=0.05,
+                                      rng=jax.random.PRNGKey(4), train=True)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(aux["acc"]) <= 1.0
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads["im_net"]))
+    assert gnorm > 0.0  # backbone receives meta-gradient
+    hnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads["hyper_net"]))
+    assert hnorm > 0.0  # hypernet receives meta-gradient
+
+
+@pytest.mark.slow
+def test_cli_fumi_conv4_end_to_end(tmp_path):
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    cfg = Config(
+        model="fumi", dataset="synthetic", im_encoder="conv4",
+        im_size=16, im_channels=3, im_emb_dim=32, text_emb_dim=8,
+        im_hid_dim=(16, 8), text_hid_dim=8,
+        num_ways=3, num_shots=2, num_shots_test=3,
+        num_train_adapt_steps=1, num_test_adapt_steps=1,
+        batch_size=2, epochs=4, eval_freq=2, patience=0, num_ep_test=2,
+        lr=1e-3, optim="adam", dropout=0.0, text_encoder="precomputed",
+        step_size=0.05, log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32")
+    out = main(cfg)
+    assert np.isfinite(out["test/loss"])
+    assert 0.0 <= out["test/acc"] <= 1.0
