@@ -114,12 +114,14 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
         ms = {k: host_fetch(v) for k, v in ms.items()}
         out = {k: float(v.mean()) for k, v in ms.items()
                if k not in ARTIFACT_KEYS}
+        out.update(_ci95(ms.get("acc"), ms.get("loss")))
         if collect_artifacts:
             out.update(_flatten_artifacts(ms))
         return out
 
     # host-sampler / custom-steps path: one dispatch per batch
     meters: Dict[str, AverageMeter] = {}
+    series: Dict[str, List] = {"acc": [], "loss": []}  # for the 95% CI
     arts: Dict[str, List] = {k: [] for k in ARTIFACT_KEYS}
     for batch_idx in range(total):
         key = jax.random.fold_in(rng, batch_idx)
@@ -133,6 +135,8 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
             if k in ("preds", "targets", "lamda"):
                 continue
             meters.setdefault(k, AverageMeter()).update(float(v))
+            if k in series:
+                series[k].append(float(v))
         if collect_artifacts:
             arts["preds"] += np.asarray(m["preds"]).reshape(-1).tolist()
             arts["targets"] += np.asarray(m["targets"]).reshape(-1).tolist()
@@ -143,11 +147,27 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
             if "lamda" in m:
                 arts["lamda"] += np.asarray(m["lamda"]).reshape(-1).tolist()
     out = {k: meter.avg for k, meter in meters.items()}
+    out.update(_ci95(np.asarray(series["acc"]), np.asarray(series["loss"])))
     if collect_artifacts:
         out.update(preds=arts["preds"], targets=arts["targets"],
                    query_idx=arts["query_idx"],
                    support_idx=arts["support_idx"],
                    support_lamdas=arts["lamda"])
+    return out
+
+
+def _ci95(accs, losses) -> Dict:
+    """Standard few-shot reporting: the 95% confidence half-width of the
+    mean over the evaluated meta-batches (the reference reports only the
+    mean, ref: am3.py:325-335 AverageMeter)."""
+    out = {}
+    for name, v in (("acc", accs), ("loss", losses)):
+        if v is None:
+            continue
+        v = np.asarray(v).reshape(-1)
+        if v.size > 1:
+            out[f"{name}_ci95"] = float(
+                1.96 * v.std(ddof=1) / np.sqrt(v.size))
     return out
 
 

@@ -34,6 +34,10 @@ def test_cli_end_to_end(tmp_path, model):
     out = main(cfg)
     assert np.isfinite(out["test/loss"])
     assert 0.0 <= out["test/acc"] <= 1.0
+    # 95% CI half-widths over the evaluated meta-batches (standard
+    # few-shot reporting; an extension over the reference's plain means)
+    assert out["test/acc_ci95"] >= 0.0
+    assert out["test/loss_ci95"] >= 0.0
     if model == "am3":
         for k in ("test/prec", "test/rec", "test/f1", "test/avg_lamda"):
             assert k in out
