@@ -138,6 +138,10 @@ class Config:
     meta_grad: str = "explicit"
     imaml_lambda: float = 2.0
     imaml_cg_iters: int = 5
+    # Which parameters the inner loop adapts (MAML family): "all" (the
+    # reference's semantics) or "head" (ANIL — only the final layer adapts;
+    # body inner-gradients are dead code XLA eliminates).
+    adapt_params: str = "all"
     debug_nans: bool = False
     profile_dir: Optional[str] = None
     # Non-finite-update guard: >0 wraps the optimizer in
@@ -214,6 +218,15 @@ class Config:
         if self.meta_grad not in ("explicit", "imaml"):
             raise ValueError(
                 f"meta_grad {self.meta_grad!r} (explicit|imaml)")
+        if self.adapt_params not in ("all", "head"):
+            raise ValueError(
+                f"adapt_params {self.adapt_params!r} (all|head)")
+        if self.meta_grad == "imaml" and self.adapt_params == "head":
+            # the implicit-gradient solve is derived over the full adapted
+            # parameter vector; a head-restricted variant needs the mixed
+            # direct+implicit total derivative — not implemented
+            raise NotImplementedError(
+                "--tpu_meta_grad imaml with --tpu_adapt_params head")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -329,6 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="iMAML proximal-regularization strength")
     p.add_argument("--tpu_imaml_cg_iters", type=int, default=5,
                    help="iMAML conjugate-gradient iterations")
+    p.add_argument("--tpu_adapt_params", type=str, default="all",
+                   choices=["all", "head"],
+                   help="inner-loop adaptation scope: all params, or "
+                        "head-only (ANIL)")
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     p.add_argument("--tpu_auto_resume", action="store_true",
@@ -411,6 +428,7 @@ def config_from_args(argv=None) -> Config:
         meta_grad=args.tpu_meta_grad,
         imaml_lambda=args.tpu_imaml_lambda,
         imaml_cg_iters=args.tpu_imaml_cg_iters,
+        adapt_params=args.tpu_adapt_params,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,

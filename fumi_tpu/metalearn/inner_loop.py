@@ -58,10 +58,35 @@ def _unroll(n_steps: int) -> int:
     return 1
 
 
-def sgd_inner_update(params, grads, step_size: float):
-    """θ' = θ − α·∇ℓ, the torchmeta ``gradient_update_parameters`` update."""
-    return jax.tree_util.tree_map(lambda p, g: p - step_size * g,
-                                  params, grads)
+def sgd_inner_update(params, grads, step_size: float, mask=None):
+    """θ' = θ − α·∇ℓ, the torchmeta ``gradient_update_parameters`` update.
+
+    ``mask`` (optional bool pytree) restricts the update to marked leaves —
+    the ANIL variant (Raghu et al.: only the head adapts in the inner
+    loop). Unmasked leaves keep their pre-update value, and XLA dead-code-
+    eliminates their unused inner gradients."""
+    if mask is None:
+        return jax.tree_util.tree_map(lambda p, g: p - step_size * g,
+                                      params, grads)
+    return jax.tree_util.tree_map(
+        lambda p, g, m: p - step_size * g if m else p,
+        params, grads, mask)
+
+
+def head_only_mask(params):
+    """ANIL adapt-mask: True only on the network's head leaves.
+
+    Covers both param layouts: the MLP stack (sequence of layer dicts —
+    head is the last layer) and the raw-image backbones (dict with an
+    explicit ``"head"`` entry)."""
+    if isinstance(params, dict) and "head" in params:
+        return {k: jax.tree_util.tree_map(lambda _: k == "head", v)
+                for k, v in params.items()}
+    seq = list(params)
+    n = len(seq)
+    mask = [jax.tree_util.tree_map(lambda _, i=i: i == n - 1, p)
+            for i, p in enumerate(seq)]
+    return type(params)(mask) if isinstance(params, tuple) else mask
 
 
 def _accuracy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -81,11 +106,13 @@ def maml_episode_loss(apply_fn: Callable,
                       n_steps: int,
                       step_size: float,
                       first_order: bool,
-                      remat: bool = None):
+                      remat: bool = None,
+                      adapt_mask=None):
     """Mean outer loss over the meta-batch (ref: maml.py:134-193).
 
     Each task adapts a private copy of ``params`` for ``n_steps`` inner SGD
     steps on its support set, then contributes the query cross-entropy.
+    ``adapt_mask`` restricts the inner updates to marked leaves (ANIL).
 
     Returns ``(outer_loss, aux)`` with aux = {"acc", "preds"}; outer_loss is
     differentiable w.r.t. ``params`` (2nd order unless ``first_order``).
@@ -98,7 +125,7 @@ def maml_episode_loss(apply_fn: Callable,
             grads = jax.grad(support_loss)(p)
             if first_order:
                 grads = jax.lax.stop_gradient(grads)
-            return sgd_inner_update(p, grads, step_size), None
+            return sgd_inner_update(p, grads, step_size, adapt_mask), None
 
         inner = _maybe_remat(inner, n_steps, remat)
         adapted, _ = jax.lax.scan(inner, params, None, length=n_steps,

@@ -75,9 +75,11 @@ def _use_fused_eval(cfg: Config) -> bool:
     harness: opt-in (--tpu_pallas_fused_eval) AND covered by the kernel
     (fused_adapt_applicable; numbers in docs/PERFORMANCE.md)."""
     from fumi_tpu.ops.pallas_kernels import fused_adapt_applicable
-    # the fused kernel implements PLAIN GD adaptation — iMAML's proximal
-    # inner objective is a different program
+    # the fused kernel implements PLAIN full-parameter GD adaptation —
+    # iMAML's proximal objective and ANIL's head-only updates are
+    # different programs
     return (cfg.pallas_fused_eval and cfg.meta_grad == "explicit"
+            and cfg.adapt_params == "all"
             and fused_adapt_applicable(
                 cfg.model, cfg.im_encoder, cfg.im_hid_dim,
                 cfg.num_test_adapt_steps))
@@ -116,6 +118,11 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
         apply_fn = mlp.apply
 
+    adapt_mask = None
+    if cfg.adapt_params == "head":  # ANIL: only the head adapts
+        from fumi_tpu.metalearn.inner_loop import head_only_mask
+        adapt_mask = head_only_mask(params)
+
     def loss_for(n_steps):
         if cfg.meta_grad == "imaml":
             from fumi_tpu.metalearn.implicit import imaml_episode_loss
@@ -130,7 +137,8 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         def loss_fn(p, episode, rng):
             return maml_episode_loss(
                 apply_fn, p, episode, n_steps=n_steps,
-                step_size=cfg.step_size, first_order=cfg.first_order)
+                step_size=cfg.step_size, first_order=cfg.first_order,
+                adapt_mask=adapt_mask)
         return loss_fn
 
     eval_loss = loss_for(cfg.num_test_adapt_steps)
