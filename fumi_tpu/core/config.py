@@ -199,7 +199,13 @@ class Config:
                     "Resnet-34 outputs 512-dimensional embeddings, hence "
                     "--im_emb_dim should be set to 512")
         if self.model not in MODELS:
-            raise ValueError(f"unknown model {self.model!r}; one of {MODELS}")
+            # user-registered episodic families (train/steps.py
+            # register_family) are first-class citizens of the CLI
+            from fumi_tpu.train.steps import FAMILY_REGISTRY
+            if self.model not in FAMILY_REGISTRY:
+                raise ValueError(
+                    f"unknown model {self.model!r}; one of "
+                    f"{tuple(MODELS) + tuple(sorted(FAMILY_REGISTRY))}")
         if self.text_encoder not in TEXT_ENCODERS:
             raise NameError(
                 f"{self.text_encoder} not allowed as text encoder")

@@ -295,6 +295,69 @@ def build_am3_family(cfg: Config, key: jax.Array,
     )
 
 
+def build_protonet_family(cfg: Config, key: jax.Array,
+                          dictionary=None) -> Family:
+    """Prototypical Networks (Snell et al. 2017) — image-only prototype
+    baseline, here as the canonical EXTENSION family: ~60 lines registered
+    via the family registry inherit the chunked drivers, both parallel
+    engines, the harness, serving-free eval, and the CLI. (No reference
+    counterpart; AM3 with λ≡1 reduces to the same prototype math but drags
+    the text machinery along, ref: am3.py:174-179.)"""
+    from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+    from fumi_tpu.models import layers
+
+    if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+        net = raw_image_net(cfg.im_encoder)
+        k_bb, k_head = jax.random.split(key)
+        kw = ({"channels": cfg.resnet12_channels}
+              if cfg.im_encoder == "resnet12" else {})
+        bb = dict(net.init(k_bb, cfg.im_size, cfg.im_channels, n_way=1,
+                           **kw))
+        bb.pop("head")
+        fdim = (cfg.resnet12_channels[-1] if cfg.im_encoder == "resnet12"
+                else net.feature_dim(cfg.im_size))
+        params = {**bb, "head": layers.linear_init(k_head, fdim,
+                                                   cfg.prototype_dim)}
+
+        def embed(p, x):
+            B, M = x.shape[:2]
+            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]))
+            return layers.linear(p["head"], feats).reshape(B, M, -1)
+    else:
+        params = layers.linear_init(key, cfg.im_emb_dim, cfg.prototype_dim)
+
+        def embed(p, x):
+            return layers.linear(p, x)
+
+    N = cfg.num_ways
+
+    def _raw(p, episode):
+        s_e = embed(p, episode.support_im)  # (B, NK, P)
+        q_e = embed(p, episode.query_im)  # (B, NQ, P)
+        lam = jnp.ones(s_e.shape[:2] + (1,), s_e.dtype)  # image-only
+        protos = fewshot.get_prototypes(s_e, s_e, lam, episode.support_y, N)
+        loss = fewshot.prototypical_loss(protos, q_e, episode.query_y)
+        preds = fewshot.predict_classes(protos, q_e)
+        acc = jnp.mean((preds == episode.query_y).astype(jnp.float32))
+        return loss, preds, acc
+
+    def train_loss(p, episode, rng):
+        loss, preds, acc = _raw(p, episode)
+        return loss, {"acc": acc, "preds": preds}
+
+    def eval_raw(p, episode, rng):
+        loss, preds, acc = _raw(p, episode)
+        return {"loss": loss, "acc": acc, "preds": preds,
+                "targets": episode.query_y}
+
+    return Family(
+        name="protonet", params=params, train_loss=train_loss,
+        eval_raw=eval_raw, eval_finalize=lambda raw: raw,
+        eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
+                     "targets": "concat"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Family registry
 # ---------------------------------------------------------------------------
@@ -317,6 +380,7 @@ def register_family(name: str):
 register_family("maml")(lambda cfg, key, d=None: build_maml_family(cfg, key))
 register_family("fumi")(build_fumi_family)
 register_family("am3")(build_am3_family)
+register_family("protonet")(build_protonet_family)
 
 
 def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:

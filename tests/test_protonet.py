@@ -1,0 +1,81 @@
+"""ProtoNet registered family: the ~60-line registry extension must
+inherit the full stack — CLI, chunked drivers, parallel engines — and
+learn on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fumi_tpu.core.config import Config
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        model="protonet", dataset="synthetic", im_emb_dim=32,
+        text_emb_dim=16, prototype_dim=16,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        batch_size=8, epochs=30, eval_freq=15, patience=0, num_ep_test=8,
+        lr=1e-2, optim="adam", dropout=0.0, text_encoder="precomputed",
+        log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32")
+    base.update(kw)
+    return Config(**base)
+
+
+def test_registry_contains_protonet():
+    from fumi_tpu.train.steps import FAMILY_REGISTRY
+    assert "protonet" in FAMILY_REGISTRY
+    # validate() accepts registered families beyond the reference's four
+    _cfg("/tmp").validate()
+
+
+def test_cli_protonet_end_to_end(tmp_path):
+    from fumi_tpu.cli.main import main
+    out = main(_cfg(tmp_path))
+    assert np.isfinite(out["test/loss"])
+    # the synthetic classes are linearly separable in embedding space —
+    # a learned prototype metric should beat chance solidly
+    assert out["test/acc"] > 1.0 / 3 + 0.1
+
+
+def test_protonet_inherits_parallel_engine():
+    """No protonet-specific parallel code exists — the shard_map engine
+    must reproduce the serial step for the registered family as-is."""
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.core.mesh import make_mesh, put_episode, put_replicated
+    from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
+    from fumi_tpu.parallel import make_parallel_steps
+    from fumi_tpu.train.steps import make_steps
+
+    cfg = _cfg("/tmp")
+    cs, table, ids = synthetic_class_set(
+        num_classes=10, images_per_class=20, im_dim=32, text_dim=16, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, 32, 16)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    episode = jax.jit(sampler.sample)(jax.random.PRNGKey(0))
+
+    serial = make_steps(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=4, mp=1)
+    par = make_parallel_steps(cfg, jax.random.PRNGKey(0), mesh)
+
+    rng = jax.random.PRNGKey(1)
+    sp, _, sm = serial.train_step(serial.params, serial.opt.init(
+        serial.params), episode, rng)
+    pp, _, pm = par.train_step(
+        put_replicated(par.params, mesh),
+        put_replicated(par.opt.init(par.params), mesh),
+        put_episode(episode, mesh), rng)
+    assert abs(float(sm["loss"]) - float(pm["loss"])) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5), sp, pp)
+
+
+def test_protonet_conv_backbone(tmp_path):
+    """Raw-image protonet: conv4 backbone + prototype projection."""
+    from fumi_tpu.cli.main import main
+    out = main(_cfg(tmp_path, im_encoder="conv4", im_size=16,
+                    batch_size=2, epochs=4, eval_freq=2, num_ep_test=2))
+    assert np.isfinite(out["test/loss"])
