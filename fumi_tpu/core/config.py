@@ -134,7 +134,9 @@ class Config:
     # through the inner loop (the reference's semantics); "imaml" uses
     # implicit gradients (proximal inner solve + CG on Hessian-vector
     # products, arXiv:1909.04630) — meta-gradient cost independent of the
-    # adaptation horizon, no reverse-mode state through the scan.
+    # adaptation horizon, no reverse-mode state through the scan;
+    # "reptile" interpolates toward the adapted parameters (Nichol et al.
+    # 2018) — no meta-graph at all, the cheapest engine.
     meta_grad: str = "explicit"
     imaml_lambda: float = 2.0
     imaml_cg_iters: int = 5
@@ -221,18 +223,21 @@ class Config:
                 raise NameError("Invalid text type used")
         if self.optim not in OPTIMIZERS:
             raise NotImplementedError(f"optimizer {self.optim!r}")
-        if self.meta_grad not in ("explicit", "imaml"):
+        if self.meta_grad not in ("explicit", "imaml", "reptile"):
             raise ValueError(
-                f"meta_grad {self.meta_grad!r} (explicit|imaml)")
+                f"meta_grad {self.meta_grad!r} (explicit|imaml|reptile)")
         if self.adapt_params not in ("all", "head"):
             raise ValueError(
                 f"adapt_params {self.adapt_params!r} (all|head)")
-        if self.meta_grad == "imaml" and self.adapt_params == "head":
-            # the implicit-gradient solve is derived over the full adapted
-            # parameter vector; a head-restricted variant needs the mixed
-            # direct+implicit total derivative — not implemented
+        if self.meta_grad != "explicit" and self.adapt_params == "head":
+            # iMAML: the implicit solve is derived over the full adapted
+            # vector (the head-restricted variant needs the mixed
+            # direct+implicit total derivative). Reptile: θ−φ is zero on
+            # frozen leaves, so head-only reptile silently stops training
+            # the body — reject rather than surprise.
             raise NotImplementedError(
-                "--tpu_meta_grad imaml with --tpu_adapt_params head")
+                f"--tpu_meta_grad {self.meta_grad} with "
+                "--tpu_adapt_params head")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -341,9 +346,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=[64, 160, 320, 640],
                    help="ResNet-12 stage widths (--im_encoder resnet12)")
     p.add_argument("--tpu_meta_grad", type=str, default="explicit",
-                   choices=["explicit", "imaml"],
+                   choices=["explicit", "imaml", "reptile"],
                    help="MAML meta-gradient engine: backprop through the "
-                        "inner loop, or iMAML implicit gradients")
+                        "inner loop, iMAML implicit gradients, or the "
+                        "Reptile pseudo-gradient")
     p.add_argument("--tpu_imaml_lambda", type=float, default=2.0,
                    help="iMAML proximal-regularization strength")
     p.add_argument("--tpu_imaml_cg_iters", type=int, default=5,

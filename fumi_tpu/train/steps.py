@@ -134,6 +134,15 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
                     cg_iters=cfg.imaml_cg_iters)
             return loss_fn
 
+        if cfg.meta_grad == "reptile":
+            from fumi_tpu.metalearn.reptile import reptile_episode_loss
+
+            def loss_fn(p, episode, rng):
+                return reptile_episode_loss(
+                    apply_fn, p, episode, n_steps=n_steps,
+                    step_size=cfg.step_size)
+            return loss_fn
+
         def loss_fn(p, episode, rng):
             return maml_episode_loss(
                 apply_fn, p, episode, n_steps=n_steps,
