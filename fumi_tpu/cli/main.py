@@ -268,15 +268,25 @@ def main(cfg: Config) -> dict:
             ckpt_dir, params, steps.opt.init(params), best=True)
         steps = steps._replace(params=params)
     elif cfg.auto_resume and not cfg.evaluate:
-        # crash recovery: continue the newest checkpointed run in this
-        # log_dir — LATEST state (ckpt/, not best/) plus the batch counter
-        # and best-loss bookkeeping, so eval cadence/patience/epochs pick
-        # up where the interrupted run stopped
-        prev = ckpt_lib.find_latest_resumable(cfg.log_dir)
+        # crash recovery: continue the newest checkpointed run OF THIS
+        # MODEL FAMILY in this log_dir — LATEST state (ckpt/, not best/)
+        # plus the batch counter and best-loss bookkeeping, so eval
+        # cadence/patience/epochs pick up where the interrupted run stopped
+        prev = ckpt_lib.find_latest_resumable(cfg.log_dir, model=cfg.model)
         if prev is not None:
-            params, restored_opt_state, resume_meta = \
-                ckpt_lib.load_checkpoint(
-                    prev, params, steps.opt.init(params), best=False)
+            try:
+                params, restored_opt_state, resume_meta = \
+                    ckpt_lib.load_checkpoint(
+                        prev, params, steps.opt.init(params), best=False)
+            except Exception as e:
+                # recovery must not be worse than no recovery: an
+                # incompatible checkpoint (e.g. different dims of the same
+                # family) starts fresh instead of dying at startup
+                print(f"auto-resume: cannot restore {prev} "
+                      f"({type(e).__name__}: {e}); starting fresh")
+                restored_opt_state, resume_meta = None, {}
+                prev = None
+        if prev is not None:
             steps = steps._replace(params=params)
             # carry the interrupted run's best/ forward so the end-of-
             # training best reload still works if this segment never

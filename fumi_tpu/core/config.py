@@ -238,6 +238,15 @@ class Config:
             raise NotImplementedError(
                 f"--tpu_meta_grad {self.meta_grad} with "
                 "--tpu_adapt_params head")
+        if self.model != "maml" and (self.meta_grad != "explicit"
+                                     or self.adapt_params != "all"):
+            # only the MAML family consults these; silently training FuMI/
+            # AM3/registered families under the default engine while the
+            # user believes they selected iMAML/Reptile/ANIL would be a
+            # reporting hazard
+            raise NotImplementedError(
+                "--tpu_meta_grad/--tpu_adapt_params apply to the MAML "
+                f"family only (got --model {self.model})")
         return self
 
     def replace(self, **kw) -> "Config":

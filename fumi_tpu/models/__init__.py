@@ -15,3 +15,24 @@ def raw_image_net(kind: str):
         raise NameError(f"{kind} is not a raw-image encoder "
                         f"(one of {RAW_IMAGE_ENCODERS})")
     return net
+
+
+def headless_backbone_init(kind: str, key, im_size: int, im_channels: int,
+                           resnet12_channels=None):
+    """Init a raw backbone WITHOUT its classification head.
+
+    The one definition of the kind dispatch (resnet12 width kwarg,
+    feature-dim rule, head removal) shared by every consumer that attaches
+    its own projection/generated head — AM3, FuMI, ProtoNet.
+    Returns ``(backbone_params, feature_dim)``.
+    """
+    net = raw_image_net(kind)
+    if kind == "resnet12" and resnet12_channels is not None:
+        params = dict(net.init(key, im_size, im_channels, n_way=1,
+                               channels=tuple(resnet12_channels)))
+        fdim = net.feature_dim(im_size, tuple(resnet12_channels))
+    else:
+        params = dict(net.init(key, im_size, im_channels, n_way=1))
+        fdim = net.feature_dim(im_size)
+    params.pop("head")
+    return params, fdim

@@ -47,20 +47,13 @@ class AM3(NamedTuple):
     def init_params(self, key: jax.Array) -> Dict:
         k_im, k_g1, k_g2, k_h1, k_h2 = jax.random.split(key, 5)
         if self.im_encoder_kind in ("conv4", "resnet12"):
-            from fumi_tpu.models import raw_image_net
-            net = raw_image_net(self.im_encoder_kind)
+            from fumi_tpu.models import headless_backbone_init
             k_bb, k_head = jax.random.split(k_im)
-            if self.im_encoder_kind == "resnet12":
-                bb = dict(net.init(k_bb, self.im_size, self.im_channels,
-                                   n_way=1, channels=self.resnet12_channels))
-                fdim = net.feature_dim(self.im_size, self.resnet12_channels)
-            else:
-                bb = dict(net.init(k_bb, self.im_size, self.im_channels,
-                                   n_way=1))
-                fdim = net.feature_dim(self.im_size)
-            bb.pop("head")  # backbone only; prototype projection below
+            bb, fdim = headless_backbone_init(
+                self.im_encoder_kind, k_bb, self.im_size, self.im_channels,
+                self.resnet12_channels)
             image_encoder = {
-                **bb,
+                **bb,  # backbone only; prototype projection below
                 "head": layers.linear_init(k_head, fdim,
                                            self.prototype_dim),
             }

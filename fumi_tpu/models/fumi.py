@@ -73,13 +73,11 @@ class FUMI(NamedTuple):
                                        gain=math.sqrt(2.0)).reshape(-1),
             }
         if self.im_encoder_kind in ("conv4", "resnet12"):
-            from fumi_tpu.models import raw_image_net
-            net = raw_image_net(self.im_encoder_kind)
-            kw = ({"channels": self.resnet12_channels}
-                  if self.im_encoder_kind == "resnet12" else {})
-            im_net = dict(net.init(k_im, self.im_size, self.im_channels,
-                                   n_way=1, **kw))
-            im_net.pop("head")  # headless: the hypernet generates the head
+            from fumi_tpu.models import headless_backbone_init
+            # headless: the hypernet generates the head
+            im_net, _ = headless_backbone_init(
+                self.im_encoder_kind, k_im, self.im_size, self.im_channels,
+                self.resnet12_channels)
         else:
             im_keys = jax.random.split(k_im, max(len(self.im_hid_dim), 1))
             stack = []

@@ -86,14 +86,32 @@ class FewShotClassifier:
                 from fumi_tpu.models import mlp as net
             apply_fn = net.apply
 
-            @jax.jit
-            def adapt_fn(p, s_im, s_text, s_y, rng):
-                def inner(p_, _):
-                    g = jax.grad(lambda q: fewshot.cross_entropy(
-                        apply_fn(q, s_im), s_y))(p_)
-                    return sgd_inner_update(p_, g, step), None
-                p_T, _ = jax.lax.scan(inner, p, None, length=n_steps)
-                return p_T
+            if cfg.meta_grad == "imaml":
+                # serve with the SAME adaptation semantics the model was
+                # trained/evaluated under: iMAML's proximal inner solve
+                from fumi_tpu.metalearn.implicit import proximal_adapt
+
+                @jax.jit
+                def adapt_fn(p, s_im, s_text, s_y, rng):
+                    return proximal_adapt(
+                        apply_fn, p, s_im, s_y, n_steps=n_steps,
+                        step_size=step, lam=cfg.imaml_lambda)
+            else:
+                # ANIL (--tpu_adapt_params head): same masked updates as
+                # the train/eval engines, not full fine-tuning
+                mask = None
+                if cfg.adapt_params == "head":
+                    from fumi_tpu.metalearn.inner_loop import head_only_mask
+                    mask = head_only_mask(self.params)
+
+                @jax.jit
+                def adapt_fn(p, s_im, s_text, s_y, rng):
+                    def inner(p_, _):
+                        g = jax.grad(lambda q: fewshot.cross_entropy(
+                            apply_fn(q, s_im), s_y))(p_)
+                        return sgd_inner_update(p_, g, step, mask), None
+                    p_T, _ = jax.lax.scan(inner, p, None, length=n_steps)
+                    return p_T
 
             classify = jax.jit(lambda p, state, q: apply_fn(state, q))
             return adapt_fn, classify
@@ -193,7 +211,10 @@ class FewShotClassifier:
         from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
                                                  fused_fumi_adapt,
                                                  fused_maml_adapt)
-        fused_ok = fused_adapt_applicable(
+        from fumi_tpu.train.steps import plain_full_gd_adaptation
+        # the fused kernels implement plain full-parameter GD — iMAML/ANIL
+        # configs must serve through the engine-faithful fallback
+        fused_ok = plain_full_gd_adaptation(cfg) and fused_adapt_applicable(
             cfg.model, cfg.im_encoder, cfg.im_hid_dim,
             cfg.num_test_adapt_steps)
         n_steps, step = cfg.num_test_adapt_steps, cfg.step_size

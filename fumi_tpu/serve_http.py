@@ -112,9 +112,12 @@ class FewShotService:
         s_y = _array(body, "support_y", dtype=np.int32)
         q_im = _array(body, "query_im")
         s_text = _array(body, "support_text", required=False)
-        if s_im.ndim != 3:
+        # support_y is (R, NK) in every layout (support_im is 3-D for
+        # embeddings but 5-D for raw images), so the leading-request-axis
+        # check keys on the labels
+        if s_y.ndim != 2:
             raise ServeError(400, "episode_batch expects a leading request "
-                                  f"axis; support_im has shape {s_im.shape}")
+                                  f"axis; support_y has shape {s_y.shape}")
         mode = body.get("return", "labels")
         with self.lock:
             logits = self.clf.episode_logits_batch(s_im, s_y, q_im,

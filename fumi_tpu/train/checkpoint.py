@@ -103,12 +103,16 @@ def _wandb_save(run_dir: str, is_best: bool) -> None:
         pass  # logging-side failure must never kill a training step
 
 
-def find_latest_resumable(log_dir: str) -> Optional[str]:
+def find_latest_resumable(log_dir: str,
+                          model: Optional[str] = None) -> Optional[str]:
     """Newest run dir under ``log_dir/runs`` holding a ckpt/ checkpoint.
 
     The crash-recovery discovery step for ``--tpu_auto_resume``: ranked by
     the checkpoint metadata's mtime (the moment of the last save), so the
-    most recently *progressing* run wins, not the most recently created."""
+    most recently *progressing* run wins, not the most recently created.
+    ``model`` filters to runs of that family — log_dir defaults to a
+    shared ./results, and restoring another family's pytree would die on a
+    structure mismatch at startup."""
     runs_dir = os.path.join(log_dir, "runs")
     if not os.path.isdir(runs_dir):
         return None
@@ -117,6 +121,13 @@ def find_latest_resumable(log_dir: str) -> Optional[str]:
         run = os.path.join(runs_dir, name)
         meta = os.path.join(run, "ckpt.meta.json")
         if os.path.exists(meta) and os.path.isdir(os.path.join(run, "ckpt")):
+            if model is not None:
+                try:
+                    with open(meta) as f:
+                        if json.load(f).get("model") not in (None, model):
+                            continue
+                except (OSError, ValueError):
+                    continue  # unreadable metadata: not resumable
             t = os.path.getmtime(meta)
             if t > best_t:
                 best_t, best_path = t, run

@@ -70,16 +70,21 @@ def _make_text_encoder(cfg: Config, key, dictionary):
         pooling_strat=cfg.pooling_strat, fine_tune=cfg.fine_tune)
 
 
+def plain_full_gd_adaptation(cfg: Config) -> bool:
+    """True when TEST-TIME adaptation is the plain full-parameter GD
+    program the fused Pallas kernels implement. iMAML's proximal objective
+    and ANIL's head-only updates are different programs; Reptile's
+    eval-time adaptation IS plain GD (only its meta-update differs)."""
+    return (cfg.meta_grad in ("explicit", "reptile")
+            and cfg.adapt_params == "all")
+
+
 def _use_fused_eval(cfg: Config) -> bool:
     """Gate for the fused Pallas eval-adaptation kernel in the eval
     harness: opt-in (--tpu_pallas_fused_eval) AND covered by the kernel
     (fused_adapt_applicable; numbers in docs/PERFORMANCE.md)."""
     from fumi_tpu.ops.pallas_kernels import fused_adapt_applicable
-    # the fused kernel implements PLAIN full-parameter GD adaptation —
-    # iMAML's proximal objective and ANIL's head-only updates are
-    # different programs
-    return (cfg.pallas_fused_eval and cfg.meta_grad == "explicit"
-            and cfg.adapt_params == "all"
+    return (cfg.pallas_fused_eval and plain_full_gd_adaptation(cfg)
             and fused_adapt_applicable(
                 cfg.model, cfg.im_encoder, cfg.im_hid_dim,
                 cfg.num_test_adapt_steps))
@@ -312,19 +317,16 @@ def build_protonet_family(cfg: Config, key: jax.Array,
     engines, the harness, serving-free eval, and the CLI. (No reference
     counterpart; AM3 with λ≡1 reduces to the same prototype math but drags
     the text machinery along, ref: am3.py:174-179.)"""
-    from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+    from fumi_tpu.models import (RAW_IMAGE_ENCODERS, headless_backbone_init,
+                                 raw_image_net)
     from fumi_tpu.models import layers
 
     if cfg.im_encoder in RAW_IMAGE_ENCODERS:
         net = raw_image_net(cfg.im_encoder)
         k_bb, k_head = jax.random.split(key)
-        kw = ({"channels": cfg.resnet12_channels}
-              if cfg.im_encoder == "resnet12" else {})
-        bb = dict(net.init(k_bb, cfg.im_size, cfg.im_channels, n_way=1,
-                           **kw))
-        bb.pop("head")
-        fdim = (cfg.resnet12_channels[-1] if cfg.im_encoder == "resnet12"
-                else net.feature_dim(cfg.im_size))
+        bb, fdim = headless_backbone_init(
+            cfg.im_encoder, k_bb, cfg.im_size, cfg.im_channels,
+            cfg.resnet12_channels)
         params = {**bb, "head": layers.linear_init(k_head, fdim,
                                                    cfg.prototype_dim)}
 

@@ -162,6 +162,30 @@ def test_cli_auto_resume_continues_batch_counter(tmp_path):
     assert np.isfinite(out2["test/loss"])
 
 
+def test_auto_resume_filters_by_model_family(tmp_path):
+    """Regression: the shared log_dir may hold runs of several families;
+    auto-resume must pick the newest run OF THE REQUESTED MODEL, not crash
+    restoring another family's pytree."""
+    import time as _time
+
+    from fumi_tpu.train.checkpoint import find_latest_resumable
+
+    cfg_m = small_cfg(tmp_path, "maml", epochs=4, eval_freq=2)
+    main(cfg_m)
+    _time.sleep(1.1)  # ensure a strictly newer mtime for the fumi run
+    main(small_cfg(tmp_path, "fumi", epochs=4, eval_freq=2))
+
+    found = find_latest_resumable(str(tmp_path), model="maml")
+    assert found is not None
+    import json
+    with open(os.path.join(found, "ckpt.meta.json")) as f:
+        assert json.load(f)["model"] == "maml"
+
+    # end to end: the maml resume ignores the newer fumi checkpoint
+    out = main(cfg_m.replace(epochs=6, auto_resume=True))
+    assert np.isfinite(out["test/loss"])
+
+
 def test_cli_clip_supervised_inat(tmp_path):
     """CLIP over the supervised-inat-anim path with a fake dataset dir."""
     import json

@@ -105,3 +105,21 @@ def test_tpu_extension_flags():
     assert cfg.pallas_fused_eval
     assert cfg.skip_nonfinite == 4
     assert cfg.mesh_mp == 2
+
+
+def test_meta_grad_flags_maml_only():
+    """--tpu_meta_grad / --tpu_adapt_params are consulted only by the MAML
+    family; other models must reject them instead of silently training
+    under the default engine."""
+    import pytest
+
+    from fumi_tpu.core.config import Config
+
+    for kw in (dict(meta_grad="imaml"), dict(meta_grad="reptile"),
+               dict(adapt_params="head")):
+        with pytest.raises(NotImplementedError):
+            Config(model="fumi", dataset="synthetic", **kw).validate()
+    # fine on maml
+    Config(model="maml", dataset="synthetic", meta_grad="imaml").validate()
+    Config(model="maml", dataset="synthetic",
+           adapt_params="head").validate()

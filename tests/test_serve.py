@@ -311,3 +311,47 @@ def test_episode_logits_fused_glue_interpret(monkeypatch):
             fused.episode_logits(s_im, s_y, q_im, support_text=s_tx), -1))
         monkeypatch.undo()
         np.testing.assert_array_equal(got, want)
+
+
+def test_serving_honors_anil_head_only(rng_np):
+    """Regression: --tpu_adapt_params head must serve with head-only
+    adaptation — the body stays at the meta-learned init, exactly as the
+    train/eval engines leave it."""
+    cfg = base_cfg("maml", adapt_params="head")
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, support_y=s_y)
+    _, state = clf._state
+    for i, (p0, pT) in enumerate(zip(clf.params, state)):
+        if i < len(clf.params) - 1:  # body layers untouched
+            np.testing.assert_array_equal(np.asarray(p0["w"]),
+                                          np.asarray(pT["w"]))
+        else:  # head adapted
+            assert not np.allclose(np.asarray(p0["w"]),
+                                   np.asarray(pT["w"]))
+    # one-call request path agrees with the stateful path
+    got = np.asarray(clf.episode_logits(s_im, s_y, q_im))
+    want = np.asarray(clf.logits(q_im))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_serving_honors_imaml_proximal(rng_np):
+    """Regression: --tpu_meta_grad imaml must serve with the proximal
+    inner solve, not plain GD."""
+    from fumi_tpu.metalearn.implicit import proximal_adapt
+    from fumi_tpu.models import mlp
+
+    cfg = base_cfg("maml", meta_grad="imaml", imaml_lambda=2.0)
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, support_y=s_y)
+    _, state = clf._state
+    want = proximal_adapt(mlp.apply, clf.params, jnp.asarray(s_im),
+                          jnp.asarray(s_y),
+                          n_steps=cfg.num_test_adapt_steps,
+                          step_size=cfg.step_size, lam=cfg.imaml_lambda)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        state, want)

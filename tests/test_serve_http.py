@@ -124,6 +124,25 @@ def test_error_paths(server_url):
     assert "no route" in out["error"]
 
 
+def test_episode_batch_accepts_raw_images():
+    """Regression: raw-image (conv4) batches are 5-D — the leading-axis
+    check must key on support_y, not assume 3-D embedding batches."""
+    from fumi_tpu.serve_http import FewShotService
+
+    cfg = small_cfg().replace(im_encoder="conv4", im_size=16)
+    clf = FewShotClassifier(cfg, None)
+    svc = FewShotService(clf)
+    rng = np.random.RandomState(4)
+    R = 2
+    body = {
+        "support_im": rng.randn(R, N * K, 16, 16, 3).tolist(),
+        "support_y": np.tile(np.repeat(np.arange(N), K), (R, 1)).tolist(),
+        "query_im": rng.randn(R, M, 16, 16, 3).tolist(),
+    }
+    out = np.asarray(svc.episode_batch(body)["result"])
+    assert out.shape == (R, M)
+
+
 def test_classify_before_adapt_is_409():
     clf = FewShotClassifier(small_cfg(), None)
     server = make_server(clf, port=0)
