@@ -48,6 +48,31 @@ class SamplerTables(NamedTuple):
     text_features: jnp.ndarray  # (C, E|T)
 
 
+def augment_raw_images(key: jax.Array, images: jnp.ndarray,
+                       pad: int = 4) -> jnp.ndarray:
+    """Random horizontal flip + pad-``pad``-and-random-crop, per image.
+
+    The classic raw-image few-shot training augmentation, as pure
+    vectorized device ops (`where` for flips, vmapped ``dynamic_slice``
+    for crops) so it fuses into the episode-sampling program. Edge padding
+    (zeros would bias the batch-stat norms of the conv backbones).
+    """
+    M, H, W, C = images.shape
+    k_flip, k_y, k_x = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(k_flip, 0.5, (M,))
+    images = jnp.where(flip[:, None, None, None],
+                       images[:, :, ::-1, :], images)
+    padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="edge")
+    oy = jax.random.randint(k_y, (M,), 0, 2 * pad + 1)
+    ox = jax.random.randint(k_x, (M,), 0, 2 * pad + 1)
+
+    def crop(img, oy_, ox_):
+        return jax.lax.dynamic_slice(img, (oy_, ox_, 0), (H, W, C))
+
+    return jax.vmap(crop)(padded, oy, ox)
+
+
 def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
                    key: jax.Array,
                    use_pallas_gather: bool = False,
@@ -117,10 +142,20 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
         query_im = query_im.astype(jnp.float32)
 
     if augment_scale > 0.0:
-        from fumi_tpu.ops.pallas_kernels import augment_embeddings_reference
-        flat = support_im.reshape(B * N * K, -1)
-        flat = augment_embeddings_reference(flat, k_aug, augment_scale)
-        support_im = flat.reshape(B, N * K, -1)
+        if support_im.ndim == 5:
+            # raw images (B, NK, H, W, C): the standard few-shot raw-image
+            # augmentation — random horizontal flip + pad-and-random-crop
+            # — as vectorized device ops (queries stay clean)
+            shape = support_im.shape
+            flat = support_im.reshape((B * N * K,) + shape[2:])
+            flat = augment_raw_images(k_aug, flat)
+            support_im = flat.reshape(shape)
+        else:
+            from fumi_tpu.ops.pallas_kernels import \
+                augment_embeddings_reference
+            flat = support_im.reshape(B * N * K, -1)
+            flat = augment_embeddings_reference(flat, k_aug, augment_scale)
+            support_im = flat.reshape(B, N * K, -1)
 
     # per-class text repeated per shot, class-major like the targets
     text_cls = tables.text_features[class_idx]  # (B, N, E|T)

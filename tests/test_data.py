@@ -333,3 +333,53 @@ def test_cli_num_workers_prefetch_path(tmp_path):
     for t in leaked:
         t.join(timeout=5.0)
     assert not any(t.is_alive() for t in leaked)
+
+
+def test_augment_raw_images():
+    """Raw-image --augment: per-image flip + pad-and-crop is deterministic
+    per key, shape/dtype-preserving, and actually perturbs the batch;
+    zero-offset crops of unflipped images recover the original."""
+    import jax
+    import jax.numpy as jnp
+
+    from fumi_tpu.data.sampler import augment_raw_images
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, 16, 16, 3).astype(np.float32))
+    a1 = augment_raw_images(jax.random.PRNGKey(7), x)
+    a2 = augment_raw_images(jax.random.PRNGKey(7), x)
+    assert a1.shape == x.shape and a1.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(x))
+    # a different key draws a different augmentation
+    a3 = augment_raw_images(jax.random.PRNGKey(8), x)
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_sampler_raw_augment_support_only():
+    """--augment on a raw-image table jitters SUPPORT images only."""
+    import jax
+    import jax.numpy as jnp
+
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_splits
+
+    splits, table, ids = synthetic_splits(
+        num_classes=10, images_per_class=10, im_dim=8, text_dim=4,
+        raw_images=True, im_size=16, channels=3, seed=0)
+    cs = splits["train"]
+    spec = EpisodeSpec(2, 3, 2, 2, 8, 4)
+    plain = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                 cs, spec)
+    aug = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                               cs, spec, augment_scale=0.1)
+    key = jax.random.PRNGKey(3)
+    ep_p = plain.sample(key)
+    ep_a = aug.sample(key)
+    assert ep_a.support_im.ndim == 5
+    # same episode indices (same key) -> identical queries, jittered support
+    np.testing.assert_array_equal(np.asarray(ep_a.query_im),
+                                  np.asarray(ep_p.query_im))
+    assert not np.allclose(np.asarray(ep_a.support_im),
+                           np.asarray(ep_p.support_im))
