@@ -317,6 +317,11 @@ def main(cfg: Config) -> dict:
         if close is not None:
             close()
 
+    if cfg.evaluate and restored_opt_state is not None:
+        # --evaluate from a checkpoint: with --tpu_ema the smoothed
+        # weights live in the restored optimizer state
+        from fumi_tpu.train.loop import eval_view
+        params = eval_view(cfg, params, restored_opt_state)
     test_m = test_loop(cfg, steps, params, test_s, cfg.max_test_batches,
                        k_test, collect_artifacts=True)
     scalars = {k: v for k, v in test_m.items()

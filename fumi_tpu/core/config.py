@@ -144,6 +144,10 @@ class Config:
     # reference's semantics) or "head" (ANIL — only the final layer adapts;
     # body inner-gradients are dead code XLA eliminates).
     adapt_params: str = "all"
+    # Parameter EMA decay (>0 enables): evaluation, best-checkpoint
+    # selection, and the final test run on the smoothed weights while
+    # training continues on the raw ones. 0 = off (reference behavior).
+    ema: float = 0.0
     debug_nans: bool = False
     profile_dir: Optional[str] = None
     # Non-finite-update guard: >0 wraps the optimizer in
@@ -367,6 +371,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["all", "head"],
                    help="inner-loop adaptation scope: all params, or "
                         "head-only (ANIL)")
+    p.add_argument("--tpu_ema", type=float, default=0.0,
+                   help="parameter-EMA decay for eval/checkpointing "
+                        "(0 = off)")
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     p.add_argument("--tpu_auto_resume", action="store_true",
@@ -450,6 +457,7 @@ def config_from_args(argv=None) -> Config:
         imaml_lambda=args.tpu_imaml_lambda,
         imaml_cg_iters=args.tpu_imaml_cg_iters,
         adapt_params=args.tpu_adapt_params,
+        ema=args.tpu_ema,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,

@@ -48,6 +48,12 @@ def setup_cache(path: str = None) -> None:
     if path in ("0", "off", "none"):
         return
     import jax
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast, and XLA:CPU persists AOT code specialized
+        # to the compiling machine's ISA features — reloading it on a
+        # different host risks SIGILL (the cache dir outlives the machine).
+        # The cache exists for the minutes-long REMOTE TPU compiles.
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

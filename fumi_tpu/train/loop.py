@@ -182,6 +182,17 @@ def _flatten_artifacts(ms: Dict) -> Dict:
     return out
 
 
+def eval_view(cfg: Config, params, opt_state):
+    """The parameters evaluation should see: the EMA when ``--tpu_ema`` is
+    on (and the state already holds one), else the raw params."""
+    if cfg.ema > 0:
+        from fumi_tpu.train.optim import find_ema
+        ema = find_ema(opt_state)
+        if ema is not None:
+            return ema
+    return params
+
+
 def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  writer: MetricWriter, run_dir: str,
                  rng: jax.Array, opt_state=None, start_batch: int = 0,
@@ -286,8 +297,9 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             is_eval = (cfg.eval_freq > 0 and batch_idx % cfg.eval_freq == 0
                        and (eval_at_zero or batch_idx != 0))
             if is_eval:
-                val_m = test_loop(cfg, steps, params, val_sampler,
-                                  max_test_batches,
+                val_m = test_loop(cfg, steps,
+                                  eval_view(cfg, params, opt_state),
+                                  val_sampler, max_test_batches,
                                   jax.random.fold_in(k_val, batch_idx))
                 is_best = val_m["loss"] < best_loss
                 if is_best:
@@ -317,7 +329,9 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     if reload_best and os.path.exists(os.path.join(run_dir, "best")):
         params, opt_state, _ = ckpt_lib.load_checkpoint(
             run_dir, params, opt_state, best=True)
-    return params
+    # with --tpu_ema the final test (and serving) sees the smoothed
+    # weights, matching what validation selected the checkpoint on
+    return eval_view(cfg, params, opt_state)
 
 
 def _train_log_keys(m: Dict, is_am3: bool):

@@ -19,7 +19,55 @@ optimizers (ref: fumi/utils/utils.py:277-299) update-for-update:
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple, Optional
+
+import jax
 import optax
+
+
+class EmaState(NamedTuple):
+    """State of :func:`params_ema`; found back by :func:`find_ema`."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain an exponential moving average of the POST-update params.
+
+    Chained AFTER the optimizer (``optax.chain(opt, params_ema(d))``), so
+    ``update`` sees the final updates and the pre-update params; the EMA
+    tracks ``apply_updates(params, updates)``. A production-training
+    extension (``--tpu_ema``): evaluation/checkpoint-selection read the
+    smoothed weights via :func:`find_ema` while training continues on the
+    raw ones. The reference has no equivalent."""
+
+    def init(params):
+        return EmaState(ema=params)
+
+    def update(updates, state, params=None):
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def find_ema(opt_state) -> Optional[Any]:
+    """Locate the :class:`EmaState` inside an (arbitrarily wrapped)
+    optimizer state — chains, apply_if_finite, injected hyperparams."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, dict):
+        children: tuple = tuple(opt_state.values())
+    elif isinstance(opt_state, (tuple, list)):  # incl. NamedTuples
+        children = tuple(opt_state)
+    else:
+        return None
+    for child in children:
+        found = find_ema(child)
+        if found is not None:
+            return found
+    return None
 
 
 def linear_warmup_schedule(lr: float, num_warmup_steps: int,

@@ -412,10 +412,16 @@ def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:
 def make_opt(cfg: Config) -> optax.GradientTransformation:
     # scheduler quirk: only AM3 steps the lr schedule (ref: am3.py:195-196;
     # fumi.py:230-235 unpacks but never steps it)
-    from fumi_tpu.train.optim import init_optim
+    from fumi_tpu.train.optim import init_optim, params_ema
     opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
                      cfg.num_warmup_steps, cfg.epochs,
                      schedule_active=(cfg.model == "am3"))
+    if cfg.ema > 0:
+        # EMA rides in the optimizer state, so it flows through the
+        # chunked scan drivers, the parallel engines, and checkpoints
+        # without extra plumbing; chained INSIDE any apply_if_finite wrap
+        # (a skipped non-finite update must not move the EMA either)
+        opt = optax.chain(opt, params_ema(cfg.ema))
     if cfg.skip_nonfinite > 0:
         # production guard: a non-finite meta-gradient (dead episode, fp
         # blow-up in a long second-order chain) skips the update instead
