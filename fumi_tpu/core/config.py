@@ -242,6 +242,11 @@ class Config:
             raise NotImplementedError(
                 f"--tpu_meta_grad {self.meta_grad} with "
                 "--tpu_adapt_params head")
+        if not 0.0 <= self.ema < 1.0:
+            # decay 1.0 would pin every eval/checkpoint to the INIT weights
+            # forever (and >1 diverges) with no error anywhere — reject
+            raise ValueError(
+                f"--tpu_ema {self.ema} must be in [0, 1) (0 = off)")
         if self.model != "maml" and (self.meta_grad != "explicit"
                                      or self.adapt_params != "all"):
             # only the MAML family consults these; silently training FuMI/

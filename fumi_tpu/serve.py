@@ -59,12 +59,16 @@ class FewShotClassifier:
     def from_checkpoint(cls, run_dir: str, cfg: Config, dictionary=None,
                         best: bool = True) -> "FewShotClassifier":
         from fumi_tpu.train import checkpoint as ckpt_lib
+        from fumi_tpu.train.loop import eval_view
         from fumi_tpu.train.steps import make_opt
         self = cls(cfg, None, dictionary)
         opt = make_opt(cfg)
-        params, _, _ = ckpt_lib.load_checkpoint(
+        params, opt_state, _ = ckpt_lib.load_checkpoint(
             run_dir, self.params, opt.init(self.params), best=best)
-        self.params = params
+        # --tpu_ema checkpoints were validated/selected on the SMOOTHED
+        # weights (carried in the optimizer state) — serve those, not the
+        # raw params, so production matches every reported number
+        self.params = eval_view(cfg, params, opt_state)
         return self
 
     # ------------------------------------------------------------------

@@ -212,14 +212,30 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
         name = "ckpt"
     path = os.path.join(run_dir, name)
     cp = _checkpointer()
-    restored = cp.restore(
-        path, item=_host_local({"params": params_like,
-                                "opt_state": opt_state_like}))
     meta_path = os.path.join(run_dir, f"{name}.meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    try:
+        restored = cp.restore(
+            path, item=_host_local({"params": params_like,
+                                    "opt_state": opt_state_like}))
+    except Exception as e:
+        # a structure mismatch is usually a config mismatch between the
+        # saving and restoring runs — name the likeliest flags instead of
+        # surfacing orbax's opaque pytree error
+        saved_args = meta.get("args") or {}
+        hints = []
+        for flag in ("ema", "optim", "skip_nonfinite", "model"):
+            if flag in saved_args:
+                hints.append(f"{flag}={saved_args[flag]!r}")
+        hint = (f" The checkpoint was written with {', '.join(hints)}; "
+                "restore with a matching config (e.g. the same --tpu_ema "
+                "/ --optim flags)." if hints else "")
+        raise ValueError(
+            f"cannot restore {path}: {type(e).__name__}: {e}.{hint}"
+        ) from e
     print(f"Loaded {path}, trained to batch {meta.get('batch_idx')} "
           f"with best loss {meta.get('best_loss')}")
     return restored["params"], restored["opt_state"], meta

@@ -214,8 +214,10 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     max_test_batches = cfg.max_test_batches // 2  # ref: main.py:82,85,95
 
     k_init, k_train, k_val = jax.random.split(rng, 3)
-    val_m = test_loop(cfg, steps, params, val_sampler, max_test_batches,
-                      k_init)
+    # seed best_loss from the same view later evals use (EMA when on —
+    # matters when resuming with a restored optimizer state)
+    val_m = test_loop(cfg, steps, eval_view(cfg, params, opt_state),
+                      val_sampler, max_test_batches, k_init)
     best_loss = val_m["loss"]
     if initial_best is not None:
         best_loss = min(best_loss, float(initial_best))

@@ -137,3 +137,81 @@ def test_cli_ema_end_to_end(tmp_path):
     out = main(cfg)
     assert np.isfinite(out["test/loss"])
     assert 0.0 <= out["test/acc"] <= 1.0
+
+
+def test_from_checkpoint_serves_ema(tmp_path):
+    """Regression: serving a --tpu_ema checkpoint must use the smoothed
+    weights the run validated/selected on, not the raw params."""
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.serve import FewShotClassifier
+    from fumi_tpu.train.checkpoint import save_checkpoint
+    from fumi_tpu.train.steps import make_steps
+
+    cfg = Config(model="maml", dataset="synthetic", im_emb_dim=8,
+                 im_hid_dim=(6,), text_emb_dim=4, num_ways=3, num_shots=2,
+                 num_test_adapt_steps=1, dropout=0.0,
+                 text_encoder="precomputed", step_size=0.1, ema=0.9,
+                 prng_impl="threefry2x32")
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    # craft an opt_state whose EMA differs measurably from the raw params
+    opt_state = steps.opt.init(steps.params)
+    raw = jax.tree_util.tree_map(lambda p: p + 1.0, steps.params)
+    ema_p = jax.tree_util.tree_map(lambda p: p - 1.0, steps.params)
+
+    def put_ema(state):
+        if isinstance(state, EmaState):
+            return EmaState(ema=ema_p)
+        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+            return tuple(put_ema(s) for s in state)
+        if hasattr(state, "_fields"):
+            return type(state)(*[put_ema(getattr(state, f))
+                                 for f in state._fields])
+        return state
+
+    opt_state = put_ema(opt_state)
+    save_checkpoint(str(tmp_path), raw, opt_state, 5, 0.1, is_best=True)
+
+    clf = FewShotClassifier.from_checkpoint(str(tmp_path), cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        clf.params, ema_p)
+
+
+def test_ema_decay_range_validated():
+    import pytest
+
+    from fumi_tpu.core.config import Config
+
+    with pytest.raises(ValueError, match="tpu_ema"):
+        Config(dataset="synthetic", ema=1.0).validate()
+    with pytest.raises(ValueError, match="tpu_ema"):
+        Config(dataset="synthetic", ema=-0.1).validate()
+    Config(dataset="synthetic", ema=0.999).validate()
+
+
+def test_restore_mismatch_error_names_flags(tmp_path):
+    """Regression: restoring an --tpu_ema checkpoint WITHOUT the flag must
+    raise an error naming the saved flags, not an opaque pytree error."""
+    import dataclasses
+
+    import pytest
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from fumi_tpu.train.steps import make_steps
+
+    cfg = Config(model="maml", dataset="synthetic", im_emb_dim=8,
+                 im_hid_dim=(6,), text_emb_dim=4, num_ways=3,
+                 dropout=0.0, text_encoder="precomputed", ema=0.9,
+                 prng_impl="threefry2x32")
+    steps = make_steps(cfg, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), steps.params,
+                    steps.opt.init(steps.params), 1, 0.5, is_best=False,
+                    extra_meta={"model": "maml",
+                                "args": dataclasses.asdict(cfg)})
+
+    plain = make_steps(cfg.replace(ema=0.0), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="ema"):
+        load_checkpoint(str(tmp_path), plain.params,
+                        plain.opt.init(plain.params), best=False)
