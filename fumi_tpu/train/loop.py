@@ -309,6 +309,8 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                     best_batch_idx = batch_idx
                 rec = {f"val/{k}": v for k, v in val_m.items()}
                 rec["episodes_per_sec"] = eps_rate
+                from fumi_tpu.utils.profiling import hbm_stats
+                rec.update(hbm_stats())  # mem/* when the runtime reports
                 writer.log(rec, step=batch_idx)
                 import dataclasses as _dc
                 ckpt_lib.save_checkpoint(

@@ -39,6 +39,21 @@ def device_sync(value) -> float:
     return float(arr.reshape(-1)[0])
 
 
+def hbm_stats() -> dict:
+    """Device-memory observability: ``mem/*`` metrics from the default
+    device's allocator, for the eval-boundary logs. Keys (bytes_in_use,
+    peak_bytes_in_use, ...) depend on the PJRT runtime; platforms that
+    report nothing (CPU, some tunneled runtimes) yield ``{}`` — callers
+    just merge the result."""
+    import jax
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    return {f"mem/{k}": float(v) for k, v in stats.items()
+            if isinstance(v, (int, float)) and "bytes" in k}
+
+
 class Throughput:
     """Episodes/sec counter with exponential smoothing."""
 

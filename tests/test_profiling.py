@@ -25,3 +25,14 @@ def test_device_sync():
 def test_profile_trace_noop():
     with profile_trace(None):
         pass  # disabled path must be a clean no-op
+
+
+def test_hbm_stats_shape():
+    """mem/* metrics: floats keyed mem/<stat>; platforms that report
+    nothing yield an empty dict (the logging path just merges it)."""
+    from fumi_tpu.utils.profiling import hbm_stats
+
+    stats = hbm_stats()
+    assert isinstance(stats, dict)
+    for k, v in stats.items():
+        assert k.startswith("mem/") and isinstance(v, float)
