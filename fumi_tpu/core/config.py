@@ -247,15 +247,21 @@ class Config:
             # forever (and >1 diverges) with no error anywhere — reject
             raise ValueError(
                 f"--tpu_ema {self.ema} must be in [0, 1) (0 = off)")
-        if self.model != "maml" and (self.meta_grad != "explicit"
-                                     or self.adapt_params != "all"):
-            # only the MAML family consults these; silently training FuMI/
-            # AM3/registered families under the default engine while the
-            # user believes they selected iMAML/Reptile/ANIL would be a
+        meta_grad_models = {"explicit": MODELS + tuple(
+            m for m in ("protonet",)),  # every family has a default engine
+            "imaml": ("maml", "fumi"), "reptile": ("maml",)}
+        allowed = meta_grad_models.get(self.meta_grad, ())
+        if self.meta_grad != "explicit" and self.model not in allowed:
+            # silently training a family under the default engine while
+            # the user believes they selected iMAML/Reptile would be a
             # reporting hazard
             raise NotImplementedError(
-                "--tpu_meta_grad/--tpu_adapt_params apply to the MAML "
-                f"family only (got --model {self.model})")
+                f"--tpu_meta_grad {self.meta_grad} supports "
+                f"--model {allowed} only (got {self.model})")
+        if self.adapt_params != "all" and self.model != "maml":
+            raise NotImplementedError(
+                "--tpu_adapt_params applies to the MAML family only "
+                f"(got --model {self.model})")
         return self
 
     def replace(self, **kw) -> "Config":

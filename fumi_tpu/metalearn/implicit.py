@@ -135,3 +135,136 @@ def imaml_episode_loss(apply_fn: Callable,
         episode.support_im, episode.support_y,
         episode.query_im, episode.query_y)
     return jnp.mean(losses), {"acc": jnp.mean(accs), "preds": preds}
+
+
+# ---------------------------------------------------------------------------
+# FuMI: implicit gradients through the hypernetwork dual update
+# ---------------------------------------------------------------------------
+#
+# FuMI's adapted vector is z = (im_net params, generated head H) with the
+# initial point z0(θ) = (θ_im, hypernet_θ(text)) — θ enters the base net
+# directly AND the head through the hypernetwork. The IFT meta-gradient
+# therefore carries the extra pull-back through z0:
+#
+#     dL_q/dθ = (∂z0/∂θ)ᵀ · (I + (1/λ)·H_s(z*))⁻¹ · dL_q/dz*
+#
+# where the (∂z0/∂θ)ᵀ factor is: identity onto θ_im for the im_net block,
+# and the hypernetwork VJP for the head block (which also routes gradient
+# into the text encoder iff fine_tune). The inner solve runs the proximal
+# objective on the JOINT (im, head) vector — the implicit analogue of the
+# reference's always-second-order dual update (ref: fumi.py:165-176).
+# Dropout is OFF inside the solve: the IFT needs a deterministic
+# stationary objective (documented deviation from the explicit engine's
+# per-step dropout).
+
+def make_imaml_fumi_task_loss(model, *, n_steps: int, step_size: float,
+                              lam: float, cg_iters: int):
+    def z0_of(theta, s_text, s_y, k_hyper):
+        head0 = model.get_hyper_params(theta, s_text, s_y, rng=k_hyper)
+        return (theta["im_net"], head0)
+
+    def support_ce(z, s_x, s_y, rng):
+        im_p, head = z
+        logits = model.im_forward(im_p, head, s_x, rng=rng, train=False)
+        return cross_entropy(logits, s_y)
+
+    def adapt(z0, s_x, s_y, rng):
+        def prox_loss(z):
+            ce = support_ce(z, s_x, s_y, rng)
+            sq = sum(jnp.vdot(a - b, a - b) for a, b in zip(
+                jax.tree_util.tree_leaves(z),
+                jax.tree_util.tree_leaves(z0)))
+            return ce + 0.5 * lam * sq
+
+        def inner(z, _):
+            return sgd_inner_update(z, jax.grad(prox_loss)(z),
+                                    step_size), None
+
+        phi, _ = jax.lax.scan(inner, z0, None, length=n_steps,
+                              unroll=_unroll(n_steps))
+        return phi
+
+    def _values(theta, s_text, s_x, s_y, q_x, q_y, task_rng):
+        k_hyper, k_inner, k_q = jax.random.split(task_rng, 3)
+        z0 = jax.lax.stop_gradient(z0_of(theta, s_text, s_y, k_hyper))
+        phi = adapt(z0, s_x, s_y, k_inner)
+        im_T, head_T = phi
+        q_logits = model.im_forward(im_T, head_T, q_x, rng=k_q, train=False)
+        loss = cross_entropy(q_logits, q_y)
+        acc = _accuracy(q_logits, q_y)
+        preds = jnp.argmax(q_logits, axis=-1).astype(jnp.int32)
+        return (loss, acc, preds), phi, (k_hyper, k_inner, k_q)
+
+    @jax.custom_vjp
+    def task_loss(theta, s_text, s_x, s_y, q_x, q_y, task_rng):
+        out, _phi, _ks = _values(theta, s_text, s_x, s_y, q_x, q_y,
+                                 task_rng)
+        return out
+
+    def fwd(theta, s_text, s_x, s_y, q_x, q_y, task_rng):
+        out, phi, ks = _values(theta, s_text, s_x, s_y, q_x, q_y, task_rng)
+        return out, (theta, phi, s_text, s_x, s_y, q_x, q_y, ks)
+
+    def bwd(res, cts):
+        g_loss = cts[0]
+        theta, phi, s_text, s_x, s_y, q_x, q_y, ks = res
+        k_hyper, k_inner, k_q = ks
+
+        v = jax.grad(lambda z: cross_entropy(
+            model.im_forward(z[0], z[1], q_x, rng=k_q, train=False),
+            q_y))(phi)
+
+        sgrad = jax.grad(lambda z: support_ce(z, s_x, s_y, k_inner))
+
+        def operator(x):
+            _, hvp = jax.jvp(sgrad, (phi,), (x,))
+            return jax.tree_util.tree_map(
+                lambda xi, hi: xi + hi / lam, x, hvp)
+
+        x, _ = jax.scipy.sparse.linalg.cg(operator, v, maxiter=cg_iters)
+        x_im, x_head = x
+
+        # pull x back through z0(θ): the head block through the
+        # hypernetwork's VJP (this also routes into the text encoder iff
+        # fine_tune — class_text_encoding stop_gradients it otherwise)...
+        _, vjp_fn = jax.vjp(
+            lambda t: model.get_hyper_params(t, s_text, s_y, rng=k_hyper),
+            theta)
+        (g_theta,) = vjp_fn(x_head)
+        # ...and the im_net block by identity
+        g_theta = dict(g_theta)
+        g_theta["im_net"] = jax.tree_util.tree_map(
+            lambda gi, xi: gi + xi, g_theta["im_net"], x_im)
+        return (_tree_scale(g_theta, g_loss), None, None, None, None,
+                None, None)
+
+    task_loss.defvjp(fwd, bwd)
+    return task_loss
+
+
+def imaml_fumi_episode_loss(model,
+                            params,
+                            episode: Episode,
+                            *,
+                            n_steps: int,
+                            step_size: float,
+                            rng: jax.Array,
+                            lam: float = 2.0,
+                            cg_iters: int = 5):
+    """FuMI with implicit meta-gradients. Same contract as
+    :func:`inner_loop.fumi_episode_loss` (minus the ``train`` flag — the
+    inner solve is deterministic, see module notes)."""
+    task_loss = make_imaml_fumi_task_loss(
+        model, n_steps=n_steps, step_size=step_size, lam=lam,
+        cg_iters=cg_iters)
+
+    B = episode.support_im.shape[0]
+    task_rngs = jax.random.split(rng, B)
+
+    def one(s_text, s_x, s_y, q_x, q_y, task_rng):
+        return task_loss(params, s_text, s_x, s_y, q_x, q_y, task_rng)
+
+    losses, accs, preds = jax.vmap(one)(
+        episode.support_text, episode.support_im, episode.support_y,
+        episode.query_im, episode.query_y, task_rngs)
+    return jnp.mean(losses), {"acc": jnp.mean(accs), "preds": preds}

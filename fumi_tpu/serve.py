@@ -123,6 +123,41 @@ class FewShotClassifier:
         if cfg.model == "fumi":
             model = self.family.model
 
+            if cfg.meta_grad == "imaml":
+                # engine-faithful: the iMAML-FuMI inner solve is proximal
+                # on the joint (im_net, generated-head) vector
+                # (semantics documented in metalearn/implicit.py)
+                lam = cfg.imaml_lambda
+
+                @jax.jit
+                def adapt_fn(p, s_im, s_text, s_y, rng):
+                    hyper0 = model.get_hyper_params(p, s_text, s_y, rng=rng)
+                    z0 = (p["im_net"], hyper0)
+
+                    def prox_loss(z):
+                        im_p, hyp = z
+                        ce = fewshot.cross_entropy(
+                            model.im_forward(im_p, hyp, s_im, rng=rng,
+                                             train=False), s_y)
+                        sq = sum(jnp.vdot(a - b, a - b) for a, b in zip(
+                            jax.tree_util.tree_leaves(z),
+                            jax.tree_util.tree_leaves(z0)))
+                        return ce + 0.5 * lam * sq
+
+                    def inner(z, _):
+                        return sgd_inner_update(
+                            z, jax.grad(prox_loss)(z), step), None
+
+                    (im_T, hyp_T), _ = jax.lax.scan(inner, z0, None,
+                                                    length=n_steps)
+                    return im_T, hyp_T
+
+                classify = jax.jit(
+                    lambda p, state, q: model.im_forward(
+                        state[0], state[1], q, rng=jax.random.PRNGKey(0),
+                        train=False))
+                return adapt_fn, classify
+
             @jax.jit
             def adapt_fn(p, s_im, s_text, s_y, rng):
                 hyper0 = model.get_hyper_params(p, s_text, s_y, rng=rng)

@@ -201,6 +201,16 @@ def build_fumi_family(cfg: Config, key: jax.Array,
     params = model.init_params(k_par)
 
     def loss_for(n_steps, train):
+        if cfg.meta_grad == "imaml":
+            from fumi_tpu.metalearn.implicit import imaml_fumi_episode_loss
+
+            def loss_fn(p, episode, rng):
+                return imaml_fumi_episode_loss(
+                    model, p, episode, n_steps=n_steps,
+                    step_size=cfg.step_size, rng=rng,
+                    lam=cfg.imaml_lambda, cg_iters=cfg.imaml_cg_iters)
+            return loss_fn
+
         def loss_fn(p, episode, rng):
             return fumi_episode_loss(
                 model, p, episode, n_steps=n_steps,

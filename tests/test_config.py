@@ -107,19 +107,28 @@ def test_tpu_extension_flags():
     assert cfg.mesh_mp == 2
 
 
-def test_meta_grad_flags_maml_only():
-    """--tpu_meta_grad / --tpu_adapt_params are consulted only by the MAML
-    family; other models must reject them instead of silently training
-    under the default engine."""
+def test_meta_grad_support_matrix():
+    """--tpu_meta_grad / --tpu_adapt_params are consulted only by the
+    families that implement them; other models must reject the flags
+    instead of silently training under the default engine.
+    Matrix: imaml → maml+fumi; reptile → maml; ANIL → maml."""
     import pytest
 
     from fumi_tpu.core.config import Config
 
-    for kw in (dict(meta_grad="imaml"), dict(meta_grad="reptile"),
-               dict(adapt_params="head")):
+    rejected = [
+        dict(model="am3", meta_grad="imaml"),
+        dict(model="protonet", meta_grad="imaml"),
+        dict(model="fumi", meta_grad="reptile"),
+        dict(model="fumi", adapt_params="head"),
+        dict(model="am3", adapt_params="head"),
+    ]
+    for kw in rejected:
         with pytest.raises(NotImplementedError):
-            Config(model="fumi", dataset="synthetic", **kw).validate()
-    # fine on maml
+            Config(dataset="synthetic", **kw).validate()
     Config(model="maml", dataset="synthetic", meta_grad="imaml").validate()
+    Config(model="fumi", dataset="synthetic", meta_grad="imaml").validate()
+    Config(model="maml", dataset="synthetic",
+           meta_grad="reptile").validate()
     Config(model="maml", dataset="synthetic",
            adapt_params="head").validate()
