@@ -142,3 +142,70 @@ def test_episodic_step_with_encoder(model, encoder):
     out = run_test_loop(cfg, steps, params, sampler, 1, jax.random.PRNGKey(3))
     assert np.isfinite(out["loss"])
     assert 0.0 <= out["acc"] <= 1.0
+
+
+def test_fine_tune_freezes_or_trains_text_encoder():
+    """--fine_tune gates the text-encoder meta-gradient (ref: am3.py:74-77,
+    fumi.py:65-67): frozen encoders must get EXACTLY zero gradient, and
+    fine_tune=True must train them — in both AM3 and FuMI."""
+    import jax
+    import numpy as np
+
+    from fumi_tpu.core.episode import Episode
+    from fumi_tpu.data.synthetic import synthetic_dictionary
+    from fumi_tpu.metalearn.inner_loop import fumi_episode_loss
+    from fumi_tpu.models import text_encoders
+    from fumi_tpu.models.am3 import AM3
+    from fumi_tpu.models.fumi import FUMI
+
+    N, K, Q, T = 3, 2, 3, 6
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(1, 30, (2, N * K, T)).astype(np.int32)
+    episode = Episode(
+        support_im=jnp.asarray(rng.randn(2, N * K, 12).astype(np.float32)),
+        support_text=jnp.asarray(tokens),
+        support_text_mask=None,
+        support_ids=jnp.zeros((2, N * K), jnp.int32),
+        support_y=jnp.asarray(np.tile(np.repeat(np.arange(N), K), (2, 1))
+                              .astype(np.int32)),
+        query_im=jnp.asarray(rng.randn(2, N * Q, 12).astype(np.float32)),
+        query_ids=jnp.zeros((2, N * Q), jnp.int32),
+        query_y=jnp.asarray(np.tile(np.repeat(np.arange(N), Q), (2, 1))
+                            .astype(np.int32)),
+    )
+    vocab = synthetic_dictionary(32)
+
+    def enc_grad_norm_fumi(fine_tune):
+        enc = text_encoders.make_text_encoder(
+            "glove", jax.random.PRNGKey(1), 8, dictionary=vocab,
+            fine_tune=fine_tune)
+        model = FUMI(n_way=N, im_emb_dim=12, im_hid_dim=(8,),
+                     text_encoder=enc, text_emb_dim=enc.out_dim,
+                     text_hid_dim=6, dropout_rate=0.0, norm_hypernet=False,
+                     fine_tune=fine_tune, init_bias=False)
+        params = model.init_params(jax.random.PRNGKey(0))
+        grads = jax.grad(lambda p: fumi_episode_loss(
+            model, p, episode, n_steps=1, step_size=0.1,
+            rng=jax.random.PRNGKey(2), train=True)[0])(params)
+        return sum(float(jnp.sum(jnp.abs(g))) for g in
+                   jax.tree_util.tree_leaves(grads["text_encoder"]))
+
+    assert enc_grad_norm_fumi(False) == 0.0
+    assert enc_grad_norm_fumi(True) > 0.0
+
+    def enc_grad_norm_am3(fine_tune):
+        enc = text_encoders.make_text_encoder(
+            "glove", jax.random.PRNGKey(1), 8, dictionary=vocab,
+            fine_tune=fine_tune)
+        model = AM3(im_emb_dim=12, prototype_dim=8, text_encoder=enc,
+                    text_emb_dim=enc.out_dim, text_hid_dim=6, dropout=0.0,
+                    fine_tune=fine_tune, lamda_fixed=None)
+        params = model.init_params(jax.random.PRNGKey(0))
+        grads = jax.grad(lambda p: model.episode_loss(
+            p, episode, N, rng=jax.random.PRNGKey(2), train=True)[0])(
+                params)
+        return sum(float(jnp.sum(jnp.abs(g))) for g in
+                   jax.tree_util.tree_leaves(grads["text_encoder"]))
+
+    assert enc_grad_norm_am3(False) == 0.0
+    assert enc_grad_norm_am3(True) > 0.0
