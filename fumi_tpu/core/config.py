@@ -247,17 +247,28 @@ class Config:
             # forever (and >1 diverges) with no error anywhere — reject
             raise ValueError(
                 f"--tpu_ema {self.ema} must be in [0, 1) (0 = off)")
-        meta_grad_models = {"explicit": MODELS + tuple(
-            m for m in ("protonet",)),  # every family has a default engine
-            "imaml": ("maml", "fumi"), "reptile": ("maml",)}
-        allowed = meta_grad_models.get(self.meta_grad, ())
-        if self.meta_grad != "explicit" and self.model not in allowed:
-            # silently training a family under the default engine while
-            # the user believes they selected iMAML/Reptile would be a
-            # reporting hazard
+        # every family has the default explicit engine; the alternatives
+        # are implemented for these models only — reject the rest
+        # (silently training under the default engine while the user
+        # believes they selected iMAML/Reptile would be a reporting hazard)
+        meta_grad_models = {"imaml": ("maml", "fumi"), "reptile": ("maml",)}
+        if self.meta_grad != "explicit":
+            allowed = meta_grad_models[self.meta_grad]
+            if self.model not in allowed:
+                raise NotImplementedError(
+                    f"--tpu_meta_grad {self.meta_grad} supports "
+                    f"--model {allowed} only (got {self.model})")
+        if self.model == "fumi" and self.meta_grad == "imaml" \
+                and self.dropout > 0:
+            # the iMAML inner solve needs a deterministic stationary
+            # objective, so it runs dropout-free — make the user choose
+            # rather than silently training without the regularization
+            # they configured (FuMI's default dropout is 0.25)
             raise NotImplementedError(
-                f"--tpu_meta_grad {self.meta_grad} supports "
-                f"--model {allowed} only (got {self.model})")
+                "--model fumi --tpu_meta_grad imaml runs the inner solve "
+                "and query forward WITHOUT dropout (the implicit-function "
+                "theorem needs a deterministic objective); pass "
+                "--dropout 0 to acknowledge")
         if self.adapt_params != "all" and self.model != "maml":
             raise NotImplementedError(
                 "--tpu_adapt_params applies to the MAML family only "

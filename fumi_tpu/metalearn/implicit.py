@@ -157,6 +157,33 @@ def imaml_episode_loss(apply_fn: Callable,
 # stationary objective (documented deviation from the explicit engine's
 # per-step dropout).
 
+def _fumi_support_ce(model, z, s_x, s_y, rng):
+    im_p, head = z
+    logits = model.im_forward(im_p, head, s_x, rng=rng, train=False)
+    return cross_entropy(logits, s_y)
+
+
+def fumi_proximal_adapt(model, z0, s_x, s_y, rng, *, n_steps: int,
+                        step_size: float, lam: float):
+    """Proximal GD on FuMI's joint (im_net, generated-head) vector — THE
+    inner solve of the iMAML-FuMI engine, shared with serving so the two
+    cannot drift. Pure forward; dropout off (deterministic objective)."""
+
+    def prox_loss(z):
+        ce = _fumi_support_ce(model, z, s_x, s_y, rng)
+        sq = sum(jnp.vdot(a - b, a - b) for a, b in zip(
+            jax.tree_util.tree_leaves(z),
+            jax.tree_util.tree_leaves(z0)))
+        return ce + 0.5 * lam * sq
+
+    def inner(z, _):
+        return sgd_inner_update(z, jax.grad(prox_loss)(z), step_size), None
+
+    phi, _ = jax.lax.scan(inner, z0, None, length=n_steps,
+                          unroll=_unroll(n_steps))
+    return phi
+
+
 def make_imaml_fumi_task_loss(model, *, n_steps: int, step_size: float,
                               lam: float, cg_iters: int):
     def z0_of(theta, s_text, s_y, k_hyper):
@@ -164,25 +191,12 @@ def make_imaml_fumi_task_loss(model, *, n_steps: int, step_size: float,
         return (theta["im_net"], head0)
 
     def support_ce(z, s_x, s_y, rng):
-        im_p, head = z
-        logits = model.im_forward(im_p, head, s_x, rng=rng, train=False)
-        return cross_entropy(logits, s_y)
+        return _fumi_support_ce(model, z, s_x, s_y, rng)
 
     def adapt(z0, s_x, s_y, rng):
-        def prox_loss(z):
-            ce = support_ce(z, s_x, s_y, rng)
-            sq = sum(jnp.vdot(a - b, a - b) for a, b in zip(
-                jax.tree_util.tree_leaves(z),
-                jax.tree_util.tree_leaves(z0)))
-            return ce + 0.5 * lam * sq
-
-        def inner(z, _):
-            return sgd_inner_update(z, jax.grad(prox_loss)(z),
-                                    step_size), None
-
-        phi, _ = jax.lax.scan(inner, z0, None, length=n_steps,
-                              unroll=_unroll(n_steps))
-        return phi
+        return fumi_proximal_adapt(model, z0, s_x, s_y, rng,
+                                   n_steps=n_steps, step_size=step_size,
+                                   lam=lam)
 
     def _values(theta, s_text, s_x, s_y, q_x, q_y, task_rng):
         k_hyper, k_inner, k_q = jax.random.split(task_rng, 3)

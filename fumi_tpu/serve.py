@@ -124,33 +124,18 @@ class FewShotClassifier:
             model = self.family.model
 
             if cfg.meta_grad == "imaml":
-                # engine-faithful: the iMAML-FuMI inner solve is proximal
-                # on the joint (im_net, generated-head) vector
-                # (semantics documented in metalearn/implicit.py)
+                # engine-faithful: the SAME proximal joint solve the
+                # iMAML-FuMI engine trains/evals with
+                from fumi_tpu.metalearn.implicit import fumi_proximal_adapt
                 lam = cfg.imaml_lambda
 
                 @jax.jit
                 def adapt_fn(p, s_im, s_text, s_y, rng):
                     hyper0 = model.get_hyper_params(p, s_text, s_y, rng=rng)
                     z0 = (p["im_net"], hyper0)
-
-                    def prox_loss(z):
-                        im_p, hyp = z
-                        ce = fewshot.cross_entropy(
-                            model.im_forward(im_p, hyp, s_im, rng=rng,
-                                             train=False), s_y)
-                        sq = sum(jnp.vdot(a - b, a - b) for a, b in zip(
-                            jax.tree_util.tree_leaves(z),
-                            jax.tree_util.tree_leaves(z0)))
-                        return ce + 0.5 * lam * sq
-
-                    def inner(z, _):
-                        return sgd_inner_update(
-                            z, jax.grad(prox_loss)(z), step), None
-
-                    (im_T, hyp_T), _ = jax.lax.scan(inner, z0, None,
-                                                    length=n_steps)
-                    return im_T, hyp_T
+                    return fumi_proximal_adapt(
+                        model, z0, s_im, s_y, rng, n_steps=n_steps,
+                        step_size=step, lam=lam)
 
                 classify = jax.jit(
                     lambda p, state, q: model.im_forward(

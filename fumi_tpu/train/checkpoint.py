@@ -223,16 +223,20 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
                                     "opt_state": opt_state_like}))
     except Exception as e:
         # a structure mismatch is usually a config mismatch between the
-        # saving and restoring runs — name the likeliest flags instead of
-        # surfacing orbax's opaque pytree error
+        # saving and restoring runs — surface the saved flags alongside
+        # orbax's error. Phrased conditionally: the same exception also
+        # covers genuinely corrupt/truncated checkpoints, where the flags
+        # DO match and the hint must not send the operator flag-chasing.
         saved_args = meta.get("args") or {}
         hints = []
         for flag in ("ema", "optim", "skip_nonfinite", "model"):
             if flag in saved_args:
                 hints.append(f"{flag}={saved_args[flag]!r}")
-        hint = (f" The checkpoint was written with {', '.join(hints)}; "
-                "restore with a matching config (e.g. the same --tpu_ema "
-                "/ --optim flags)." if hints else "")
+        hint = (f" The checkpoint was written with {', '.join(hints)} — "
+                "if your current config differs (e.g. --tpu_ema/--optim), "
+                "restore with a matching one; otherwise the checkpoint "
+                "files themselves may be incomplete or corrupt."
+                if hints else "")
         raise ValueError(
             f"cannot restore {path}: {type(e).__name__}: {e}.{hint}"
         ) from e

@@ -123,11 +123,15 @@ def test_meta_grad_support_matrix():
         dict(model="fumi", adapt_params="head"),
         dict(model="am3", adapt_params="head"),
     ]
+    # fumi+imaml with dropout on would SILENTLY train dropout-free (the
+    # implicit solve needs a deterministic objective) — must be rejected
+    rejected.append(dict(model="fumi", meta_grad="imaml", dropout=0.25))
     for kw in rejected:
         with pytest.raises(NotImplementedError):
             Config(dataset="synthetic", **kw).validate()
     Config(model="maml", dataset="synthetic", meta_grad="imaml").validate()
-    Config(model="fumi", dataset="synthetic", meta_grad="imaml").validate()
+    Config(model="fumi", dataset="synthetic", meta_grad="imaml",
+           dropout=0.0).validate()
     Config(model="maml", dataset="synthetic",
            meta_grad="reptile").validate()
     Config(model="maml", dataset="synthetic",
