@@ -1,0 +1,58 @@
+"""Docs-rot guard: every CLI flag the README/docs mention must exist in
+the argparse surface (and every --tpu_* extension must be documented
+somewhere) — stale flag names in migration docs send users to argparse
+errors."""
+
+import os
+import re
+
+from fumi_tpu.core.config import build_parser
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOC_FILES = ["README.md", "docs/MIGRATION.md", "docs/PARITY.md",
+             "docs/PERFORMANCE.md", "docs/VERDICT_R1_RESPONSE.md",
+             ".claude/skills/verify/SKILL.md"]
+
+# mentioned in docs but not CLI flags of this framework
+NON_CLI = {
+    "--no-build-isolation",  # pip
+    "--host", "--port",  # serve_http's own net parser
+    "--src", "--kind", "--raw_dir",  # data.prepare subcommand parsers
+    "--x",  # prose fragment
+}
+
+
+def _doc_flags():
+    flags = set()
+    for rel in DOC_FILES:
+        path = os.path.join(REPO, rel)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            flags |= set(re.findall(r"--[a-z][a-z0-9_-]*", f.read()))
+    return flags - NON_CLI
+
+
+def _parser_flags():
+    return {opt for action in build_parser()._actions
+            for opt in action.option_strings}
+
+
+def test_documented_flags_exist_in_parser():
+    # tokens ending in "_" are prefix-family references ("--tpu_dist_*")
+    doc = {f for f in _doc_flags() if not f.endswith("_")}
+    unknown = doc - _parser_flags()
+    assert not unknown, f"docs mention non-existent flags: {sorted(unknown)}"
+
+
+def test_tpu_extensions_are_documented():
+    doc = _doc_flags()
+    prefixes = tuple(f for f in doc if f.endswith("_"))
+
+    def documented(flag):
+        return flag in doc or flag.startswith(prefixes)
+
+    undocumented = {f for f in _parser_flags()
+                    if f.startswith("--tpu_") and not documented(f)}
+    assert not undocumented, \
+        f"--tpu_* flags missing from docs: {sorted(undocumented)}"
