@@ -193,6 +193,33 @@ class FewShotClassifier:
                 return fewshot.prototype_logits(protos[None], emb[None])[0]
             return adapt_fn, classify
 
+        if cfg.model == "protonet":
+            from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+            from fumi_tpu.models import layers
+
+            if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+                net = raw_image_net(cfg.im_encoder)
+
+                def embed(p, x):
+                    return layers.linear(p["head"], net.backbone(p, x))
+            else:
+                def embed(p, x):
+                    return layers.linear(p, x)
+
+            @jax.jit
+            def adapt_fn(p, s_im, s_text, s_y, rng):
+                # "adaptation" = the class prototypes of the support set
+                emb = embed(p, s_im)[None]  # (1, NK, P)
+                lam = jnp.ones(emb.shape[:2] + (1,), emb.dtype)
+                return fewshot.get_prototypes(emb, emb, lam, s_y[None],
+                                              cfg.num_ways)[0]
+
+            @jax.jit
+            def classify(p, protos, q):
+                emb = embed(p, q)
+                return fewshot.prototype_logits(protos[None], emb[None])[0]
+            return adapt_fn, classify
+
         raise NotImplementedError(
             f"serving for model {cfg.model!r} (CLIP retrieval uses "
             "fumi_tpu.models.clip.CLIP.retrieval_scores)")

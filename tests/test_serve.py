@@ -355,3 +355,24 @@ def test_serving_honors_imaml_proximal(rng_np):
                                                 np.asarray(b),
                                                 rtol=1e-6, atol=1e-7),
         state, want)
+
+
+def test_protonet_serving_matches_engine(rng_np):
+    """ProtoNet serving: prototypes-once/classify-many must reproduce the
+    family's eval logits (argmin distance == argmax prototype logits)."""
+    from fumi_tpu.train.steps import build_family
+
+    cfg = base_cfg("protonet", prototype_dim=8)
+    clf = FewShotClassifier(cfg, None)
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+    clf.adapt(s_im, support_y=s_y)
+    got = np.asarray(clf.classify(q_im))
+
+    family = build_family(cfg, jax.random.PRNGKey(cfg.seed))
+    raw = family.eval_raw(clf.params, as_episode(s_im, s_tx, s_y, q_im),
+                          jax.random.PRNGKey(0))
+    want = np.asarray(raw["preds"][0])
+    np.testing.assert_array_equal(got, want)
+    # one-call request path agrees too
+    logits = clf.episode_logits(s_im, s_y, q_im)
+    np.testing.assert_array_equal(np.argmax(np.asarray(logits), -1), want)
