@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fumi_tpu.core.config import Config, config_from_args
+from fumi_tpu.core.config import (Config, TOKEN_TEXT_ENCODERS,
+                                  config_from_args)
 from fumi_tpu.core.episode import EpisodeSpec
 from fumi_tpu.core import mesh as mesh_lib
 from fumi_tpu.data.sampler import DeviceEpisodeSampler, HostEpisodeSampler
@@ -52,7 +53,7 @@ def _load_data(cfg: Config):
         dictionary = (data.dictionary.token2id
                       if data.dictionary is not None else {})
         if cfg.dataset == "inat-anim" and \
-                cfg.text_encoder in ("glove", "w2v", "RNN", "RNNhid"):
+                cfg.text_encoder in TOKEN_TEXT_ENCODERS:
             # attach the pretrained-vector artifact (actionable error if
             # missing — the reference trains these encoders on real gensim
             # vectors, never random init; ref: common.py:164-196)
@@ -65,7 +66,7 @@ def _load_data(cfg: Config):
     if cfg.dataset == "synthetic":
         from fumi_tpu.data.synthetic import (synthetic_dictionary,
                                              synthetic_splits)
-        tokens = cfg.text_encoder in ("glove", "w2v", "RNN", "RNNhid")
+        tokens = cfg.text_encoder in TOKEN_TEXT_ENCODERS
         kw = dict(text_tokens=True, vocab_size=128, text_len=12) \
             if tokens else {}
         splits, table, ids = synthetic_splits(
@@ -109,15 +110,22 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
         # --augment: embedding-space jitter on the TRAIN support set only
         aug = 0.1 if cfg.augment else 0.0
         pg = cfg.pallas_gather
+        ar = cfg.allow_replacement
         return (DeviceEpisodeSampler(table, ids, splits["train"], train_spec,
                                      augment_scale=aug,
-                                     use_pallas_gather=pg),
+                                     use_pallas_gather=pg,
+                                     allow_replacement=ar),
                 DeviceEpisodeSampler(table, ids, splits["val"], eval_spec,
-                                     use_pallas_gather=pg),
+                                     use_pallas_gather=pg,
+                                     allow_replacement=ar),
                 DeviceEpisodeSampler(table, ids, splits["test"], eval_spec,
-                                     use_pallas_gather=pg))
+                                     use_pallas_gather=pg,
+                                     allow_replacement=ar))
+    ar = cfg.allow_replacement
     train_host = HostEpisodeSampler(image_table, image_ids, splits["train"],
-                                    train_spec, seed=cfg.seed)
+                                    train_spec, seed=cfg.seed,
+                                    allow_replacement=ar,
+                                    augment_scale=0.1 if cfg.augment else 0.0)
     if cfg.num_workers > 0:
         # --num_workers: background prefetch (the reference's dataloader
         # worker concurrency, ref: utils.py:95-98)
@@ -126,39 +134,45 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
                                         depth=2 * cfg.num_workers)
     return (train_host,
             HostEpisodeSampler(image_table, image_ids, splits["val"],
-                               eval_spec, seed=cfg.seed + 1),
+                               eval_spec, seed=cfg.seed + 1,
+                               allow_replacement=ar),
             HostEpisodeSampler(image_table, image_ids, splits["test"],
-                               eval_spec, seed=cfg.seed + 2))
+                               eval_spec, seed=cfg.seed + 2,
+                               allow_replacement=ar))
 
 
 def _save_predictions_csv(cfg: Config, writer: MetricWriter,
                           results_path: str, test_m: dict) -> Optional[str]:
-    """Prediction artifact (ref: main.py:128-136), for every family."""
+    """Prediction artifact: ONE ``run_*.csv`` in the reference's exact
+    shape (ref: main.py:128-136) — one row per evaluated TASK, columns
+    ``support_idx, support_lamda, query_idx, query_preds, query_targets``,
+    each cell the task's per-sample list (support cells hold N*K values,
+    query cells N*Q; row counts align because both are per-task). Written
+    for every family; ``support_lamda`` only where the model computes λ
+    (AM3 — the reference writes the CSV only there)."""
     if "preds" not in test_m:
         return None
     import pandas as pd
+    nk = cfg.num_ways * cfg.num_shots
+    nq = cfg.num_ways * cfg.num_query_eval
+
+    def rows(flat, width):
+        if flat is None or len(flat) == 0:
+            return None
+        return np.asarray(flat).reshape(-1, width).tolist()
+
     cols = {
-        "query_preds": test_m.get("preds"),
-        "query_targets": test_m.get("targets"),
+        "support_idx": rows(test_m.get("support_idx"), nk),
+        "support_lamda": rows(test_m.get("support_lamdas"), nk),
+        "query_idx": rows(test_m.get("query_idx"), nq),
+        "query_preds": rows(test_m.get("preds"), nq),
+        "query_targets": rows(test_m.get("targets"), nq),
     }
-    if test_m.get("query_idx"):
-        cols["query_idx"] = test_m["query_idx"]
-    if test_m.get("support_idx"):
-        # support/query lengths differ; store as separate frame columns only
-        # when aligned — otherwise a side CSV
-        pass
     df = pd.DataFrame({k: v for k, v in cols.items() if v is not None})
     stem = (writer.run_name if writer.run_name.startswith("run_")
             else f"run_{writer.run_name}")
     path = os.path.join(results_path, f"{stem}.csv")
     df.to_csv(path)
-    if test_m.get("support_idx"):
-        side = pd.DataFrame({
-            "support_idx": test_m["support_idx"],
-            **({"support_lamda": test_m["support_lamdas"]}
-               if test_m.get("support_lamdas") else {}),
-        })
-        side.to_csv(os.path.join(results_path, f"{stem}_support.csv"))
     return path
 
 
@@ -192,6 +206,12 @@ def main(cfg: Config) -> dict:
     import json as _json
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         _json.dump(_dc.asdict(cfg), f, indent=1, default=str)
+    if cfg.text_encoder in TOKEN_TEXT_ENCODERS and dictionary:
+        # ship the token vocabulary with the run so serving can rebuild
+        # the encoder without re-loading the dataset (the trained
+        # embedding matrix itself lives in the checkpoint params)
+        with open(os.path.join(run_dir, "vocab.json"), "w") as f:
+            _json.dump(dict(dictionary), f)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_train, k_test = jax.random.split(key, 3)

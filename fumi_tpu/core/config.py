@@ -23,6 +23,8 @@ import dataclasses
 from typing import Optional, Tuple
 
 TEXT_ENCODERS = ("glove", "w2v", "RNN", "RNNhid", "BERT", "rand", "precomputed")
+# encoders whose wire format is int token ids (vs precomputed float embeddings)
+TOKEN_TEXT_ENCODERS = ("glove", "w2v", "RNN", "RNNhid")
 TEXT_TYPES = ("label", "description", "common_name")
 MODELS = ("maml", "fumi", "am3", "clip")
 OPTIMIZERS = ("adam", "SGD", "adamw", "adamw_lin_schedule")
@@ -105,6 +107,11 @@ class Config:
     # Device-side episodic sampling (one fused XLA program). Off = host-side
     # numpy sampler with reference-faithful semantics.
     device_sampler: bool = True
+    # Opt-in with-replacement sampling for classes thinner than K+Q images.
+    # Default off: both samplers fail fast at construction (torchmeta's
+    # ClassSplitter raises too, ref: data.py:146-184) — silent duplication
+    # of support/query images would inflate accuracy on sparse classes.
+    allow_replacement: bool = False
     # Pallas DMA row gather for episode assembly (vs the XLA gather).
     # Opt-in: measured SLOWER end-to-end inside the fused train program
     # (pallas_call is a fusion barrier; see docs/PERFORMANCE.md).
@@ -363,6 +370,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_host_sampler", action="store_true",
                    help="use host-side numpy episodic sampler instead of the "
                         "fused device sampler")
+    p.add_argument("--tpu_allow_replacement", action="store_true",
+                   help="sample with replacement from classes with fewer "
+                        "than K+Q images instead of failing fast")
     p.add_argument("--tpu_pallas_gather", action="store_true",
                    help="use the Pallas DMA row gather for episode assembly")
     p.add_argument("--tpu_pallas_fused_eval", action="store_true",
@@ -467,6 +477,7 @@ def config_from_args(argv=None) -> Config:
         mesh_dp=args.tpu_mesh_dp,
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
+        allow_replacement=args.tpu_allow_replacement,
         pallas_gather=args.tpu_pallas_gather,
         pallas_fused_eval=args.tpu_pallas_fused_eval,
         compute_dtype=args.tpu_compute_dtype,

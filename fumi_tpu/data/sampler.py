@@ -195,12 +195,23 @@ class DeviceEpisodeSampler:
                    but synthetic sets may differ.
       class_set:   the split's ClassSet.
       spec:        episode geometry.
+      allow_replacement: opt IN to with-replacement sampling for classes
+                   with fewer than K+Q images (the ``j % count`` wrap in
+                   :func:`sample_episode`). Default False: construction
+                   fails fast via ``class_set.validate_episode`` — the
+                   wrap silently duplicates support/query images, which
+                   inflates accuracy on thin real-data classes, whereas
+                   torchmeta's ClassSplitter raises loudly (ref:
+                   fumi/dataset/data.py:146-184).
     """
 
     def __init__(self, image_table: jnp.ndarray, image_ids: jnp.ndarray,
                  class_set: ClassSet, spec: EpisodeSpec,
                  use_pallas_gather: bool = False,
-                 augment_scale: float = 0.0):
+                 augment_scale: float = 0.0,
+                 allow_replacement: bool = False):
+        if not allow_replacement:
+            class_set.validate_episode(spec.num_shots, spec.num_query)
         self.spec = spec
         self.tables = SamplerTables(
             image_table=jnp.asarray(image_table),
@@ -239,21 +250,36 @@ class HostEpisodeSampler:
     (fumi_tpu/native/episodic_sampler.cpp) when available — same policy,
     xoshiro256** streams, no per-episode Python object traffic — with a
     numpy fallback. ``backend="numpy"`` forces the fallback.
+
+    ``allow_replacement=True`` opts into with-replacement sampling for
+    classes thinner than K+Q (index wrap modulo count, mirroring the
+    device sampler's permissive mode); such configs force the numpy
+    backend. Default False fails fast like torchmeta's ClassSplitter.
+
+    ``augment_scale > 0`` applies the same train-time support-set
+    augmentation as the device path (embedding jitter, or flip+crop for
+    raw images) after episode assembly.
     """
 
     def __init__(self, image_table: np.ndarray, image_ids: np.ndarray,
                  class_set: ClassSet, spec: EpisodeSpec, seed: int = 0,
-                 backend: str = "auto"):
-        class_set.validate_episode(spec.num_shots, spec.num_query)
+                 backend: str = "auto", allow_replacement: bool = False,
+                 augment_scale: float = 0.0):
+        if not allow_replacement:
+            class_set.validate_episode(spec.num_shots, spec.num_query)
+        need = spec.num_shots + spec.num_query
+        self._wraps = bool(np.any(class_set.class_counts < need))
         self.spec = spec
         self.image_table = np.asarray(image_table)
         self.image_ids = np.asarray(image_ids, dtype=np.int32)
         self.class_set = class_set
         self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self.augment_scale = augment_scale
         self._counter = 0
         self._native = None
-        if backend in ("auto", "native"):
+        if backend in ("auto", "native") and not self._wraps:
+            # the C++ sampler assumes count >= K+Q; wrap mode stays numpy
             from fumi_tpu import native
             self._native = native.load()
             if backend == "native" and self._native is None:
@@ -276,7 +302,10 @@ class HostEpisodeSampler:
                                            replace=False)
             for i, c in enumerate(class_idx[b]):
                 cnt = int(cs.class_counts[c])
-                sel[b, i] = self.rng.permutation(cnt)[:K + Q]
+                # modulo wrap = with-replacement for thin classes; a no-op
+                # when cnt >= K+Q (allow_replacement gates construction)
+                sel[b, i] = self.rng.permutation(cnt)[
+                    np.arange(K + Q) % max(cnt, 1)]
         return class_idx, sel
 
     def sample(self) -> Episode:
@@ -297,8 +326,25 @@ class HostEpisodeSampler:
                       (B, 1))
         q_y = np.tile(np.repeat(np.arange(N, dtype=np.int32), Q)[None],
                       (B, 1))
+        support_im = jnp.asarray(self.image_table[s_rows])
+        if self.augment_scale > 0.0:
+            # same transforms as the device path (sample_episode), with a
+            # key drawn from this sampler's seeded numpy stream so host
+            # runs stay deterministic under `seed`
+            k_aug = jax.random.PRNGKey(int(self.rng.randint(0, 2 ** 31)))
+            if support_im.ndim == 5:
+                shape = support_im.shape
+                flat = support_im.reshape((B * N * K,) + shape[2:])
+                support_im = augment_raw_images(k_aug, flat).reshape(shape)
+            else:
+                from fumi_tpu.ops.pallas_kernels import \
+                    augment_embeddings_reference
+                flat = support_im.reshape(B * N * K, -1)
+                flat = augment_embeddings_reference(
+                    flat, k_aug, self.augment_scale)
+                support_im = flat.reshape(B, N * K, -1)
         return Episode(
-            support_im=jnp.asarray(self.image_table[s_rows]),
+            support_im=support_im,
             support_text=jnp.asarray(support_text),
             # encoders re-derive the padding mask from PAD tokens
             support_text_mask=None,

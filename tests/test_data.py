@@ -131,6 +131,70 @@ def test_host_sampler_rejects_small_classes(synth):
         HostEpisodeSampler(table, ids, cs, small)
 
 
+def test_device_sampler_rejects_small_classes(synth):
+    # the DEFAULT path must fail fast too — the device sampler's index
+    # wrap would otherwise silently sample with replacement from thin
+    # classes (torchmeta's ClassSplitter raises; ref: data.py:146-184)
+    cs, table, ids = synth
+    small = EpisodeSpec(batch_size=2, num_ways=3, num_shots=15, num_query=10,
+                        im_dim=64, text_dim=32)
+    with pytest.raises(ValueError):
+        DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs, small)
+
+
+def test_samplers_allow_replacement_opt_out(synth):
+    # classes have 20 images; K+Q = 25 > 20 forces the wrap
+    cs, table, ids = synth
+    small = EpisodeSpec(batch_size=2, num_ways=3, num_shots=15, num_query=10,
+                        im_dim=64, text_dim=32)
+    dev = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), cs,
+                               small, allow_replacement=True)
+    ep = jax.jit(dev.sample)(jax.random.PRNGKey(0))
+    assert ep.support_im.shape == (2, 45, 64)
+    # with-replacement wrap: each class contributes <= 20 distinct ids
+    all_ids = np.concatenate([np.asarray(ep.support_ids),
+                              np.asarray(ep.query_ids)], axis=1)
+    for b in range(2):
+        assert len(set(all_ids[b].tolist())) <= 3 * 20
+
+    host = HostEpisodeSampler(table, ids, cs, small, seed=0,
+                              allow_replacement=True)
+    assert host._native is None  # wrap mode forces the numpy backend
+    ep_h = host.sample()
+    assert ep_h.support_im.shape == (2, 45, 64)
+    hids = np.concatenate([np.asarray(ep_h.support_ids),
+                           np.asarray(ep_h.query_ids)], axis=1)
+    for b in range(2):
+        assert len(set(hids[b].tolist())) <= 3 * 20
+        # the wrap duplicates whole permutations: exactly 20 distinct per
+        # class since 25 > 20
+        assert len(set(hids[b].tolist())) == 3 * 20
+
+
+def test_host_sampler_augment_support_only(synth):
+    # --augment on the host path must actually augment (it used to be
+    # silently dropped): support differs from the raw table rows, queries
+    # stay clean
+    cs, table, ids = synth
+    aug = HostEpisodeSampler(table, ids, cs, SPEC, seed=0,
+                             augment_scale=0.1)
+    ep = aug.sample()
+    tab = np.asarray(table)
+    s = np.asarray(ep.support_im)
+    q = np.asarray(ep.query_ids)
+    assert not np.allclose(s[0, 0], tab[np.asarray(ep.support_ids)[0, 0]])
+    # jitter is multiplicative within ±10%
+    ratio = s[0, 0] / tab[np.asarray(ep.support_ids)[0, 0]]
+    assert np.all(np.abs(ratio - 1.0) <= 0.1 + 1e-6)
+    np.testing.assert_allclose(np.asarray(ep.query_im)[0, 0], tab[q[0, 0]],
+                               rtol=1e-6)
+    # determinism under seed
+    aug2 = HostEpisodeSampler(table, ids, cs, SPEC, seed=0,
+                              augment_scale=0.1)
+    np.testing.assert_allclose(np.asarray(aug2.sample().support_im), s,
+                               rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pipeline over a tiny fake iNat-Anim
 # ---------------------------------------------------------------------------
