@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fumi_tpu.core.config import Config
+from fumi_tpu.core.config import Config, TOKEN_TEXT_ENCODERS
 from fumi_tpu.metalearn.inner_loop import sgd_inner_update
 from fumi_tpu.ops import fewshot
 from fumi_tpu.train.steps import build_family
@@ -38,6 +38,28 @@ from fumi_tpu.train.steps import build_family
 def _stack_keys(keys):
     """Stack PRNG keys into a (R,) key batch (typed and raw uint32 alike)."""
     return jnp.stack(keys)
+
+
+def serving_dictionary(cfg: Config, run_dir: Optional[str] = None):
+    """Token dictionary for serving a glove/w2v/RNN/RNNhid model.
+
+    Preference order: the ``vocab.json`` artifact the trainer ships with
+    every token-encoder run (cheap; the trained embedding matrix lives in
+    the checkpoint params, so only token→id is needed), else the dataset
+    pipeline's dictionary (``--data_dir`` must be reachable). Returns
+    ``None`` for non-token encoders.
+    """
+    if cfg.text_encoder not in TOKEN_TEXT_ENCODERS:
+        return None
+    if run_dir is not None:
+        import json
+        import os
+        path = os.path.join(run_dir, "vocab.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    from fumi_tpu.cli.main import _load_data
+    return _load_data(cfg)[3]
 
 
 class FewShotClassifier:
@@ -61,6 +83,10 @@ class FewShotClassifier:
         from fumi_tpu.train import checkpoint as ckpt_lib
         from fumi_tpu.train.loop import eval_view
         from fumi_tpu.train.steps import make_opt
+        if dictionary is None:
+            # token-encoder models need the vocabulary to rebuild the
+            # encoder; the trainer ships vocab.json with every such run
+            dictionary = serving_dictionary(cfg, run_dir)
         self = cls(cfg, None, dictionary)
         opt = make_opt(cfg)
         params, opt_state, _ = ckpt_lib.load_checkpoint(
@@ -224,6 +250,26 @@ class FewShotClassifier:
             f"serving for model {cfg.model!r} (CLIP retrieval uses "
             "fumi_tpu.models.clip.CLIP.retrieval_scores)")
 
+    @property
+    def text_is_tokens(self) -> bool:
+        """True when the wire format of ``support_text`` is int token ids
+        (glove/w2v/RNN/RNNhid) rather than float embeddings."""
+        return self.cfg.text_encoder in TOKEN_TEXT_ENCODERS
+
+    def _prep_text(self, support_text, *fill_shape: int):
+        """Normalize the support_text argument; token models require it
+        (a silent zero-fill would feed all-PAD text to the encoder)."""
+        if support_text is None:
+            if self.text_is_tokens and self.cfg.model in ("am3", "fumi"):
+                raise ValueError(
+                    f"--text_encoder {self.cfg.text_encoder} models need "
+                    "support_text (int token ids)")
+            return jnp.zeros(fill_shape + (1,), jnp.float32)
+        support_text = jnp.asarray(support_text)
+        if self.text_is_tokens:
+            support_text = support_text.astype(jnp.int32)
+        return support_text
+
     def adapt(self, support_im, support_text=None, support_y=None,
               rng: Optional[jax.Array] = None) -> None:
         """Run the one-time adaptation for this support set.
@@ -234,10 +280,7 @@ class FewShotClassifier:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        if support_text is None:
-            support_text = jnp.zeros((support_im.shape[0], 1), jnp.float32)
-        else:
-            support_text = jnp.asarray(support_text)
+        support_text = self._prep_text(support_text, support_im.shape[0])
 
         if getattr(self, "_adapt_fn", None) is None:
             self._adapt_fn, self._serve_fn = self._build_adapt_fns()
@@ -316,10 +359,7 @@ class FewShotClassifier:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        if support_text is None:
-            support_text = jnp.zeros((support_im.shape[0], 1), jnp.float32)
-        else:
-            support_text = jnp.asarray(support_text)
+        support_text = self._prep_text(support_text, support_im.shape[0])
         query_im = jnp.asarray(query_im)
         # the R=1 view of the shared program; this episode's key is rng
         # itself (batched requests draw split(rng, R) instead)
@@ -346,11 +386,7 @@ class FewShotClassifier:
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         R = support_im.shape[0]
-        if support_text is None:
-            support_text = jnp.zeros((R, support_im.shape[1], 1),
-                                     jnp.float32)
-        else:
-            support_text = jnp.asarray(support_text)
+        support_text = self._prep_text(support_text, R, support_im.shape[1])
         query_im = jnp.asarray(query_im)
         keys = jax.random.split(rng, R)
 

@@ -89,6 +89,14 @@ class FewShotService:
     def __init__(self, clf: FewShotClassifier):
         self.clf = clf
         self.lock = threading.Lock()
+        # token-encoder models take support_text as int token ids on the
+        # wire; coercing them to float32 would silently break the
+        # embedding lookup
+        self._text_dtype = (np.int32 if clf.text_is_tokens else np.float32)
+
+    def _text(self, body: dict) -> Optional[np.ndarray]:
+        return _array(body, "support_text", dtype=self._text_dtype,
+                      required=False)
 
     def healthz(self) -> dict:
         import jax
@@ -100,7 +108,7 @@ class FewShotService:
         s_im = _array(body, "support_im")
         s_y = _array(body, "support_y", dtype=np.int32)
         q_im = _array(body, "query_im")
-        s_text = _array(body, "support_text", required=False)
+        s_text = self._text(body)
         mode = body.get("return", "labels")
         with self.lock:
             logits = self.clf.episode_logits(s_im, s_y, q_im,
@@ -111,7 +119,7 @@ class FewShotService:
         s_im = _array(body, "support_im")
         s_y = _array(body, "support_y", dtype=np.int32)
         q_im = _array(body, "query_im")
-        s_text = _array(body, "support_text", required=False)
+        s_text = self._text(body)
         # support_y is (R, NK) in every layout (support_im is 3-D for
         # embeddings but 5-D for raw images), so the leading-request-axis
         # check keys on the labels
@@ -127,7 +135,7 @@ class FewShotService:
     def adapt(self, body: dict) -> dict:
         s_im = _array(body, "support_im")
         s_y = _array(body, "support_y", dtype=np.int32)
-        s_text = _array(body, "support_text", required=False)
+        s_text = self._text(body)
         with self.lock:
             self.clf.adapt(s_im, support_text=s_text, support_y=s_y)
         return {"ok": True}
@@ -181,6 +189,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(e.status, {"error": str(e)})
         except json.JSONDecodeError as e:
             self._reply(400, {"error": f"invalid JSON: {e}"})
+        except (ValueError, TypeError) as e:
+            # request-content errors raised past the parse layer (missing
+            # support_text on token models, mismatched shapes)
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:  # device-side failure: fail the request,
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             # not the server
@@ -214,9 +226,13 @@ def main(argv=None) -> None:
         run_dir = resolve_checkpoint(cfg.checkpoint, cfg.model,
                                      entity=cfg.wandb_entity,
                                      project=cfg.wandb_project)
+        # from_checkpoint resolves the token dictionary itself (vocab.json
+        # shipped with the run, else the --data_dir pipeline)
         clf = FewShotClassifier.from_checkpoint(run_dir, cfg)
     else:
-        clf = FewShotClassifier(cfg, None)  # fresh init (smoke/testing)
+        from fumi_tpu.serve import serving_dictionary
+        clf = FewShotClassifier(cfg, None,
+                                serving_dictionary(cfg))  # fresh init
 
     server = make_server(clf, net_args.host, net_args.port)
     host, port = server.server_address[:2]

@@ -43,16 +43,26 @@ def test_cli_end_to_end(tmp_path, model):
             assert k in out
 
     # prediction CSV artifact written for EVERY family (ref writes it only
-    # for AM3, main.py:128-136; BASELINE.md wants all)
+    # for AM3, main.py:128-136; BASELINE.md wants all) — ONE file in the
+    # reference's five-column, one-row-per-task shape
     csvs = glob.glob(os.path.join(str(tmp_path), "results", "run_*.csv"))
-    main_csvs = [c for c in csvs if not c.endswith("_support.csv")]
-    assert main_csvs, csvs
-    df = pd.read_csv(main_csvs[0])
-    assert "query_preds" in df and "query_targets" in df
-    # num_ep_test/batch_size + 1 batches x B tasks x N*Q queries
-    expect = (cfg.max_test_batches + 1) * cfg.batch_size * \
-        cfg.num_ways * cfg.num_query_eval
+    assert len(csvs) == 1, csvs
+    df = pd.read_csv(csvs[0])
+    ref_cols = ["support_idx", "support_lamda", "query_idx",
+                "query_preds", "query_targets"]
+    want = ref_cols if model == "am3" else \
+        [c for c in ref_cols if c != "support_lamda"]
+    assert list(df.columns)[1:] == want  # [0] is the unnamed index
+    # num_ep_test/batch_size + 1 batches x B tasks, one row per task
+    expect = (cfg.max_test_batches + 1) * cfg.batch_size
     assert len(df) == expect
+    # cells are per-task lists: N*Q query values, N*K support values
+    import ast
+    row0 = df.iloc[0]
+    assert len(ast.literal_eval(row0["query_preds"])) == \
+        cfg.num_ways * cfg.num_query_eval
+    assert len(ast.literal_eval(row0["support_idx"])) == \
+        cfg.num_ways * cfg.num_shots
 
 
 def test_cli_evaluate_with_checkpoint(tmp_path):
@@ -63,6 +73,23 @@ def test_cli_evaluate_with_checkpoint(tmp_path):
     best = [d for d in run_dirs if os.path.exists(os.path.join(d, "best"))]
     assert best
     out = main(cfg.replace(evaluate=True, checkpoint=best[0]))
+    assert np.isfinite(out["test/loss"])
+
+
+def test_cli_sparse_classes_fail_fast(tmp_path):
+    # synthetic classes carry 64 images; 50-shot 2-way eval episodes need
+    # 50 + int(100/2) = 100 per class -> both sampler paths must raise at
+    # startup instead of silently sampling with replacement
+    for device_sampler in (True, False):
+        cfg = small_cfg(tmp_path, "maml", num_ways=2, num_shots=50,
+                        num_shots_test=4, device_sampler=device_sampler)
+        with pytest.raises(ValueError, match="fewer than"):
+            main(cfg)
+    # the explicit opt-out trains anyway (with-replacement wrap)
+    cfg = small_cfg(tmp_path, "maml", num_ways=2, num_shots=50,
+                    num_shots_test=4, epochs=4, eval_freq=2, num_ep_test=4,
+                    allow_replacement=True)
+    out = main(cfg)
     assert np.isfinite(out["test/loss"])
 
 

@@ -155,3 +155,108 @@ def test_classify_before_adapt_is_409():
         assert "adapt" in out["error"]
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Token-text-encoder serving (glove/w2v/RNN/RNNhid): int token ids on the
+# wire, dictionary resolved from the vocab.json run artifact
+# ---------------------------------------------------------------------------
+
+T = 6  # tokens per description
+
+
+def _token_cfg(model="fumi", encoder="glove"):
+    return Config(model=model, dataset="synthetic", im_emb_dim=D,
+                  text_emb_dim=8, im_hid_dim=(16, 8), text_hid_dim=8,
+                  num_ways=N, num_shots=K, num_test_adapt_steps=2,
+                  dropout=0.0, text_encoder=encoder, step_size=0.1,
+                  image_embedding_model="resnet-152")
+
+
+def _token_episode(rng):
+    from fumi_tpu.data.synthetic import synthetic_dictionary
+    d = synthetic_dictionary(32)
+    s_im, s_y, q_im = _episode_arrays(rng)
+    # class-major token rows, padded with <PAD>=0
+    s_text = rng.randint(1, 32, size=(N * K, T))
+    s_text[:, -2:] = 0
+    return d, s_im, s_y, q_im, s_text
+
+
+def test_glove_fumi_episode_over_http():
+    """The flagship serving extension must cover token-encoder models:
+    /v1/episode adapts+classifies a glove-FuMI model from int token ids."""
+    d, s_im, s_y, q_im, s_text = _token_episode(np.random.RandomState(5))
+    clf = FewShotClassifier(_token_cfg("fumi", "glove"), None, d)
+    server = make_server(clf, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        got = _post(url, "/v1/episode", {
+            "support_im": s_im.tolist(), "support_y": s_y.tolist(),
+            "query_im": q_im.tolist(), "support_text": s_text.tolist(),
+            "return": "logits"})["result"]
+        want = np.asarray(clf.episode_logits(
+            s_im, s_y, q_im, support_text=s_text.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-6)
+        # token models REQUIRE text: missing support_text is a 400, not a
+        # silent all-PAD adaptation
+        out = _post(url, "/v1/episode", {
+            "support_im": s_im.tolist(), "support_y": s_y.tolist(),
+            "query_im": q_im.tolist()}, expect=400)
+        assert "support_text" in out["error"]
+    finally:
+        server.shutdown()
+
+
+def test_rnn_am3_adapt_classify():
+    """RNN (biLSTM) AM3: stateful adapt-then-classify on token ids."""
+    d, s_im, s_y, q_im, s_text = _token_episode(np.random.RandomState(6))
+    clf = FewShotClassifier(_token_cfg("am3", "RNN"), None, d)
+    svc = __import__("fumi_tpu.serve_http", fromlist=["FewShotService"]) \
+        .FewShotService(clf)
+    assert svc.adapt({"support_im": s_im.tolist(),
+                      "support_y": s_y.tolist(),
+                      "support_text": s_text.tolist()})["ok"]
+    out = np.asarray(svc.classify({"query_im": q_im.tolist(),
+                                   "return": "probs"})["result"])
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+
+
+def test_vocab_artifact_roundtrip(tmp_path):
+    """Training a token-encoder run ships vocab.json; serving restores the
+    dictionary (and the trained embedding matrix via the checkpoint)
+    without touching the dataset."""
+    import glob
+    import os
+
+    from fumi_tpu.cli.main import main as cli_main
+
+    cfg = Config(
+        model="fumi", dataset="synthetic", im_emb_dim=D, text_emb_dim=8,
+        im_hid_dim=(16, 8), text_hid_dim=8, num_ways=N, num_shots=K,
+        num_shots_test=4, num_train_adapt_steps=2, num_test_adapt_steps=2,
+        batch_size=4, epochs=8, eval_freq=4, patience=0, num_ep_test=4,
+        lr=1e-2, dropout=0.0, text_encoder="glove", step_size=0.1,
+        log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32")
+    cli_main(cfg)
+    run_dirs = [dd for dd in glob.glob(os.path.join(str(tmp_path),
+                                                    "runs", "*"))
+                if os.path.exists(os.path.join(dd, "best"))]
+    assert run_dirs
+    assert os.path.exists(os.path.join(run_dirs[0], "vocab.json"))
+
+    clf = FewShotClassifier.from_checkpoint(run_dirs[0], cfg)
+    assert clf.text_is_tokens
+    rng = np.random.RandomState(7)
+    s_im, s_y, q_im = _episode_arrays(rng)
+    s_text = rng.randint(1, 120, size=(N * K, 12)).astype(np.int32)
+    logits = np.asarray(clf.episode_logits(s_im, s_y, q_im,
+                                           support_text=s_text))
+    assert logits.shape == (M, N)
+    assert np.all(np.isfinite(logits))
