@@ -70,6 +70,33 @@ def find_ema(opt_state) -> Optional[Any]:
     return None
 
 
+def zero_updates_for_key(key: str) -> optax.GradientTransformation:
+    """Zero the final updates of one top-level params subtree.
+
+    torch optimizers SKIP parameters whose ``.grad`` is ``None`` — frozen
+    text encoders (``fine_tune=False``, ref: am3.py:74-77, fumi.py:65-67)
+    and the ``rand`` encoder's never-used Linear never move, even under
+    Adam/SGD ``weight_decay`` (the coupled-L2 term only applies to params
+    that HAVE a grad). optax transforms see a zero gradient instead and
+    would happily decay those weights toward zero — destroying pretrained
+    glove/w2v embeddings over a long run. Chained AFTER the base optimizer
+    (before EMA) so the frozen subtree's update is exactly zero.
+    """
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if isinstance(updates, dict) and key in updates:
+            import jax.numpy as jnp
+            updates = dict(updates)
+            updates[key] = jax.tree_util.tree_map(
+                jnp.zeros_like, updates[key])
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def linear_warmup_schedule(lr: float, num_warmup_steps: int,
                            num_training_steps: int) -> optax.Schedule:
     """transformers.get_linear_schedule_with_warmup semantics."""

@@ -419,13 +419,32 @@ def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:
 # Single-device jitted steps
 # ---------------------------------------------------------------------------
 
+def frozen_text_encoder(cfg: Config) -> bool:
+    """True when the model's ``text_encoder`` params subtree can never
+    receive a gradient: ``--fine_tune`` off for token encoders (ref:
+    am3.py:74-77, fumi.py:65-67), or the ``rand`` encoder whose Linear is
+    created but never used (ref: am3.py:68-69, fumi.py:56-57)."""
+    from fumi_tpu.core.config import TOKEN_TEXT_ENCODERS
+    if cfg.model not in ("am3", "fumi"):
+        return False
+    if cfg.text_encoder == "rand":
+        return True
+    return cfg.text_encoder in TOKEN_TEXT_ENCODERS and not cfg.fine_tune
+
+
 def make_opt(cfg: Config) -> optax.GradientTransformation:
     # scheduler quirk: only AM3 steps the lr schedule (ref: am3.py:195-196;
     # fumi.py:230-235 unpacks but never steps it)
-    from fumi_tpu.train.optim import init_optim, params_ema
+    from fumi_tpu.train.optim import (init_optim, params_ema,
+                                      zero_updates_for_key)
     opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum,
                      cfg.num_warmup_steps, cfg.epochs,
                      schedule_active=(cfg.model == "am3"))
+    if frozen_text_encoder(cfg):
+        # torch parity: frozen encoders (and rand's unused Linear) have
+        # grad=None in torch and are SKIPPED — coupled-L2 weight decay
+        # must not drift them (see zero_updates_for_key)
+        opt = optax.chain(opt, zero_updates_for_key("text_encoder"))
     if cfg.ema > 0:
         # EMA rides in the optimizer state, so it flows through the
         # chunked scan drivers, the parallel engines, and checkpoints

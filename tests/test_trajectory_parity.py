@@ -9,6 +9,7 @@ semantics, and update application jointly over a long horizon.
 """
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -537,3 +538,196 @@ def test_clip_training_trajectory_matches_torch():
     # (no loss-decrease sanity: the batches are pure noise, so 30 steps
     # need not descend; learning is pinned by test_clip_training_learns
     # and parity is the claim here)
+
+
+# ---------------------------------------------------------------------------
+# Composed token-encoder trajectory parity: tokens -> embedding lookup ->
+# biLSTM (RNN encoder) -> AM3 -> coupled-L2 Adam, 20 meta-updates against a
+# torch nn.Embedding + packed-LSTM oracle, --fine_tune both ways.
+# This is the path where an ordering/masking bug (or frozen-params weight-
+# decay drift — torch SKIPS grad-less params) would hide: unit-level
+# encoder parity + precomputed-text model parity cannot see it.
+# (ref: am3.py:105-123 text path, common.py:44-101 RNN, am3.py:74-77 freeze)
+# ---------------------------------------------------------------------------
+
+VOCAB_R, T_R, E_RNN, EMB_D = 30, 7, 8, 10
+R_LR, R_WD = 1e-2, 5e-4
+N_UPDATES_R = 20
+
+
+def _rnn_dictionary():
+    from fumi_tpu.models.text_encoders import PAD_WORD
+    d = {PAD_WORD: 0}
+    for i in range(1, VOCAB_R):
+        d[f"w{i}"] = i
+    return d
+
+
+def make_rnn_episodes(rng, n):
+    eps = []
+    for _ in range(n):
+        s_im = rng.randn(BA, NA * KA, D_IM).astype(np.float32)
+        q_im = rng.randn(BA, NA * QA, D_IM).astype(np.float32)
+        s_tok = np.zeros((BA, NA * KA, T_R), dtype=np.int32)
+        for b in range(BA):
+            for m in range(NA * KA):
+                L = rng.randint(2, T_R + 1)
+                s_tok[b, m, :L] = rng.randint(1, VOCAB_R, size=L)
+        s_y = np.tile(np.repeat(np.arange(NA), KA)[None], (BA, 1))
+        q_y = np.tile(np.repeat(np.arange(NA), QA)[None], (BA, 1))
+        eps.append((s_tok, s_im, s_y.astype(np.int64),
+                    q_im, q_y.astype(np.int64)))
+    return eps
+
+
+def torch_am3_rnn_train(params_np, episodes, fine_tune):
+    F = torch.nn.functional
+    enc_np = params_np["text_encoder"]
+    emb_w = torch.tensor(enc_np["embed"], requires_grad=fine_tune)
+    lstm = torch.nn.LSTM(input_size=EMB_D, hidden_size=E_RNN // 2,
+                         num_layers=1, bidirectional=True, batch_first=True)
+    sd = lstm.state_dict()
+    for ours, theirs in (("w_ih", "weight_ih_l0"), ("w_hh", "weight_hh_l0"),
+                         ("b_ih", "bias_ih_l0"), ("b_hh", "bias_hh_l0"),
+                         ("w_ih_rev", "weight_ih_l0_reverse"),
+                         ("w_hh_rev", "weight_hh_l0_reverse"),
+                         ("b_ih_rev", "bias_ih_l0_reverse"),
+                         ("b_hh_rev", "bias_hh_l0_reverse")):
+        sd[theirs] = torch.tensor(enc_np[ours])
+    lstm.load_state_dict(sd)
+    for p in lstm.parameters():
+        p.requires_grad_(fine_tune)
+
+    def mk(path):
+        return torch.tensor(path, requires_grad=True)
+
+    iew, ieb = mk(params_np["image_encoder"]["w"]), \
+        mk(params_np["image_encoder"]["b"])
+    g1w, g1b = mk(params_np["g"][0]["w"]), mk(params_np["g"][0]["b"])
+    g2w, g2b = mk(params_np["g"][1]["w"]), mk(params_np["g"][1]["b"])
+    h1w, h1b = mk(params_np["h"][0]["w"]), mk(params_np["h"][0]["b"])
+    h2w, h2b = mk(params_np["h"][1]["w"]), mk(params_np["h"][1]["b"])
+    head = [iew, ieb, g1w, g1b, g2w, g2b, h1w, h1b, h2w, h2b]
+    # torch.optim.Adam sees every model parameter (ref passes
+    # model.parameters(), utils.py:283-287) but SKIPS grad-less ones
+    opt_params = head + ([emb_w] + list(lstm.parameters())
+                         if fine_tune else [])
+    opt = torch.optim.Adam(opt_params, lr=R_LR, weight_decay=R_WD)
+
+    def encode(tok_np):
+        flat = torch.tensor(tok_np.reshape(-1, T_R).astype(np.int64))
+        emb = emb_w[flat]
+        lens = torch.tensor((tok_np.reshape(-1, T_R) != 0).sum(axis=1))
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, lens, batch_first=True, enforce_sorted=False)
+        _, (hn, _) = lstm(packed)  # RNN variant: final hidden states
+        return torch.cat([hn[0], hn[1]], dim=-1).reshape(BA, NA * KA, E_RNN)
+
+    losses = []
+    for (s_tok, s_im, s_y, q_im, q_y) in episodes:
+        enc = encode(s_tok)
+        im_emb = F.linear(torch.tensor(s_im), iew, ieb)
+        text_emb = F.linear(F.relu(F.linear(enc, g1w, g1b)), g2w, g2b)
+        lam = torch.sigmoid(
+            F.linear(F.relu(F.linear(text_emb, h1w, h1b)), h2w, h2b))
+        q_emb = F.linear(torch.tensor(q_im), iew, ieb)
+        onehot = F.one_hot(torch.tensor(s_y), NA).float()
+        counts = onehot.sum(dim=1).clamp(min=1.0).unsqueeze(-1)
+        im_p = onehot.transpose(1, 2) @ im_emb / counts
+        tx_p = onehot.transpose(1, 2) @ text_emb / counts
+        lam_c = onehot.transpose(1, 2) @ lam / counts
+        protos = lam_c * im_p + (1 - lam_c) * tx_p
+        diff = q_emb.unsqueeze(2) - protos.unsqueeze(1)
+        sq = (diff * diff).sum(-1)
+        loss = F.cross_entropy((-sq).reshape(-1, NA),
+                               torch.tensor(q_y).reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses, dict(iew=iew, g2w=g2w, emb=emb_w,
+                        w_ih=dict(lstm.named_parameters())["weight_ih_l0"])
+
+
+@pytest.mark.parametrize("fine_tune", [False, True])
+def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
+    from fumi_tpu.models import text_encoders as te
+    from fumi_tpu.models.am3 import AM3
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import make_opt
+
+    rng = np.random.RandomState(17)
+    episodes = make_rnn_episodes(rng, N_UPDATES_R)
+    d = _rnn_dictionary()
+    # small pretrained vectors force EMB_D (and mark w1/w2 as in-vocab)
+    vecs = {"w1": rng.randn(EMB_D).astype(np.float32),
+            "w2": rng.randn(EMB_D).astype(np.float32)}
+    enc = te.make_text_encoder("RNN", jax.random.PRNGKey(1), E_RNN,
+                               dictionary=d, fine_tune=fine_tune,
+                               vectors=vecs)
+    model = AM3(im_emb_dim=D_IM, prototype_dim=P_DIM, text_encoder=enc,
+                text_emb_dim=E_RNN, text_hid_dim=T_HID, dropout=0.0,
+                fine_tune=fine_tune, lamda_fixed=None)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    enc0 = {k: np.asarray(v) for k, v in params["text_encoder"].items()}
+
+    cfg = Config(model="am3", text_encoder="RNN", fine_tune=fine_tune,
+                 optim="adam", lr=R_LR, weight_decay=R_WD, dropout=0.0)
+    opt = make_opt(cfg)  # production path: includes the frozen-subtree mask
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, episode, k):
+        def loss_fn(p_):
+            loss, _ = model.episode_loss(p_, episode, NA, rng=k, train=True)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    jax_losses = []
+    for i, (s_tok, s_im, s_y, q_im, q_y) in enumerate(episodes):
+        episode = Episode(
+            support_im=jnp.asarray(s_im),
+            support_text=jnp.asarray(s_tok),
+            support_text_mask=None,
+            support_ids=jnp.zeros((BA, NA * KA), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((BA, NA * QA), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32)),
+        )
+        params, opt_state, loss = train_step(params, opt_state, episode,
+                                             jax.random.PRNGKey(1000 + i))
+        jax_losses.append(float(loss))
+
+    torch_losses, torch_final = torch_am3_rnn_train(params_np, episodes,
+                                                    fine_tune)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["image_encoder"]["w"]),
+        torch_final["iew"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["g"][1]["w"]),
+        torch_final["g2w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    if fine_tune:
+        # meta-gradients flowed INTO the encoder: embedding + lstm weights
+        # must have moved AND still track torch
+        assert not np.allclose(np.asarray(params["text_encoder"]["embed"]),
+                               enc0["embed"])
+        np.testing.assert_allclose(
+            np.asarray(params["text_encoder"]["embed"]),
+            torch_final["emb"].detach().numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(params["text_encoder"]["w_ih"]),
+            torch_final["w_ih"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    else:
+        # frozen: EXACTLY unchanged over the whole trajectory — in
+        # particular, coupled-L2 weight decay must not have drifted the
+        # pretrained embeddings (torch skips grad-less params)
+        for k, v0 in enc0.items():
+            np.testing.assert_array_equal(
+                np.asarray(params["text_encoder"][k]), v0)
+    assert jax_losses[-1] < jax_losses[0]
