@@ -78,6 +78,21 @@ def put_episode(episode, mesh: Mesh):
     return jax.device_put(episode, sharding)
 
 
+# resharding programs cached per mesh: a fresh `jax.jit(lambda a: a)` has a
+# new function identity every call, so an uncached version would retrace at
+# every eval-boundary fetch on a multi-host mesh
+_RESHARD_FN_CACHE: dict = {}
+
+
+def _reshard_replicated(mesh: Mesh):
+    fn = _RESHARD_FN_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda a: a,
+                     out_shardings=NamedSharding(mesh, P()))
+        _RESHARD_FN_CACHE[mesh] = fn
+    return fn
+
+
 def host_fetch(x) -> np.ndarray:
     """``np.asarray`` that also works on multi-host global arrays.
 
@@ -90,8 +105,7 @@ def host_fetch(x) -> np.ndarray:
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         mesh = getattr(x.sharding, "mesh", None)
         if isinstance(mesh, Mesh):
-            rep = NamedSharding(mesh, P())
-            x = jax.jit(lambda a: a, out_shardings=rep)(x)
+            x = _reshard_replicated(mesh)(x)
         else:  # no concrete mesh on the sharding: gather across processes
             from jax.experimental import multihost_utils
             x = multihost_utils.process_allgather(x, tiled=True)

@@ -33,7 +33,11 @@ class MetricWriter:
                 wandb.init(**(wandb_kwargs or {}))
                 if wandb.run is not None and wandb.run.name:
                     self.run_name = wandb.run.name + run_suffix
-            except Exception:
+            except Exception as e:
+                # falling back silently would lose the user's dashboard
+                # without a word — say so once, then log to JSONL only
+                print(f"warning: wandb unavailable "
+                      f"({type(e).__name__}: {e}); logging to JSONL only")
                 self._wandb = None
         self._jsonl = open(
             os.path.join(log_dir, f"{self.run_name}.metrics.jsonl"), "a")

@@ -77,6 +77,8 @@ def _chunked_eval_fn(cfg, steps, sampler, collect):
            id(steps.mesh) if steps.mesh is not None else None)
     entry = _EVAL_FN_CACHE.get(key)
     if entry is not None:
+        # refresh recency: move the hit to the end of insertion order
+        _EVAL_FN_CACHE[key] = _EVAL_FN_CACHE.pop(key)
         fn, _refs = entry
         return fn
     if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
@@ -89,8 +91,9 @@ def _chunked_eval_fn(cfg, steps, sampler, collect):
                                         steps.mesh, collect=collect)
     else:
         fn = make_chunked_eval(steps.family, sampler, collect=collect)
-    if len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
-        _EVAL_FN_CACHE.clear()
+    while len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
+        # LRU eviction (dict preserves insertion order; hits below re-insert)
+        _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
     _EVAL_FN_CACHE[key] = (fn, (steps.family, sampler, steps.mesh))
     return fn
 

@@ -234,3 +234,32 @@ def test_skip_nonfinite_guard():
 
     # guard off by default: Config().skip_nonfinite == 0 -> raw optimizer
     assert Config(model="maml").skip_nonfinite == 0
+
+
+def test_metric_writer_warns_on_wandb_failure(tmp_path, capsys, monkeypatch):
+    """A user who asked for wandb must see ONE line when the fallback to
+    JSONL-only logging kicks in (silent loss of the dashboard otherwise)."""
+    import sys
+    import types
+
+    broken = types.ModuleType("wandb")
+
+    def _boom(**kw):
+        raise RuntimeError("no network")
+
+    broken.init = _boom
+    monkeypatch.setitem(sys.modules, "wandb", broken)
+
+    writer = MetricWriter(str(tmp_path), use_wandb=True)
+    out = capsys.readouterr().out
+    assert "wandb unavailable" in out
+    assert "no network" in out
+    # JSONL logging still works
+    writer.log({"loss": 1.0}, step=0)
+    writer.finish()
+    import glob
+    import json
+    files = glob.glob(str(tmp_path / "*.metrics.jsonl"))
+    assert files
+    rec = json.loads(open(files[0]).read().strip())
+    assert rec["loss"] == 1.0
