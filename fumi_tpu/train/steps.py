@@ -609,7 +609,12 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
             unroll=train_scan_unroll(n_steps))
         return params, opt_state, key, ms
 
-    return lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)
+    fn = lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)
+    # expose the raw jit + tables for AOT tooling (scripts/mfu.py lowers
+    # the program to read XLA's FLOPs cost analysis)
+    fn.jitted = run
+    fn.tables = sampler.tables
+    return fn
 
 
 def make_chunked_eval(family: Family, sampler, collect: bool = False
