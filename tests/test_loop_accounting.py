@@ -67,8 +67,10 @@ def test_step_accounting_matches_reference(model, epochs, eval_freq,
         patience=patience, num_ep_test=4, lr=1e-3, optim="adam",
         dropout=0.0, text_encoder="precomputed", step_size=0.1,
         prng_impl="threefry2x32")
+    # num_query_eval = int(100/3) = 33 with num_shots 2 -> 35 per class
+    # minimum (the samplers fail fast on thinner classes)
     cs, table, ids = synthetic_class_set(
-        num_classes=8, images_per_class=12, im_dim=IM_DIM,
+        num_classes=8, images_per_class=36, im_dim=IM_DIM,
         text_dim=TXT_DIM, seed=0)
     import jax.numpy as jnp
     mk = lambda q: DeviceEpisodeSampler(

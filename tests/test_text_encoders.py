@@ -108,8 +108,10 @@ def test_embedding_weights_pad_and_vectors():
 # ---------------------------------------------------------------------------
 
 def token_samplers(cfg, text_len=T):
+    # enough images per class for num_shots + num_query_eval (the samplers
+    # now fail fast on thinner classes)
     cs, table, ids = synthetic_class_set(
-        num_classes=10, images_per_class=30, im_dim=cfg.im_emb_dim,
+        num_classes=10, images_per_class=40, im_dim=cfg.im_emb_dim,
         text_tokens=True, vocab_size=VOCAB, text_len=text_len, seed=0)
     spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
                        cfg.num_query_eval, cfg.im_emb_dim, text_len,
