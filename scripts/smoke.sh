@@ -4,8 +4,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== tests (includes shard_map/pjit multi-device paths on 8 CPU devices) =="
-python -m pytest tests/ -x -q
+echo "== fast-tier tests (~75 s on 1 CPU; full suite: pytest tests/ -q) =="
+python -m pytest tests/ -m "not slow" -x -q
 
 echo "== multi-chip dry run (8 virtual devices) =="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

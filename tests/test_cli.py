@@ -11,6 +11,10 @@ import pytest
 from fumi_tpu.cli.main import main
 from fumi_tpu.core.config import Config
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 def small_cfg(tmp_path, model, **kw):
     base = dict(

@@ -16,6 +16,10 @@ from fumi_tpu.train import clip_loop
 from fumi_tpu.train.logging import MetricWriter
 from fumi_tpu.train.optim import init_optim
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 def torch_clip_forward(params, text, image):
     """Torch restatement of ref clip.py:26-40."""

@@ -2,6 +2,8 @@
 over raw images (the capability the reference leaves as a TODO,
 ref am3.py:44-46; BASELINE config 'MAML image-only Conv4')."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -14,6 +16,10 @@ from fumi_tpu.data.synthetic import synthetic_raw_image_set
 from fumi_tpu.models import conv4
 from fumi_tpu.train.loop import test_loop as run_test_loop
 from fumi_tpu.train.steps import make_steps
+
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
 
 
 def test_conv_block_matches_torch(rng_np):

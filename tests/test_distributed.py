@@ -25,6 +25,10 @@ import sys
 import numpy as np
 import pytest
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -11,6 +11,10 @@ from fumi_tpu.core.episode import EpisodeSpec
 from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
 from fumi_tpu.train.steps import make_steps
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 IM, TX = 16, 8
 
 

@@ -3,11 +3,16 @@ post-update parameters exactly, survive the apply_if_finite wrap and the
 chunked drivers, and actually be what evaluation sees."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
 
 from fumi_tpu.train.optim import EmaState, find_ema, init_optim, params_ema
+
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
 
 
 def test_ema_tracks_post_update_params():

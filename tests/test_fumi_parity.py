@@ -4,6 +4,8 @@ generated head via hyper_net; inner loop jointly adapts the base im_net
 (2nd-order SGD) and the hypernet OUTPUT (manual create_graph step); outer
 grads flow to hyper_net and im_net initial params."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -13,6 +15,10 @@ from fumi_tpu.core.episode import Episode
 from fumi_tpu.metalearn import fumi_episode_loss
 from fumi_tpu.models import fumi as fumi_model
 from fumi_tpu.models import text_encoders
+
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
 
 B, N, K, Q = 2, 3, 2, 4
 D_IM, E_TXT, H_TXT = 8, 5, 7

@@ -11,6 +11,10 @@ import pytest
 from fumi_tpu.models import text_encoders
 from fumi_tpu.models.fumi import FUMI
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 N, K, Q = 3, 2, 3
 
 

@@ -11,6 +11,10 @@ import pytest
 from fumi_tpu.metalearn.implicit import make_imaml_task_loss
 from fumi_tpu.ops.fewshot import cross_entropy
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 D, N, K, M = 6, 3, 3, 12
 
 

@@ -23,6 +23,9 @@ from fumi_tpu.core.config import Config
 from fumi_tpu.core.episode import EpisodeSpec
 from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
 from fumi_tpu.train.logging import MetricWriter
+
+# long-horizon harness simulations -> slow tier (fast tier = -m "not slow")
+pytestmark = pytest.mark.slow
 from fumi_tpu.train.steps import make_steps
 
 IM_DIM, TXT_DIM = 16, 8

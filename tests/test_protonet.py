@@ -2,11 +2,17 @@
 inherit the full stack — CLI, chunked drivers, parallel engines — and
 learn on synthetic data."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from fumi_tpu.core.config import Config
+
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
 
 
 def _cfg(tmp_path, **kw):

@@ -13,6 +13,10 @@ from fumi_tpu.metalearn.reptile import reptile_episode_loss
 from fumi_tpu.models import mlp
 from fumi_tpu.ops.fewshot import cross_entropy
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 B, N, K, Q, D, H = 2, 3, 2, 4, 10, 6
 STEPS, LR_IN = 3, 0.1
 

@@ -9,6 +9,10 @@ import pytest
 
 from fumi_tpu.models import resnet12
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 def _t(w):  # HWIO -> torch OIHW
     return torch.tensor(np.asarray(w).transpose(3, 2, 0, 1))

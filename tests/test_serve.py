@@ -12,6 +12,10 @@ from fumi_tpu.metalearn import fumi_episode_loss, maml_episode_loss
 from fumi_tpu.serve import FewShotClassifier
 from fumi_tpu.train.steps import make_steps
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 N, K, Q, D, E = 3, 2, 5, 16, 8
 
 

@@ -120,6 +120,7 @@ def token_samplers(cfg, text_len=T):
                                 spec)
 
 
+@pytest.mark.slow  # 10-way parametrized e2e episodic training
 @pytest.mark.parametrize("model", ["am3", "fumi"])
 @pytest.mark.parametrize("encoder", ["glove", "w2v", "RNN", "RNNhid",
                                      "rand"])

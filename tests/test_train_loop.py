@@ -16,6 +16,10 @@ from fumi_tpu.train.loop import training_run
 from fumi_tpu.train.loop import test_loop as run_test_loop
 from fumi_tpu.train.steps import make_steps
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 IM_DIM, TXT_DIM = 32, 16
 
 

@@ -20,6 +20,10 @@ from fumi_tpu.metalearn import maml_episode_loss
 from fumi_tpu.models import mlp
 from fumi_tpu.train.optim import init_optim
 
+# torch-parity / multiprocess / long-horizon tier (VERDICT r2 Weak #1):
+# fast tier = `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 B, N, K, Q, D, H = 2, 3, 2, 5, 16, 8
 STEPS, LR_INNER, LR_OUTER, WD = 2, 0.1, 1e-2, 5e-4
 N_UPDATES = 40
