@@ -141,3 +141,30 @@ def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
     logp = jax.nn.log_softmax(logits, axis=axis)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=axis)
     return jnp.mean(nll)
+
+
+def matching_probs(support_emb: jnp.ndarray, support_y: jnp.ndarray,
+                   query_emb: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Matching-Networks class probabilities (Vinyals et al. 2016).
+
+    Each query attends over the SUPPORT SAMPLES with softmaxed cosine
+    similarity and sums their one-hot labels — sample-level attention
+    instead of class prototypes. Both stages are MXU matmuls:
+    ``(B, NQ, P) @ (B, P, NK)`` attention then ``(B, NQ, NK) @ (B, NK, N)``
+    label mixing.
+
+    Args:
+      support_emb: (B, NK, P); support_y: (B, NK) int in [0, N);
+      query_emb: (B, NQ, P).
+    Returns:
+      (B, NQ, N) probabilities (rows sum to 1).
+    """
+    eps = 1e-8
+    s = support_emb / (jnp.linalg.norm(support_emb, axis=-1,
+                                       keepdims=True) + eps)
+    q = query_emb / (jnp.linalg.norm(query_emb, axis=-1,
+                                     keepdims=True) + eps)
+    cos = jnp.einsum("bqp,bkp->bqk", q, s)  # (B, NQ, NK)
+    attn = jax.nn.softmax(cos, axis=-1)
+    onehot = _one_hot_f(support_y, num_classes, s.dtype)  # (B, NK, N)
+    return jnp.einsum("bqk,bkn->bqn", attn, onehot)

@@ -219,6 +219,36 @@ class FewShotClassifier:
                 return fewshot.prototype_logits(protos[None], emb[None])[0]
             return adapt_fn, classify
 
+        if cfg.model == "matchingnet":
+            from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
+            from fumi_tpu.models import layers
+
+            if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+                net = raw_image_net(cfg.im_encoder)
+
+                def embed(p, x):
+                    return layers.linear(p["head"], net.backbone(p, x))
+            else:
+                def embed(p, x):
+                    return layers.linear(p, x)
+
+            num_ways = cfg.num_ways
+
+            @jax.jit
+            def adapt_fn(p, s_im, s_text, s_y, rng):
+                # "adaptation" = the embedded support set + its labels
+                return embed(p, s_im), s_y
+
+            @jax.jit
+            def classify(p, state, q):
+                s_emb, s_y = state
+                probs = fewshot.matching_probs(
+                    s_emb[None], s_y[None], embed(p, q)[None], num_ways)[0]
+                # log-probs as the serving "logits": softmax(log p) = p,
+                # so every return mode renders correctly
+                return jnp.log(probs + 1e-8)
+            return adapt_fn, classify
+
         if cfg.model == "protonet":
             from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
             from fumi_tpu.models import layers
@@ -247,8 +277,8 @@ class FewShotClassifier:
             return adapt_fn, classify
 
         raise NotImplementedError(
-            f"serving for model {cfg.model!r} (CLIP retrieval uses "
-            "fumi_tpu.models.clip.CLIP.retrieval_scores)")
+            f"episodic serving for model {cfg.model!r} (CLIP serves via "
+            "fumi_tpu.serve.ClipRetrieval: index/retrieve/similarity)")
 
     @property
     def text_is_tokens(self) -> bool:
@@ -413,3 +443,83 @@ class FewShotClassifier:
         if return_probs:
             return jax.nn.softmax(logits, axis=-1)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+class ClipRetrieval:
+    """CLIP serving: index a gallery once, rank many queries against it.
+
+    The dual-encoder analog of adapt-once/classify-many: ``index(images)``
+    projects + L2-normalizes the gallery through the image head ONCE and
+    keeps it device-resident; ``retrieve(text, top_k)`` projects the query
+    texts and ranks the whole gallery with one matmul. ``similarity(text,
+    images)`` is the stateless one-shot form (the reference's
+    ``CLIP.forward`` cosine matrix, ref: clip.py:26-40 — the reference has
+    no inference surface at all).
+    """
+
+    def __init__(self, cfg: Config, params=None):
+        from fumi_tpu.models.clip import CLIP
+        cfg = cfg.validate()
+        self.cfg = cfg
+        self.model = CLIP(text_input_dim=cfg.text_emb_dim,
+                          image_input_dim=cfg.im_emb_dim,
+                          latent_dim=cfg.clip_latent_dim)
+        self.params = (params if params is not None
+                       else self.model.init_params(
+                           jax.random.PRNGKey(cfg.seed)))
+        self._gallery = None  # (G, latent) normalized image embeddings
+
+        from fumi_tpu.models import layers
+
+        def _embed(p, x, head1, head2):
+            z = layers.linear(p[head2],
+                              jax.nn.relu(layers.linear(p[head1], x)))
+            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+        self._embed_images = jax.jit(
+            lambda p, x: _embed(p, x, "image_fc", "image_fc2"))
+        self._embed_text = jax.jit(
+            lambda p, x: _embed(p, x, "text_fc", "text_fc2"))
+        # normalized embeddings -> cosine scores is one matmul
+        self._scores = jax.jit(
+            lambda t, g: jnp.matmul(t, g.T,
+                                    preferred_element_type=t.dtype))
+        self._sim = jax.jit(self.model.forward)
+
+    @classmethod
+    def from_checkpoint(cls, run_dir: str, cfg: Config,
+                        best: bool = True) -> "ClipRetrieval":
+        from fumi_tpu.train import checkpoint as ckpt_lib
+        from fumi_tpu.train.optim import init_optim
+        self = cls(cfg, None)
+        # mirror the CLI's CLIP restore path (same optimizer transform ->
+        # same checkpoint state structure)
+        opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
+        params, _, _ = ckpt_lib.load_checkpoint(
+            run_dir, self.params, opt.init(self.params), best=best)
+        self.params = params
+        return self
+
+    def index(self, images) -> int:
+        """Project + normalize a gallery of (G, im_emb_dim) image
+        embeddings; returns the gallery size."""
+        images = jnp.asarray(images)
+        self._gallery = self._embed_images(self.params, images)
+        return int(self._gallery.shape[0])
+
+    def retrieve(self, text, top_k: int = 5):
+        """(M, text_emb_dim) texts -> (indices (M, k), scores (M, k))
+        against the indexed gallery, cosine-ranked."""
+        if self._gallery is None:
+            raise RuntimeError("call index(images) before retrieve")
+        text = jnp.asarray(text)
+        scores = self._scores(self._embed_text(self.params, text),
+                              self._gallery)
+        k = min(int(top_k), int(scores.shape[-1]))
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return top_idx, top_scores
+
+    def similarity(self, text, images) -> jnp.ndarray:
+        """Stateless (Nt, Ni) cosine-similarity matrix (ref: clip.py:26-40)."""
+        return self._sim(self.params, jnp.asarray(text),
+                         jnp.asarray(images))

@@ -23,6 +23,13 @@ Endpoints (JSON in / JSON out):
 - ``POST /v1/classify`` — classify queries against the adapted state.
   Body: ``{"query_im": [[...]], "return": ...?}``.
 
+With ``--model clip`` the server exposes retrieval endpoints instead
+(:class:`ClipService`): ``POST /v1/clip/index`` (project + normalize a
+gallery of image embeddings once, device-resident), ``POST
+/v1/clip/retrieve`` (rank texts against the gallery, top-k indices +
+cosine scores), ``POST /v1/clip/similarity`` (stateless text×image
+cosine matrix).
+
 Run:  ``python -m fumi_tpu.serve_http --checkpoint <run_dir> --model fumi
 --port 8080 <model/config flags>`` — the full training CLI flag surface
 applies, so the server reconstructs exactly the trained architecture.
@@ -154,6 +161,53 @@ class FewShotService:
               "/v1/adapt": adapt, "/v1/classify": classify}
 
 
+class ClipService:
+    """CLIP retrieval endpoints (``--model clip``): index a gallery of
+    image embeddings once, rank texts against it; plus the stateless
+    similarity matrix. Serves :class:`fumi_tpu.serve.ClipRetrieval`."""
+
+    def __init__(self, clf):
+        self.clf = clf
+        self.lock = threading.Lock()
+
+    def healthz(self) -> dict:
+        import jax
+        return {"ok": True, "model": "clip",
+                "backend": jax.default_backend(),
+                "devices": len(jax.devices()),
+                "gallery": (int(self.clf._gallery.shape[0])
+                            if self.clf._gallery is not None else 0)}
+
+    def index(self, body: dict) -> dict:
+        images = _array(body, "images")
+        with self.lock:
+            size = self.clf.index(images)
+        return {"ok": True, "gallery_size": size}
+
+    def retrieve(self, body: dict) -> dict:
+        text = _array(body, "text")
+        top_k = int(body.get("top_k", 5))
+        with self.lock:
+            try:
+                idx, scores = self.clf.retrieve(text, top_k)
+            except RuntimeError as e:  # index() not called yet
+                raise ServeError(409, str(e))
+        import numpy as np
+        return {"indices": np.asarray(idx).tolist(),
+                "scores": np.asarray(scores).tolist()}
+
+    def similarity(self, body: dict) -> dict:
+        text = _array(body, "text")
+        images = _array(body, "images")
+        with self.lock:
+            sim = self.clf.similarity(text, images)
+        import numpy as np
+        return {"similarity": np.asarray(sim).tolist()}
+
+    ROUTES = {"/v1/clip/index": index, "/v1/clip/retrieve": retrieve,
+              "/v1/clip/similarity": similarity}
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: FewShotService  # set by make_server
 
@@ -175,7 +229,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):
-        route = FewShotService.ROUTES.get(self.path)
+        route = type(self.service).ROUTES.get(self.path)
         if route is None:
             self._reply(404, {"error": f"no route {self.path}"})
             return
@@ -198,11 +252,14 @@ class _Handler(BaseHTTPRequestHandler):
             # not the server
 
 
-def make_server(clf: FewShotClassifier, host: str = "127.0.0.1",
+def make_server(clf, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` auto-picks.
-    The bound port is ``server.server_address[1]``."""
-    service = FewShotService(clf)
+    The bound port is ``server.server_address[1]``. ``clf`` is a
+    FewShotClassifier (episodic families) or a ClipRetrieval (CLIP)."""
+    from fumi_tpu.serve import ClipRetrieval
+    service = (ClipService(clf) if isinstance(clf, ClipRetrieval)
+               else FewShotService(clf))
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -221,11 +278,17 @@ def main(argv=None) -> None:
 
     from fumi_tpu.core.runtime import setup_cache
     setup_cache()
+    run_dir = None
     if cfg.checkpoint:
         from fumi_tpu.train.checkpoint import resolve_checkpoint
         run_dir = resolve_checkpoint(cfg.checkpoint, cfg.model,
                                      entity=cfg.wandb_entity,
                                      project=cfg.wandb_project)
+    if cfg.model == "clip":
+        from fumi_tpu.serve import ClipRetrieval
+        clf = (ClipRetrieval.from_checkpoint(run_dir, cfg)
+               if run_dir else ClipRetrieval(cfg, None))
+    elif run_dir:
         # from_checkpoint resolves the token dictionary itself (vocab.json
         # shipped with the run, else the --data_dir pipeline)
         clf = FewShotClassifier.from_checkpoint(run_dir, cfg)
@@ -236,8 +299,9 @@ def main(argv=None) -> None:
 
     server = make_server(clf, net_args.host, net_args.port)
     host, port = server.server_address[:2]
-    print(f"serving {cfg.model} on http://{host}:{port} "
-          f"(POST /v1/episode, /v1/episode_batch, /v1/adapt, /v1/classify)")
+    routes = ", ".join(type(clf).__name__ == "ClipRetrieval"
+                       and ClipService.ROUTES or FewShotService.ROUTES)
+    print(f"serving {cfg.model} on http://{host}:{port} (POST {routes})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

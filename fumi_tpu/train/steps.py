@@ -379,6 +379,66 @@ def build_protonet_family(cfg: Config, key: jax.Array,
     )
 
 
+def build_matchingnet_family(cfg: Config, key: jax.Array,
+                             dictionary=None) -> Family:
+    """Matching Networks (Vinyals et al. 2016, non-FCE variant) — the
+    second registered extension family: queries attend over SUPPORT
+    SAMPLES with softmaxed cosine similarity and sum their one-hot labels,
+    instead of collapsing each class to a prototype. One (B, NQ, NK)
+    attention matmul per episode; no inner loop. (No reference
+    counterpart; shares the embedding-head shape with protonet.)"""
+    from fumi_tpu.models import (RAW_IMAGE_ENCODERS, headless_backbone_init,
+                                 raw_image_net)
+    from fumi_tpu.models import layers
+
+    if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+        net = raw_image_net(cfg.im_encoder)
+        k_bb, k_head = jax.random.split(key)
+        bb, fdim = headless_backbone_init(
+            cfg.im_encoder, k_bb, cfg.im_size, cfg.im_channels,
+            cfg.resnet12_channels)
+        params = {**bb, "head": layers.linear_init(k_head, fdim,
+                                                   cfg.prototype_dim)}
+
+        def embed(p, x):
+            B, M = x.shape[:2]
+            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]))
+            return layers.linear(p["head"], feats).reshape(B, M, -1)
+    else:
+        params = layers.linear_init(key, cfg.im_emb_dim, cfg.prototype_dim)
+
+        def embed(p, x):
+            return layers.linear(p, x)
+
+    N = cfg.num_ways
+
+    def _raw(p, episode):
+        s_e = embed(p, episode.support_im)  # (B, NK, P)
+        q_e = embed(p, episode.query_im)  # (B, NQ, P)
+        probs = fewshot.matching_probs(s_e, episode.support_y, q_e, N)
+        loss = -jnp.mean(jnp.log(jnp.take_along_axis(
+            probs, episode.query_y[..., None], axis=-1)[..., 0] + 1e-8))
+        preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        acc = jnp.mean((preds == episode.query_y).astype(jnp.float32))
+        return loss, preds, acc
+
+    def train_loss(p, episode, rng):
+        loss, preds, acc = _raw(p, episode)
+        return loss, {"acc": acc, "preds": preds}
+
+    def eval_raw(p, episode, rng):
+        loss, preds, acc = _raw(p, episode)
+        return {"loss": loss, "acc": acc, "preds": preds,
+                "targets": episode.query_y}
+
+    return Family(
+        name="matchingnet", params=params, train_loss=train_loss,
+        eval_raw=eval_raw, eval_finalize=lambda raw: raw,
+        eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
+                     "targets": "concat"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Family registry
 # ---------------------------------------------------------------------------
@@ -402,6 +462,7 @@ register_family("maml")(lambda cfg, key, d=None: build_maml_family(cfg, key))
 register_family("fumi")(build_fumi_family)
 register_family("am3")(build_am3_family)
 register_family("protonet")(build_protonet_family)
+register_family("matchingnet")(build_matchingnet_family)
 
 
 def build_family(cfg: Config, key: jax.Array, dictionary=None) -> Family:
