@@ -226,7 +226,7 @@ def main():
 
     if args.all:
         side = {}
-        for model in ("fumi", "maml", "am3", "protonet"):
+        for model in ("fumi", "maml", "am3", "protonet", "matchingnet"):
             side[f"{model}_train_eps_per_sec"] = round(
                 bench_tpu(args.steps, model=model), 2)
         side["eval_fumi_100step_eps_per_sec"] = round(

@@ -276,9 +276,15 @@ class FewShotClassifier:
                 return fewshot.prototype_logits(protos[None], emb[None])[0]
             return adapt_fn, classify
 
+        if self.family.serve is not None:
+            # registered-family serving hook (train/steps.py:Family.serve)
+            adapt_fn, classify = self.family.serve(cfg, self.family)
+            return jax.jit(adapt_fn), jax.jit(classify)
+
         raise NotImplementedError(
             f"episodic serving for model {cfg.model!r} (CLIP serves via "
-            "fumi_tpu.serve.ClipRetrieval: index/retrieve/similarity)")
+            "fumi_tpu.serve.ClipRetrieval: index/retrieve/similarity; "
+            "registered families can provide a Family.serve hook)")
 
     @property
     def text_is_tokens(self) -> bool:

@@ -48,6 +48,11 @@ class Family(NamedTuple):
     eval_finalize: Callable  # raw dict -> metrics dict
     eval_reduce: Dict[str, str]  # raw key -> "mean" | "sum" | "concat"
     model: Any = None
+    # optional serving hook so REGISTERED families plug into
+    # FewShotClassifier without editing serve.py:
+    # (cfg, family) -> (adapt_fn(p, s_im, s_text, s_y, rng) -> state,
+    #                   classify_fn(p, state, q_im) -> (M, N) logits)
+    serve: Optional[Callable] = None
 
 
 class FamilySteps(NamedTuple):

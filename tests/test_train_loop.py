@@ -170,6 +170,56 @@ def test_family_registry_extensible():
         FAMILY_REGISTRY.pop("mymaml", None)
 
 
+def test_registered_family_serving_hook():
+    """A registered family with a Family.serve hook plugs into
+    FewShotClassifier's adapt/classify without editing serve.py."""
+    from fumi_tpu.models import layers
+    from fumi_tpu.serve import FewShotClassifier
+    from fumi_tpu.train.steps import (FAMILY_REGISTRY,
+                                      build_protonet_family,
+                                      register_family)
+
+    def serve_hook(cfg, family):
+        # nearest-mean-in-raw-space: state = per-class mean support image
+        def adapt_fn(p, s_im, s_text, s_y, rng):
+            onehot = jax.nn.one_hot(s_y, cfg.num_ways, dtype=s_im.dtype)
+            counts = jnp.maximum(onehot.sum(0), 1.0)[:, None]
+            return (onehot.T @ s_im) / counts  # (N, D)
+
+        def classify(p, means, q):
+            d = jnp.sum((q[:, None, :] - means[None]) ** 2, axis=-1)
+            return -d
+        return adapt_fn, classify
+
+    @register_family("servable")
+    def _build(cfg, key, dictionary=None):
+        return build_protonet_family(cfg, key)._replace(
+            name="servable", serve=serve_hook)
+
+    try:
+        cfg = small_cfg("maml").replace(model="servable",
+                                        dataset="synthetic",
+                                        text_encoder="precomputed")
+        clf = FewShotClassifier(cfg, None)
+        rng = np.random.RandomState(0)
+        N, K, D = cfg.num_ways, cfg.num_shots, cfg.im_emb_dim
+        s_im = rng.randn(N * K, D).astype(np.float32)
+        s_y = np.repeat(np.arange(N), K).astype(np.int32)
+        q_im = rng.randn(4, D).astype(np.float32)
+        clf.adapt(s_im, support_y=s_y)
+        labels = np.asarray(clf.classify(q_im))
+        assert labels.shape == (4,)
+        # oracle: nearest class-mean in raw space
+        means = np.stack([s_im[s_y == c].mean(0) for c in range(N)])
+        want = np.argmin(((q_im[:, None] - means[None]) ** 2).sum(-1), -1)
+        np.testing.assert_array_equal(labels, want)
+        # one-dispatch episode path routes through the same hook
+        logits = np.asarray(clf.episode_logits(s_im, s_y, q_im))
+        np.testing.assert_array_equal(np.argmax(logits, -1), want)
+    finally:
+        FAMILY_REGISTRY.pop("servable", None)
+
+
 def test_per_layer_grad_norms_logged():
     """Per-layer gradient norms (wandb.watch's observability role,
     ref utils.py:272) are emitted per train step and are consistent with
