@@ -735,3 +735,188 @@ def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
             np.testing.assert_array_equal(
                 np.asarray(params["text_encoder"][k]), v0)
     assert jax_losses[-1] < jax_losses[0]
+
+
+def torch_fumi_rnn_train(params_np, episodes, fine_tune):
+    """FuMI dual-update oracle with a REAL token path: nn.Embedding +
+    packed biLSTM (ref common.py:44-101) feeding get_hyper_params'
+    first-support-sample-per-class selection (ref fumi.py:198-212),
+    always-2nd-order dual inner updates (ref fumi.py:160-176)."""
+    F = torch.nn.functional
+    enc_np = params_np["text_encoder"]
+    emb_w = torch.tensor(enc_np["embed"], requires_grad=fine_tune)
+    lstm = torch.nn.LSTM(input_size=EMB_D, hidden_size=E_RNN // 2,
+                         num_layers=1, bidirectional=True, batch_first=True)
+    sd = lstm.state_dict()
+    for ours, theirs in (("w_ih", "weight_ih_l0"), ("w_hh", "weight_hh_l0"),
+                         ("b_ih", "bias_ih_l0"), ("b_hh", "bias_hh_l0"),
+                         ("w_ih_rev", "weight_ih_l0_reverse"),
+                         ("w_hh_rev", "weight_hh_l0_reverse"),
+                         ("b_ih_rev", "bias_ih_l0_reverse"),
+                         ("b_hh_rev", "bias_hh_l0_reverse")):
+        sd[theirs] = torch.tensor(enc_np[ours])
+    lstm.load_state_dict(sd)
+    for p in lstm.parameters():
+        p.requires_grad_(fine_tune)
+
+    h1w = torch.tensor(params_np["hyper_net"][0]["w"], requires_grad=True)
+    h1b = torch.tensor(params_np["hyper_net"][0]["b"], requires_grad=True)
+    h2w = torch.tensor(params_np["hyper_net"][1]["w"], requires_grad=True)
+    h2b = torch.tensor(params_np["hyper_net"][1]["b"], requires_grad=True)
+    im_leaves = [[torch.tensor(p["w"], requires_grad=True),
+                  torch.tensor(p["b"], requires_grad=True)]
+                 for p in params_np["im_net"]]
+    head = [h1w, h1b, h2w, h2b] + [p for pair in im_leaves for p in pair]
+    opt_params = head + ([emb_w] + list(lstm.parameters())
+                         if fine_tune else [])
+    opt = torch.optim.Adam(opt_params, lr=F_LR, weight_decay=WD)
+
+    def encode(tok_np):  # (NK, T) -> (NK, E_RNN)
+        flat = torch.tensor(tok_np.astype(np.int64))
+        emb = emb_w[flat]
+        lens = torch.tensor((tok_np != 0).sum(axis=1))
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, lens, batch_first=True, enforce_sorted=False)
+        _, (hn, _) = lstm(packed)
+        return torch.cat([hn[0], hn[1]], dim=-1)
+
+    losses = []
+    for (s_tok, s_im, s_y, q_im, q_y) in episodes:
+        outer = torch.tensor(0.0)
+        for t in range(BF):
+            s_y_t = torch.tensor(s_y[t])
+            enc = encode(s_tok[t])
+            first_idx = [int(np.argmax(s_y[t] == c)) for c in range(NF)]
+            class_enc = enc[first_idx]
+            h = F.relu(F.linear(class_enc, h1w, h1b))
+            hyp = torch.tanh(F.linear(h, h2w, h2b))  # norm_hypernet
+
+            im_ps = [tuple(pair) for pair in im_leaves]
+
+            def fwd(ps, hyp_, x):
+                for (w, b) in ps:
+                    x = F.relu(F.linear(x, w, b))
+                return x @ hyp_[:, :-1].T + hyp_[:, -1]
+
+            for _ in range(F_STEPS):
+                logits = fwd(im_ps, hyp, torch.tensor(s_im[t]))
+                inner = F.cross_entropy(logits, s_y_t)
+                flat = [p for pair in im_ps for p in pair] + [hyp]
+                grads = torch.autograd.grad(inner, flat, create_graph=True)
+                im_ps = [(flat[2 * i] - F_SS * grads[2 * i],
+                          flat[2 * i + 1] - F_SS * grads[2 * i + 1])
+                         for i in range(len(im_ps))]
+                hyp = hyp - F_SS * grads[-1]
+
+            q_logits = fwd(im_ps, hyp, torch.tensor(q_im[t]))
+            outer = outer + F.cross_entropy(q_logits, torch.tensor(q_y[t]))
+        outer = outer / BF
+        opt.zero_grad()
+        outer.backward()
+        opt.step()
+        losses.append(float(outer.detach()))
+    return losses, dict(h1w=h1w, im0w=im_leaves[0][0], emb=emb_w,
+                        w_ih=dict(lstm.named_parameters())["weight_ih_l0"])
+
+
+N_UPDATES_FR = 15
+
+
+def make_fumi_rnn_episodes(rng, n):
+    eps = []
+    for _ in range(n):
+        s_im = rng.randn(BF, NF * KF, D_IM).astype(np.float32)
+        q_im = rng.randn(BF, NF * QF, D_IM).astype(np.float32)
+        s_tok = np.zeros((BF, NF * KF, T_R), dtype=np.int32)
+        for b in range(BF):
+            for m in range(NF * KF):
+                L = rng.randint(2, T_R + 1)
+                s_tok[b, m, :L] = rng.randint(1, VOCAB_R, size=L)
+        s_y = np.tile(np.repeat(np.arange(NF), KF)[None], (BF, 1))
+        q_y = np.tile(np.repeat(np.arange(NF), QF)[None], (BF, 1))
+        eps.append((s_tok, s_im, s_y.astype(np.int64),
+                    q_im, q_y.astype(np.int64)))
+    return eps
+
+
+@pytest.mark.parametrize("fine_tune", [False, True])
+def test_fumi_rnn_composed_trajectory_matches_torch(fine_tune):
+    """Tokens -> biLSTM -> hypernet -> dual-update inner loop -> Adam:
+    --fine_tune routes meta-gradients INTO the encoder through the
+    hypernet's 2nd-order graph (ref fumi.py:65-67) — the deepest composed
+    path in the framework, tracked against torch for 15 meta-updates."""
+    from fumi_tpu.metalearn import fumi_episode_loss
+    from fumi_tpu.models import text_encoders as te
+    from fumi_tpu.models.fumi import FUMI
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import make_opt
+
+    rng = np.random.RandomState(23)
+    episodes = make_fumi_rnn_episodes(rng, N_UPDATES_FR)
+    d = _rnn_dictionary()
+    vecs = {"w1": rng.randn(EMB_D).astype(np.float32)}
+    enc = te.make_text_encoder("RNN", jax.random.PRNGKey(1), E_RNN,
+                               dictionary=d, fine_tune=fine_tune,
+                               vectors=vecs)
+    model = FUMI(n_way=NF, im_emb_dim=D_IM, im_hid_dim=IM_HID,
+                 text_encoder=enc, text_emb_dim=E_RNN, text_hid_dim=T_HID,
+                 dropout_rate=0.0, norm_hypernet=True, fine_tune=fine_tune,
+                 init_bias=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    enc0 = {k: np.asarray(v) for k, v in params["text_encoder"].items()}
+
+    cfg = Config(model="fumi", text_encoder="RNN", fine_tune=fine_tune,
+                 optim="adam", lr=F_LR, weight_decay=WD, dropout=0.0)
+    opt = make_opt(cfg)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, episode, k):
+        def loss_fn(p_):
+            return fumi_episode_loss(model, p_, episode, n_steps=F_STEPS,
+                                     step_size=F_SS, rng=k, train=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    jax_losses = []
+    for i, (s_tok, s_im, s_y, q_im, q_y) in enumerate(episodes):
+        episode = Episode(
+            support_im=jnp.asarray(s_im),
+            support_text=jnp.asarray(s_tok),
+            support_text_mask=None,
+            support_ids=jnp.zeros((BF, NF * KF), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((BF, NF * QF), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32)),
+        )
+        params, opt_state, loss = train_step(params, opt_state, episode,
+                                             jax.random.PRNGKey(2000 + i))
+        jax_losses.append(float(loss))
+
+    torch_losses, torch_final = torch_fumi_rnn_train(params_np, episodes,
+                                                     fine_tune)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["hyper_net"][0]["w"]),
+        torch_final["h1w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["im_net"][0]["w"]),
+        torch_final["im0w"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    if fine_tune:
+        assert not np.allclose(np.asarray(params["text_encoder"]["embed"]),
+                               enc0["embed"])
+        np.testing.assert_allclose(
+            np.asarray(params["text_encoder"]["embed"]),
+            torch_final["emb"].detach().numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(params["text_encoder"]["w_ih"]),
+            torch_final["w_ih"].detach().numpy(), rtol=1e-3, atol=1e-4)
+    else:
+        for k, v0 in enc0.items():
+            np.testing.assert_array_equal(
+                np.asarray(params["text_encoder"][k]), v0)
+    assert jax_losses[-1] < jax_losses[0]
