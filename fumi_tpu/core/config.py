@@ -166,6 +166,11 @@ class Config:
     # The reference's only recovery is a manual --checkpoint restore that
     # restarts counting at 0 (SURVEY §5.3).
     auto_resume: bool = False
+    # Extension modules imported at CLI/server startup (before config
+    # validation), so out-of-tree `register_family` builders — and their
+    # Family.serve hooks — are usable via `--model <name>` without
+    # editing the package.
+    import_modules: Tuple[str, ...] = ()
     # Multi-host (DCN) launch topology. Setting a coordinator address turns
     # the CLI into one process of a multi-host run (jax.distributed) — the
     # mesh then spans every host's devices and the episode-parallel engines
@@ -411,6 +416,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_auto_resume", action="store_true",
                    help="resume the newest checkpointed run in log_dir "
                         "(params, optimizer state, batch counter)")
+    p.add_argument("--tpu_import", type=str, nargs="+", default=[],
+                   help="python modules to import at startup (register "
+                        "out-of-tree model families / serving hooks)")
     p.add_argument("--tpu_dist_coordinator", type=str, default=None,
                    help="multi-host: coordinator address host:port "
                         "(process 0 binds it); unset = single-process")
@@ -423,6 +431,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(argv=None) -> Config:
     args = build_parser().parse_args(argv)
+    # extension modules must land their register_family calls BEFORE
+    # validation (validate() checks the registry for --model)
+    import importlib
+    for mod in args.tpu_import:
+        importlib.import_module(mod)
     cfg = Config(
         wandb_entity=args.wandb_entity,
         wandb_project=args.wandb_project,
@@ -494,6 +507,7 @@ def config_from_args(argv=None) -> Config:
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,
+        import_modules=tuple(args.tpu_import),
         dist_coordinator=args.tpu_dist_coordinator,
         dist_num_processes=args.tpu_dist_num_processes,
         dist_process_id=args.tpu_dist_process_id,

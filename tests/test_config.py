@@ -136,3 +136,44 @@ def test_meta_grad_support_matrix():
            meta_grad="reptile").validate()
     Config(model="maml", dataset="synthetic",
            adapt_params="head").validate()
+
+
+def test_tpu_import_registers_out_of_tree_family(tmp_path, monkeypatch):
+    """--tpu_import loads extension modules BEFORE validation so
+    out-of-tree registered families work from the CLI."""
+    import sys
+    import textwrap
+
+    mod = tmp_path / "my_families.py"
+    mod.write_text(textwrap.dedent("""
+        from fumi_tpu.train.steps import build_protonet_family, \\
+            register_family
+
+        @register_family("outoftree")
+        def build(cfg, key, dictionary=None):
+            return build_protonet_family(cfg, key)._replace(
+                name="outoftree")
+    """))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    from fumi_tpu.core.config import config_from_args
+    from fumi_tpu.train.steps import FAMILY_REGISTRY, build_family
+
+    try:
+        cfg = config_from_args([
+            "--tpu_import", "my_families", "--model", "outoftree",
+            "--dataset", "synthetic", "--im_emb_dim", "16",
+            "--prototype_dim", "8"])
+        assert cfg.model == "outoftree"
+        assert cfg.import_modules == ("my_families",)
+        import jax
+        fam = build_family(cfg, jax.random.PRNGKey(0))
+        assert fam.name == "outoftree"
+        # without the import, the same --model is rejected at validation
+        FAMILY_REGISTRY.pop("outoftree", None)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="outoftree"):
+            config_from_args(["--model", "outoftree",
+                              "--dataset", "synthetic"])
+    finally:
+        FAMILY_REGISTRY.pop("outoftree", None)
+        sys.modules.pop("my_families", None)
