@@ -346,3 +346,30 @@ def test_clip_retrieval_over_http_and_checkpoint(tmp_path):
         assert "no route" in out["error"]
     finally:
         server.shutdown()
+
+
+def test_token_episode_batch():
+    """Batched one-dispatch serving with INT token text: (R, NK, T) ids
+    through /v1/episode_batch, incl. the power-of-two padding path."""
+    from fumi_tpu.serve_http import FewShotService
+
+    d, s_im, s_y, q_im, s_text = _token_episode(np.random.RandomState(10))
+    clf = FewShotClassifier(_token_cfg("fumi", "RNN"), None, d)
+    svc = FewShotService(clf)
+    R = 3  # pads to 4 internally
+    body = {
+        "support_im": np.stack([s_im] * R).tolist(),
+        "support_y": np.stack([s_y] * R).tolist(),
+        "query_im": np.stack([q_im] * R).tolist(),
+        "support_text": np.stack([s_text] * R).tolist(),
+        "return": "logits",
+    }
+    out = np.asarray(svc.episode_batch(body)["result"])
+    assert out.shape == (R, M, N)
+    assert np.all(np.isfinite(out))
+    # all R episodes identical -> identical logits; and the single-episode
+    # path agrees with the batched one
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-5, atol=1e-6)
+    single = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=s_text.astype(np.int32)))
+    np.testing.assert_allclose(out[0], single, rtol=1e-4, atol=1e-5)
