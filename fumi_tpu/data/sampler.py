@@ -212,6 +212,10 @@ class DeviceEpisodeSampler:
                  allow_replacement: bool = False):
         if not allow_replacement:
             class_set.validate_episode(spec.num_shots, spec.num_query)
+        elif np.any(np.asarray(class_set.class_counts) < 1):
+            # even with replacement there is nothing to draw from an empty
+            # class — the wrap would silently emit padding rows
+            raise ValueError("split contains classes with zero images")
         self.spec = spec
         self.tables = SamplerTables(
             image_table=jnp.asarray(image_table),
@@ -267,6 +271,10 @@ class HostEpisodeSampler:
                  augment_scale: float = 0.0):
         if not allow_replacement:
             class_set.validate_episode(spec.num_shots, spec.num_query)
+        elif np.any(np.asarray(class_set.class_counts) < 1):
+            # rng.permutation(0) is empty — indexing it would IndexError
+            # mid-training; reject empty classes up front
+            raise ValueError("split contains classes with zero images")
         need = spec.num_shots + spec.num_query
         self._wraps = bool(np.any(class_set.class_counts < need))
         self.spec = spec

@@ -37,19 +37,29 @@ class CLIP(NamedTuple):
                                             self.latent_dim),
         }
 
-    def forward(self, params, text: jnp.ndarray,
-                image: jnp.ndarray) -> jnp.ndarray:
-        """(Nt, E_t), (Ni, E_i) -> (Nt, Ni) cosine-similarity matrix
-        (ref: clip.py:26-40)."""
+    def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
+        """(Nt, E_t) -> (Nt, latent) L2-normalized text embedding (the
+        text projection head of ref clip.py:26-40)."""
         t = layers.linear(params["text_fc2"],
                           jax.nn.relu(layers.linear(params["text_fc"], text)))
+        return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+    def encode_image(self, params, image: jnp.ndarray) -> jnp.ndarray:
+        """(Ni, E_i) -> (Ni, latent) L2-normalized image embedding."""
         i = layers.linear(params["image_fc2"],
                           jax.nn.relu(layers.linear(params["image_fc"],
                                                     image)))
-        t_norm = jnp.linalg.norm(t, axis=-1, keepdims=True)  # (Nt, 1)
-        i_norm = jnp.linalg.norm(i, axis=-1, keepdims=True)  # (Ni, 1)
-        sim = jnp.matmul(t, i.T, preferred_element_type=t.dtype)
-        return sim / t_norm / i_norm.T
+        return i / jnp.linalg.norm(i, axis=-1, keepdims=True)
+
+    def forward(self, params, text: jnp.ndarray,
+                image: jnp.ndarray) -> jnp.ndarray:
+        """(Nt, E_t), (Ni, E_i) -> (Nt, Ni) cosine-similarity matrix
+        (ref: clip.py:26-40). One matmul over the shared normalized
+        encoders — serving (ClipRetrieval) reuses exactly these, so the
+        two paths cannot drift."""
+        t = self.encode_text(params, text)
+        i = self.encode_image(params, image)
+        return jnp.matmul(t, i.T, preferred_element_type=t.dtype)
 
     def symmetric_ce_loss(self, params, text: jnp.ndarray,
                           image: jnp.ndarray) -> jnp.ndarray:

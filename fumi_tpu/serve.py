@@ -40,6 +40,12 @@ def _stack_keys(keys):
     return jnp.stack(keys)
 
 
+class RequestError(ValueError):
+    """A request-content problem detected past the parse layer (e.g.
+    missing support_text on a token-encoder model). The HTTP front-end
+    maps this to 400; other exceptions stay 500 (server-side)."""
+
+
 def serving_dictionary(cfg: Config, run_dir: Optional[str] = None):
     """Token dictionary for serving a glove/w2v/RNN/RNNhid model.
 
@@ -297,7 +303,7 @@ class FewShotClassifier:
         (a silent zero-fill would feed all-PAD text to the encoder)."""
         if support_text is None:
             if self.text_is_tokens and self.cfg.model in ("am3", "fumi"):
-                raise ValueError(
+                raise RequestError(
                     f"--text_encoder {self.cfg.text_encoder} models need "
                     "support_text (int token ids)")
             return jnp.zeros(fill_shape + (1,), jnp.float32)
@@ -475,17 +481,10 @@ class ClipRetrieval:
                            jax.random.PRNGKey(cfg.seed)))
         self._gallery = None  # (G, latent) normalized image embeddings
 
-        from fumi_tpu.models import layers
-
-        def _embed(p, x, head1, head2):
-            z = layers.linear(p[head2],
-                              jax.nn.relu(layers.linear(p[head1], x)))
-            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
-
-        self._embed_images = jax.jit(
-            lambda p, x: _embed(p, x, "image_fc", "image_fc2"))
-        self._embed_text = jax.jit(
-            lambda p, x: _embed(p, x, "text_fc", "text_fc2"))
+        # the MODEL's own encoders (models/clip.py) — serving must share
+        # the training forward's math, not restate it
+        self._embed_images = jax.jit(self.model.encode_image)
+        self._embed_text = jax.jit(self.model.encode_text)
         # normalized embeddings -> cosine scores is one matmul
         self._scores = jax.jit(
             lambda t, g: jnp.matmul(t, g.T,

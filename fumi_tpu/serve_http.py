@@ -52,7 +52,7 @@ from typing import Optional
 import numpy as np
 
 from fumi_tpu.core.config import Config
-from fumi_tpu.serve import FewShotClassifier
+from fumi_tpu.serve import FewShotClassifier, RequestError
 
 
 class ServeError(Exception):
@@ -192,7 +192,6 @@ class ClipService:
                 idx, scores = self.clf.retrieve(text, top_k)
             except RuntimeError as e:  # index() not called yet
                 raise ServeError(409, str(e))
-        import numpy as np
         return {"indices": np.asarray(idx).tolist(),
                 "scores": np.asarray(scores).tolist()}
 
@@ -201,7 +200,6 @@ class ClipService:
         images = _array(body, "images")
         with self.lock:
             sim = self.clf.similarity(text, images)
-        import numpy as np
         return {"similarity": np.asarray(sim).tolist()}
 
     ROUTES = {"/v1/clip/index": index, "/v1/clip/retrieve": retrieve,
@@ -243,10 +241,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(e.status, {"error": str(e)})
         except json.JSONDecodeError as e:
             self._reply(400, {"error": f"invalid JSON: {e}"})
-        except (ValueError, TypeError) as e:
-            # request-content errors raised past the parse layer (missing
-            # support_text on token models, mismatched shapes)
-            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+        except RequestError as e:
+            # request-content errors detected past the parse layer (e.g.
+            # missing support_text on a token model). Deliberately narrow:
+            # a blanket ValueError/TypeError catch would reclassify
+            # server-side defects as client errors
+            self._reply(400, {"error": str(e)})
         except Exception as e:  # device-side failure: fail the request,
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             # not the server
@@ -299,8 +299,10 @@ def main(argv=None) -> None:
 
     server = make_server(clf, net_args.host, net_args.port)
     host, port = server.server_address[:2]
-    routes = ", ".join(type(clf).__name__ == "ClipRetrieval"
-                       and ClipService.ROUTES or FewShotService.ROUTES)
+    from fumi_tpu.serve import ClipRetrieval
+    svc_cls = (ClipService if isinstance(clf, ClipRetrieval)
+               else FewShotService)
+    routes = ", ".join(svc_cls.ROUTES)
     print(f"serving {cfg.model} on http://{host}:{port} (POST {routes})")
     try:
         server.serve_forever()

@@ -70,8 +70,10 @@ def find_ema(opt_state) -> Optional[Any]:
     return None
 
 
-def zero_updates_for_key(key: str) -> optax.GradientTransformation:
-    """Zero the final updates of one top-level params subtree.
+def zero_updates_for_key(inner: optax.GradientTransformation,
+                         key: str) -> optax.GradientTransformation:
+    """Wrap ``inner`` so the final updates of one top-level params subtree
+    are zero.
 
     torch optimizers SKIP parameters whose ``.grad`` is ``None`` — frozen
     text encoders (``fine_tune=False``, ref: am3.py:74-77, fumi.py:65-67)
@@ -79,14 +81,20 @@ def zero_updates_for_key(key: str) -> optax.GradientTransformation:
     Adam/SGD ``weight_decay`` (the coupled-L2 term only applies to params
     that HAVE a grad). optax transforms see a zero gradient instead and
     would happily decay those weights toward zero — destroying pretrained
-    glove/w2v embeddings over a long run. Chained AFTER the base optimizer
-    (before EMA) so the frozen subtree's update is exactly zero.
+    glove/w2v embeddings over a long run.
+
+    Implemented as a state-TRANSPARENT wrapper (same ``init`` as
+    ``inner``, updates zeroed after ``inner.update``) rather than an
+    ``optax.chain`` link: chaining would change the optimizer-state
+    pytree structure and make every previously-saved checkpoint of such
+    configs unrestorable.
     """
 
     def init(params):
-        return optax.EmptyState()
+        return inner.init(params)
 
     def update(updates, state, params=None):
+        updates, state = inner.update(updates, state, params)
         if isinstance(updates, dict) and key in updates:
             import jax.numpy as jnp
             updates = dict(updates)

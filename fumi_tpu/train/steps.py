@@ -509,8 +509,9 @@ def make_opt(cfg: Config) -> optax.GradientTransformation:
     if frozen_text_encoder(cfg):
         # torch parity: frozen encoders (and rand's unused Linear) have
         # grad=None in torch and are SKIPPED — coupled-L2 weight decay
-        # must not drift them (see zero_updates_for_key)
-        opt = optax.chain(opt, zero_updates_for_key("text_encoder"))
+        # must not drift them. State-transparent wrapper: the optimizer
+        # state structure (and thus checkpoint compatibility) is unchanged
+        opt = zero_updates_for_key(opt, "text_encoder")
     if cfg.ema > 0:
         # EMA rides in the optimizer state, so it flows through the
         # chunked scan drivers, the parallel engines, and checkpoints

@@ -1,7 +1,8 @@
 """Experiment: does flattening the params pytree into ONE vector for the
 optimizer reduce per-step kernel count enough to matter?
 
-Hypothesis: the train step is dispatch-bound (1.2% MFU, scripts/mfu.py).
+Hypothesis: the train step is kernel-issue-bound (9.3% MFU,
+scripts/mfu.py).
 optax applies Adam leaf-by-leaf (~10 leaves × ~6 elementwise kernels);
 running the moment math on a single raveled vector cuts that to ~6 kernels
 + concat/split glue. Measures the production chunked driver both ways on

@@ -1,12 +1,18 @@
 """MFU estimate for the flagship FuMI train step.
 
-Computes FLOPs/step for the production fused sample+train program (the
-exact program bench.py times) from XLA's compiled cost analysis, combines
-it with measured steps/sec, and reports achieved FLOP/s against the chip's
-peak matmul throughput — the standard MFU (model FLOP utilization)
-statistic. This quantifies how much compute headroom the sub-ms step
-leaves, i.e. whether the workload is dispatch/bandwidth-bound or
-compute-bound (docs/PERFORMANCE.md).
+Computes FLOPs/step for the production fused sample+train step from XLA's
+compiled cost analysis, combines it with measured steps/sec, and reports
+achieved FLOP/s against the chip's peak matmul throughput — the standard
+MFU (model FLOP utilization) statistic. This quantifies how much compute
+headroom the sub-ms step leaves (docs/PERFORMANCE.md).
+
+Measurement method: XLA's HloCostAnalysis counts a `lax.scan` (while
+loop) body ONCE regardless of trip count, so analyzing the production
+scan program and dividing by chunk length under-reports by the chunk
+factor. Instead we build two UNROLLED programs (a Python loop of the
+fused step, n1 and n2 iterations) and take
+``(flops(n2) - flops(n1)) / (n2 - n1)`` — the marginal cost of one more
+step, with any fixed program overhead differenced away.
 
 Run on the TPU:  python scripts/mfu.py            (measures eps/sec)
                  python scripts/mfu.py --eps N    (reuse a bench number)
@@ -24,29 +30,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# peak dense-matmul FLOP/s per chip (bf16 MXU peak — the conventional MFU
-# denominator; fp32 matmuls run the MXU at a fraction of this, so fp32
-# models report conservative MFU). Public spec-sheet numbers.
+# peak dense-matmul FLOP/s per JAX DEVICE (bf16 MXU peak — the
+# conventional MFU denominator; fp32 matmuls run the MXU at a fraction of
+# this, so fp32 models report conservative MFU). Public spec-sheet
+# numbers. v2/v3 expose each CORE as a device (2 per chip), v4+ are
+# megacore (device == chip).
 PEAK_FLOPS = {
-    "TPU v2": 22.5e12,
-    "TPU v3": 61.25e12,  # per chip (2 cores)
-    "TPU v4": 137.5e12,  # per chip (1 die pair = 275e12 per 2-chip board?)
+    "TPU v2": 22.5e12,   # per core (device)
+    "TPU v3": 61.25e12,  # per core (device)
+    "TPU v4": 275e12,    # per chip (megacore device)
     "TPU v5 lite": 197e12,
     "TPU v5e": 197e12,
-    "TPU v5p": 229.5e12,
-    "TPU v6 lite": 459e12,
-    "TPU v6e": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
 }
 
 
 def find_peak(device_kind: str):
+    # longest-prefix match so "TPU v5 lite" does not hit "TPU v5p"'s key
+    best = None
     for k, v in PEAK_FLOPS.items():
         if device_kind.lower().startswith(k.lower()):
-            return v
-    return None
+            if best is None or len(k) > len(best[0]):
+                best = (k, v)
+    return best[1] if best else None
 
 
-def build_chunked(chunk: int):
+def build_pieces():
     import jax
     import jax.numpy as jnp
     from bench import (BATCH, IM_DIM, K_SHOT, N_WAY, Q_TRAIN, TXT_DIM,
@@ -54,8 +65,7 @@ def build_chunked(chunk: int):
     from fumi_tpu.core.episode import EpisodeSpec
     from fumi_tpu.data.sampler import DeviceEpisodeSampler
     from fumi_tpu.data.synthetic import synthetic_class_set
-    from fumi_tpu.train.steps import (build_family, make_chunked_train,
-                                      make_opt)
+    from fumi_tpu.train.steps import build_family, make_opt
 
     cfg = _bench_cfg("fumi")
     cs, table, ids = synthetic_class_set(
@@ -66,10 +76,34 @@ def build_chunked(chunk: int):
                                    cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
-    chunked = make_chunked_train(family, opt, sampler, chunk)
+    return family, opt, sampler, BATCH
+
+
+def flops_of_unrolled(family, opt, sampler, n: int) -> float:
+    """XLA-counted FLOPs of n python-unrolled fused sample+train steps."""
+    import jax
+    import optax
+
+    def run(params, opt_state, key, tables):
+        loss = None
+        for _ in range(n):
+            key, k_s, k_step = jax.random.split(key, 3)
+            episode = sampler.sample(k_s, tables)
+            (loss, _aux), grads = jax.value_and_grad(
+                family.train_loss, has_aux=True)(params, episode, k_step)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
     params = family.params
     opt_state = opt.init(params)
-    return chunked, params, opt_state, BATCH
+    key = jax.random.PRNGKey(1)
+    compiled = jax.jit(run).lower(params, opt_state, key,
+                                  sampler.tables).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
 
 
 def main():
@@ -85,27 +119,20 @@ def main():
     setup_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    # FLOPs from XLA's own cost model, on a SMALL chunk (AOT-compiling the
-    # production 1000-step chunk through the tunneled runtime takes many
-    # minutes; FLOPs are exactly linear in chunk length, so an 8-step
-    # program gives the same per-step figure)
-    ANALYZE_CHUNK = 8
-    small, params, opt_state, batch = build_chunked(ANALYZE_CHUNK)
-    key = jax.random.PRNGKey(1)
-    lowered = small.jitted.lower(params, opt_state, key, small.tables,
-                                 ANALYZE_CHUNK)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):  # older jax returns [dict]
-        cost = cost[0]
-    flops_chunk = float(cost.get("flops", float("nan")))
-    flops_step = flops_chunk / ANALYZE_CHUNK
+    family, opt, sampler, batch = build_pieces()
+    n1, n2 = 2, 6
+    f1 = flops_of_unrolled(family, opt, sampler, n1)
+    f2 = flops_of_unrolled(family, opt, sampler, n2)
+    flops_step = (f2 - f1) / (n2 - n1)
     flops_episode = flops_step / batch
 
     eps = args.eps
     if eps is None:
         # measure: same best-of-chunks protocol as bench.py
-        chunked, p, s, _b = build_chunked(args.chunk)
+        from fumi_tpu.train.steps import make_chunked_train
+        chunked = make_chunked_train(family, opt, sampler, args.chunk)
+        p, s = family.params, opt.init(family.params)
+        key = jax.random.PRNGKey(2)
         p, s, key, ms = chunked(p, s, key, args.chunk)
         _ = float(np.asarray(ms["loss"])[-1])
         best = 0.0

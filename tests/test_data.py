@@ -447,3 +447,22 @@ def test_sampler_raw_augment_support_only():
                                   np.asarray(ep_p.query_im))
     assert not np.allclose(np.asarray(ep_a.support_im),
                            np.asarray(ep_p.support_im))
+
+
+def test_zero_image_classes_rejected_even_with_replacement(synth):
+    # a class with zero images cannot be sampled even WITH replacement:
+    # the host wrap would IndexError mid-training, the device wrap would
+    # silently emit padding rows
+    cs, table, ids = synth
+    import dataclasses
+    counts = cs.class_counts.copy()
+    counts[0] = 0
+    empty = dataclasses.replace(cs, class_counts=counts)
+    small = EpisodeSpec(batch_size=2, num_ways=3, num_shots=2, num_query=3,
+                        im_dim=64, text_dim=32)
+    with pytest.raises(ValueError, match="zero images"):
+        DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids), empty,
+                             small, allow_replacement=True)
+    with pytest.raises(ValueError, match="zero images"):
+        HostEpisodeSampler(table, ids, empty, small,
+                           allow_replacement=True)

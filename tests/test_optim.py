@@ -82,3 +82,39 @@ def test_adamw_lin_schedule_inactive_is_constant(problem):
         w0, grads)
     got_adamw = run_optax(init_optim("adamw", lr=1e-2), w0, grads)
     np.testing.assert_allclose(got_inactive, got_adamw, rtol=1e-7)
+
+
+def test_frozen_mask_preserves_opt_state_structure():
+    """The frozen-text-encoder update mask must be state-TRANSPARENT:
+    wrapping the optimizer may not change the optimizer-state pytree
+    structure, or every previously-saved checkpoint of frozen-encoder
+    configs (glove/w2v/RNN/RNNhid with fine_tune off, rand) becomes
+    unrestorable."""
+    import jax
+    import jax.numpy as jnp
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import frozen_text_encoder, make_opt
+
+    params = {"text_encoder": {"embed": jnp.ones((4, 3))},
+              "image_encoder": {"w": jnp.ones((3, 2)),
+                                "b": jnp.zeros((2,))}}
+    frozen_cfg = Config(model="am3", text_encoder="glove", fine_tune=False,
+                        optim="adam", weight_decay=5e-4)
+    plain_cfg = Config(model="am3", text_encoder="precomputed",
+                       optim="adam", weight_decay=5e-4)
+    assert frozen_text_encoder(frozen_cfg)
+    assert not frozen_text_encoder(plain_cfg)
+    s_frozen = make_opt(frozen_cfg).init(params)
+    s_plain = make_opt(plain_cfg).init(params)
+    assert jax.tree_util.tree_structure(s_frozen) == \
+        jax.tree_util.tree_structure(s_plain)
+
+    # and the mask still works: frozen subtree's update is exactly zero
+    # even under coupled-L2 weight decay
+    opt = make_opt(frozen_cfg)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = opt.update(grads, s_frozen, params)
+    assert float(jnp.abs(updates["text_encoder"]["embed"]).max()) == 0.0
+    # the un-frozen subtree DOES decay from the same zero gradient
+    assert float(jnp.abs(updates["image_encoder"]["w"]).max()) > 0.0

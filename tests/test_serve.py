@@ -122,13 +122,19 @@ def test_classify_before_adapt_errors():
         clf.classify(np.zeros((2, D), np.float32))
 
 
-def test_serve_clip_not_implemented():
+def test_serve_clip_routes_to_clip_retrieval():
+    # CLIP is not an episodic family: the episodic classifier rejects it
+    # (at family construction) and serving goes through ClipRetrieval
     cfg = base_cfg("maml").replace(model="clip")
-    clf = FewShotClassifier.__new__(FewShotClassifier)  # skip build_family
-    clf.cfg = cfg
     with pytest.raises(NotImplementedError):
-        FewShotClassifier.adapt(clf, np.zeros((2, D), np.float32),
-                                support_y=np.zeros(2, np.int32))
+        FewShotClassifier(cfg, None)
+    from fumi_tpu.serve import ClipRetrieval
+    clf = ClipRetrieval(cfg.replace(text_emb_dim=8, clip_latent_dim=8),
+                        None)
+    rng = np.random.RandomState(0)
+    assert clf.index(rng.randn(6, D).astype(np.float32)) == 6
+    idx, scores = clf.retrieve(rng.randn(2, 8).astype(np.float32), top_k=3)
+    assert np.asarray(idx).shape == (2, 3)
 
 
 @pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
