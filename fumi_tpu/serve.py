@@ -292,6 +292,25 @@ class FewShotClassifier:
             "fumi_tpu.serve.ClipRetrieval: index/retrieve/similarity; "
             "registered families can provide a Family.serve hook)")
 
+    def reload(self, run_dir: str, best: bool = True) -> None:
+        """Hot-swap weights from a checkpoint without restarting.
+
+        The compiled adapt/classify/episode programs take params as an
+        ARGUMENT, so a reload costs one checkpoint read — zero
+        recompilation. Any adapted state is invalidated (it was derived
+        under the old weights); ``classify`` returns the 409-path error
+        until ``adapt`` runs again.
+        """
+        from fumi_tpu.train import checkpoint as ckpt_lib
+        from fumi_tpu.train.loop import eval_view
+        from fumi_tpu.train.steps import make_opt
+        opt = make_opt(self.cfg)
+        params, opt_state, _ = ckpt_lib.load_checkpoint(
+            run_dir, self.params, opt.init(self.params), best=best)
+        self.params = eval_view(self.cfg, params, opt_state)
+        self._state = None
+        self._classify_fn = None
+
     @property
     def text_is_tokens(self) -> bool:
         """True when the wire format of ``support_text`` is int token ids
@@ -504,6 +523,19 @@ class ClipRetrieval:
             run_dir, self.params, opt.init(self.params), best=best)
         self.params = params
         return self
+
+    def reload(self, run_dir: str, best: bool = True) -> None:
+        """Hot-swap weights from a checkpoint (no recompilation). The
+        indexed gallery is invalidated — it was embedded under the old
+        weights — so ``index`` must run again before ``retrieve``."""
+        from fumi_tpu.train import checkpoint as ckpt_lib
+        from fumi_tpu.train.optim import init_optim
+        cfg = self.cfg
+        opt = init_optim(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
+        params, _, _ = ckpt_lib.load_checkpoint(
+            run_dir, self.params, opt.init(self.params), best=best)
+        self.params = params
+        self._gallery = None
 
     def index(self, images) -> int:
         """Project + normalize a gallery of (G, im_emb_dim) image

@@ -22,6 +22,10 @@ Endpoints (JSON in / JSON out):
   adapted state on device. Body: support fields as above.
 - ``POST /v1/classify`` — classify queries against the adapted state.
   Body: ``{"query_im": [[...]], "return": ...?}``.
+- ``POST /v1/reload`` — hot-swap weights from a checkpoint run dir with
+  zero recompilation (params are program arguments); invalidates any
+  adapted state / indexed gallery. Body: ``{"checkpoint": "<run_dir>",
+  "best": true?}``.
 
 With ``--model clip`` the server exposes retrieval endpoints instead
 (:class:`ClipService`): ``POST /v1/clip/index`` (project + normalize a
@@ -157,8 +161,27 @@ class FewShotService:
                 raise ServeError(409, str(e))
         return {"result": _render(logits, mode)}
 
+    def reload(self, body: dict) -> dict:
+        """Hot-swap weights from a checkpoint run dir — zero
+        recompilation (params are program ARGUMENTS); any adapted state
+        is invalidated. Body: ``{"checkpoint": "<run_dir>", "best":
+        true?}``."""
+        path = body.get("checkpoint")
+        if not isinstance(path, str) or not path:
+            raise ServeError(400, "missing field 'checkpoint' (run dir)")
+        import os
+        if not os.path.isdir(path):
+            raise ServeError(400, f"checkpoint dir not found: {path!r}")
+        with self.lock:
+            try:
+                self.clf.reload(path, best=bool(body.get("best", True)))
+            except ValueError as e:  # structure mismatch / corrupt files
+                raise ServeError(400, str(e))
+        return {"ok": True, "checkpoint": path}
+
     ROUTES = {"/v1/episode": episode, "/v1/episode_batch": episode_batch,
-              "/v1/adapt": adapt, "/v1/classify": classify}
+              "/v1/adapt": adapt, "/v1/classify": classify,
+              "/v1/reload": reload}
 
 
 class ClipService:
@@ -202,8 +225,10 @@ class ClipService:
             sim = self.clf.similarity(text, images)
         return {"similarity": np.asarray(sim).tolist()}
 
+    reload = FewShotService.reload  # same wire contract, same lock shape
+
     ROUTES = {"/v1/clip/index": index, "/v1/clip/retrieve": retrieve,
-              "/v1/clip/similarity": similarity}
+              "/v1/clip/similarity": similarity, "/v1/reload": reload}
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -373,3 +373,98 @@ def test_token_episode_batch():
     single = np.asarray(clf.episode_logits(
         s_im, s_y, q_im, support_text=s_text.astype(np.int32)))
     np.testing.assert_allclose(out[0], single, rtol=1e-4, atol=1e-5)
+
+
+def test_reload_hot_swaps_weights(tmp_path):
+    """/v1/reload swaps checkpointed weights into the live classifier
+    without recompiling; adapted state is invalidated until re-adapt."""
+    from fumi_tpu.cli.main import main as cli_main
+    from fumi_tpu.serve_http import FewShotService, ServeError
+
+    import glob
+    import os
+
+    def train(seed, sub):
+        cfg = Config(
+            model="maml", dataset="synthetic", im_emb_dim=D, text_emb_dim=8,
+            im_hid_dim=(16, 8), num_ways=N, num_shots=K, num_shots_test=4,
+            num_train_adapt_steps=2, num_test_adapt_steps=2, batch_size=4,
+            epochs=6, eval_freq=3, patience=0, num_ep_test=4, lr=1e-2,
+            dropout=0.0, text_encoder="precomputed", step_size=0.1,
+            log_dir=str(tmp_path / sub), wandb_offline=True, seed=seed,
+            prng_impl="threefry2x32")
+        cli_main(cfg)
+        runs = [dd for dd in glob.glob(os.path.join(str(tmp_path / sub),
+                                                    "runs", "*"))
+                if os.path.exists(os.path.join(dd, "best"))]
+        assert runs
+        return cfg, runs[0]
+
+    cfg, run_a = train(0, "a")
+    _, run_b = train(1, "b")
+
+    clf = FewShotClassifier.from_checkpoint(run_a, cfg)
+    svc = FewShotService(clf)
+    rng = np.random.RandomState(11)
+    s_im, s_y, q_im = _episode_arrays(rng)
+    svc.adapt({"support_im": s_im.tolist(), "support_y": s_y.tolist()})
+    l_a = np.asarray(svc.classify({"query_im": q_im.tolist(),
+                                   "return": "logits"})["result"])
+
+    out = svc.reload({"checkpoint": run_b})
+    assert out["ok"] and out["checkpoint"] == run_b
+    # adapted state derived under the old weights is gone: 409 until
+    # re-adapt
+    try:
+        svc.classify({"query_im": q_im.tolist()})
+        assert False, "expected 409"
+    except ServeError as e:
+        assert e.status == 409
+    svc.adapt({"support_im": s_im.tolist(), "support_y": s_y.tolist()})
+    l_b = np.asarray(svc.classify({"query_im": q_im.tolist(),
+                                   "return": "logits"})["result"])
+    assert not np.allclose(l_a, l_b)  # different run -> different weights
+
+    # bad paths are client errors
+    try:
+        svc.reload({"checkpoint": str(tmp_path / "nope")})
+        assert False, "expected 400"
+    except ServeError as e:
+        assert e.status == 400
+    try:
+        svc.reload({})
+        assert False, "expected 400"
+    except ServeError as e:
+        assert e.status == 400
+
+
+def test_clip_reload_invalidates_gallery(tmp_path):
+    from fumi_tpu.cli.main import main as cli_main
+    from fumi_tpu.serve import ClipRetrieval
+    from fumi_tpu.serve_http import ClipService, ServeError
+
+    import glob
+    import os
+
+    cfg = Config(
+        model="clip", dataset="synthetic", im_emb_dim=D, text_emb_dim=8,
+        clip_latent_dim=16, num_ways=N, batch_size=16, epochs=2,
+        patience=0, lr=1e-2, log_dir=str(tmp_path), wandb_offline=True,
+        seed=0, prng_impl="threefry2x32")
+    cli_main(cfg)
+    runs = [dd for dd in glob.glob(os.path.join(str(tmp_path), "runs", "*"))
+            if os.path.exists(os.path.join(dd, "best"))]
+    assert runs
+
+    clf = ClipRetrieval(cfg, None)
+    svc = ClipService(clf)
+    rng = np.random.RandomState(12)
+    svc.index({"images": rng.randn(6, D).tolist()})
+    assert svc.healthz()["gallery"] == 6
+    assert svc.reload({"checkpoint": runs[0]})["ok"]
+    assert svc.healthz()["gallery"] == 0  # embedded under old weights
+    try:
+        svc.retrieve({"text": rng.randn(2, 8).tolist()})
+        assert False, "expected 409"
+    except ServeError as e:
+        assert e.status == 409
