@@ -69,11 +69,22 @@ def serving_dictionary(cfg: Config, run_dir: Optional[str] = None):
 
 
 class FewShotClassifier:
-    """Adapt-once / classify-many wrapper over a trained model."""
+    """Adapt-once / classify-many wrapper over a trained model.
 
-    def __init__(self, cfg: Config, params, dictionary=None):
+    ``mesh`` (optional, a ``jax.sharding.Mesh`` with a ``dp`` axis)
+    shards the BATCHED request path's leading episode axis across
+    devices: R independent episodes in one dispatch adapt in parallel on
+    R/dp chips each (XLA partitions the vmapped program from the input
+    shardings; replicated params, no code changes to the per-episode
+    math). Single-episode and stateful paths stay single-device. With a
+    mesh the fused Pallas adaptation kernels are bypassed (a
+    ``pallas_call`` does not partition) in favor of the vmap engine.
+    """
+
+    def __init__(self, cfg: Config, params, dictionary=None, mesh=None):
         cfg = cfg.validate()
         self.cfg = cfg
+        self.mesh = mesh
         self.family = build_family(cfg, jax.random.PRNGKey(cfg.seed),
                                    dictionary)
         self.params = params if params is not None else self.family.params
@@ -368,10 +379,14 @@ class FewShotClassifier:
                                                  fused_maml_adapt)
         from fumi_tpu.train.steps import plain_full_gd_adaptation
         # the fused kernels implement plain full-parameter GD — iMAML/ANIL
-        # configs must serve through the engine-faithful fallback
-        fused_ok = plain_full_gd_adaptation(cfg) and fused_adapt_applicable(
-            cfg.model, cfg.im_encoder, cfg.im_hid_dim,
-            cfg.num_test_adapt_steps)
+        # configs must serve through the engine-faithful fallback; a
+        # request mesh also forces the vmap engine (pallas_call is not
+        # partitionable across the episode axis)
+        fused_ok = (self.mesh is None
+                    and plain_full_gd_adaptation(cfg)
+                    and fused_adapt_applicable(
+                        cfg.model, cfg.im_encoder, cfg.im_hid_dim,
+                        cfg.num_test_adapt_steps))
         n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
 
         if cfg.model == "maml" and fused_ok:
@@ -452,6 +467,11 @@ class FewShotClassifier:
         keys = jax.random.split(rng, R)
 
         r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
+        if self.mesh is not None:
+            # sharded requests: the leading axis must split evenly over dp
+            from fumi_tpu.core.mesh import DP_AXIS
+            dp = int(self.mesh.shape.get(DP_AXIS, 1))
+            r_pad = ((r_pad + dp - 1) // dp) * dp
         if r_pad != R:
             pad = r_pad - R
             tile = lambda x: jnp.concatenate(
@@ -459,6 +479,16 @@ class FewShotClassifier:
             support_im, support_y = tile(support_im), tile(support_y)
             support_text, query_im = tile(support_text), tile(query_im)
             keys = tile(keys)
+        if self.mesh is not None:
+            # R episodes sharded over the dp axis; params stay replicated.
+            # XLA partitions the vmapped request program from these input
+            # shardings alone.
+            from fumi_tpu.core.mesh import episode_sharding
+            sh = episode_sharding(self.mesh)
+            put = lambda x: jax.device_put(x, sh)
+            support_im, support_y = put(support_im), put(support_y)
+            support_text, query_im = put(support_text), put(query_im)
+            keys = put(keys)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
         return out[:R]

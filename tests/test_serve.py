@@ -386,3 +386,28 @@ def test_protonet_serving_matches_engine(rng_np):
     # one-call request path agrees too
     logits = clf.episode_logits(s_im, s_y, q_im)
     np.testing.assert_array_equal(np.argmax(np.asarray(logits), -1), want)
+
+
+@pytest.mark.parametrize("model", ["maml", "fumi"])
+def test_episode_batch_shards_over_mesh(model):
+    """Serving scale-out: a FewShotClassifier built with a dp mesh shards
+    the batched request path's episode axis across devices and reproduces
+    the single-device results exactly (same vmap math, partitioned)."""
+    from fumi_tpu.core.mesh import make_mesh
+
+    cfg = base_cfg(model)
+    rng = np.random.RandomState(7)
+    R = 6  # pads to 8 = dp
+    NK, M = N * K, 4
+    s_im = rng.randn(R, NK, D).astype(np.float32)
+    s_y = np.tile(np.repeat(np.arange(N), K), (R, 1)).astype(np.int32)
+    q_im = rng.randn(R, M, D).astype(np.float32)
+    s_text = rng.randn(R, NK, E).astype(np.float32)
+
+    plain = FewShotClassifier(cfg, None)
+    sharded = FewShotClassifier(cfg, None, mesh=make_mesh(dp=8, mp=1))
+    kw = dict(support_text=s_text) if model == "fumi" else {}
+    want = np.asarray(plain.episode_logits_batch(s_im, s_y, q_im, **kw))
+    got = np.asarray(sharded.episode_logits_batch(s_im, s_y, q_im, **kw))
+    assert got.shape == (R, M, N)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
