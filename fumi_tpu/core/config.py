@@ -513,3 +513,30 @@ def config_from_args(argv=None) -> Config:
         dist_process_id=args.tpu_dist_process_id,
     )
     return cfg.validate()
+
+
+def config_from_json(path: str) -> Config:
+    """Rebuild a Config from a run dir's ``config.json`` artifact.
+
+    Every run writes ``dataclasses.asdict(cfg)`` to its run dir
+    (cli/main.py) — this inverts it, coercing JSON lists back to the
+    tuple-typed fields, ignoring unknown keys (forward compat), and
+    re-validating. Used by tools that operate on finished runs (e.g.
+    ``fumi_tpu.cli.export_torch``).
+    """
+    import json
+    import typing
+    with open(path) as f:
+        raw = json.load(f)
+    kwargs = {}
+    for field in dataclasses.fields(Config):
+        if field.name not in raw:
+            continue
+        val = raw[field.name]
+        origin = typing.get_origin(field.type) if not isinstance(
+            field.type, str) else None
+        if isinstance(val, list) and (origin is tuple
+                                      or "Tuple" in str(field.type)):
+            val = tuple(val)
+        kwargs[field.name] = val
+    return Config(**kwargs).validate()

@@ -158,6 +158,10 @@ def resolve_checkpoint(checkpoint: str, model: str,
     """
     if os.path.isdir(checkpoint):
         return checkpoint
+    if os.path.isfile(checkpoint):
+        # a reference torch checkpoint file (best.pth.tar) — passed
+        # through; load_checkpoint routes files to the torch importer
+        return checkpoint
     run_path = (checkpoint if checkpoint.count("/") == 2
                 else f"{entity}/{project or model}/{checkpoint}")
     dest = os.path.join(dest_root, *run_path.split("/"))
@@ -201,8 +205,19 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
     """Restore params + opt state (ref: utils.py:422-441).
 
     ``params_like``/``opt_state_like`` provide the pytree structure/shapes.
+
+    ``run_dir`` may also be a reference torch checkpoint FILE
+    (``best.pth.tar``, ref utils.py:406-419) — those route to
+    :mod:`fumi_tpu.interop`, which maps the state_dict into the params
+    pytree and carries torch Adam/SGD moments into the optax state, so
+    reference users bring their trained models (and keep training them)
+    without retraining.
     """
     run_dir = os.path.abspath(run_dir)
+    if os.path.isfile(run_dir):
+        from fumi_tpu import interop
+        return interop.load_torch_checkpoint(run_dir, params_like,
+                                             opt_state_like)
     name = "best" if best else "ckpt"
     if best and not os.path.isdir(os.path.join(run_dir, "best")) and \
             os.path.isdir(os.path.join(run_dir, "ckpt")):
