@@ -9,6 +9,10 @@ standard library — no web-framework dependency to gate deployment on.
 Endpoints (JSON in / JSON out):
 
 - ``GET  /healthz`` — liveness: model family, backend, device count.
+- ``GET  /v1/stats`` — health + per-route request counts, error counts,
+  and latency mean/max/p50/p95/p99 (sliding window).
+- ``GET  /metrics`` — the same counters in Prometheus text exposition
+  format for standard scrapers.
 - ``POST /v1/episode`` — one-dispatch few-shot request: adapt on the
   request's own support set AND classify its queries
   (``serve.FewShotClassifier.episode_logits``; fused Pallas adaptation on
@@ -22,10 +26,10 @@ Endpoints (JSON in / JSON out):
   adapted state on device. Body: support fields as above.
 - ``POST /v1/classify`` — classify queries against the adapted state.
   Body: ``{"query_im": [[...]], "return": ...?}``.
-- ``POST /v1/reload`` — hot-swap weights from a checkpoint run dir with
-  zero recompilation (params are program arguments); invalidates any
-  adapted state / indexed gallery. Body: ``{"checkpoint": "<run_dir>",
-  "best": true?}``.
+- ``POST /v1/reload`` — hot-swap weights from a checkpoint with zero
+  recompilation (params are program arguments); invalidates any adapted
+  state / indexed gallery. Body: ``{"checkpoint": "<run_dir or reference
+  best.pth.tar>", "best": true?}``.
 
 With ``--model clip`` the server exposes retrieval endpoints instead
 (:class:`ClipService`): ``POST /v1/clip/index`` (project + normalize a
@@ -50,6 +54,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -57,6 +63,94 @@ import numpy as np
 
 from fumi_tpu.core.config import Config
 from fumi_tpu.serve import FewShotClassifier, RequestError
+
+
+class Metrics:
+    """Per-route request counters and latency percentiles.
+
+    Production observability for the serving stack (the reference has no
+    serving at all — SURVEY §5): cumulative request/error counts plus a
+    sliding reservoir of the last ``WINDOW`` latencies per route, from
+    which ``/v1/stats`` reports p50/p95/p99. ``/metrics`` renders the
+    same numbers in Prometheus text exposition format, so a standard
+    scraper needs zero adapters. Thread-safe (the HTTP layer is a thread
+    pool); the lock covers only counter math, never device work.
+    """
+
+    WINDOW = 1024
+    QUANTILES = (0.5, 0.95, 0.99)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self._routes: dict = {}
+
+    def observe(self, route: str, ms: float, status: int) -> None:
+        with self._lock:
+            r = self._routes.setdefault(
+                route, {"count": 0, "errors": 0, "sum_ms": 0.0,
+                        "max_ms": 0.0, "lat": deque(maxlen=self.WINDOW)})
+            r["count"] += 1
+            r["sum_ms"] += ms
+            r["max_ms"] = max(r["max_ms"], ms)
+            r["lat"].append(ms)
+            if status >= 400:
+                r["errors"] += 1
+
+    @staticmethod
+    def _pct(sorted_ms, q: float) -> float:
+        if not sorted_ms:
+            return 0.0
+        return sorted_ms[min(len(sorted_ms) - 1, int(q * len(sorted_ms)))]
+
+    def _snapshot(self) -> dict:
+        with self._lock:
+            return {route: {**{k: r[k] for k in
+                               ("count", "errors", "sum_ms", "max_ms")},
+                            "lat": sorted(r["lat"])}
+                    for route, r in self._routes.items()}
+
+    def stats(self) -> dict:
+        out = {"uptime_s": round(time.time() - self._t0, 3), "routes": {}}
+        for route, r in self._snapshot().items():
+            lat = r.pop("lat")
+            entry = {"count": r["count"], "errors": r["errors"],
+                     "mean_ms": round(r["sum_ms"] / max(r["count"], 1), 3),
+                     "max_ms": round(r["max_ms"], 3)}
+            for q in self.QUANTILES:
+                entry[f"p{int(q * 100)}_ms"] = round(self._pct(lat, q), 3)
+            out["routes"][route] = entry
+        return out
+
+    def prometheus(self) -> str:
+        lines = [
+            "# HELP fumi_tpu_requests_total Requests handled, by route.",
+            "# TYPE fumi_tpu_requests_total counter",
+            "# HELP fumi_tpu_request_errors_total 4xx/5xx responses.",
+            "# TYPE fumi_tpu_request_errors_total counter",
+            "# HELP fumi_tpu_request_latency_ms Request latency "
+            "(sliding-window quantiles).",
+            "# TYPE fumi_tpu_request_latency_ms summary",
+            "# HELP fumi_tpu_uptime_seconds Server uptime.",
+            "# TYPE fumi_tpu_uptime_seconds gauge",
+            f"fumi_tpu_uptime_seconds {time.time() - self._t0:.3f}",
+        ]
+        for route, r in sorted(self._snapshot().items()):
+            lab = f'route="{route}"'
+            lat = r["lat"]
+            lines.append(f"fumi_tpu_requests_total{{{lab}}} {r['count']}")
+            lines.append(
+                f"fumi_tpu_request_errors_total{{{lab}}} {r['errors']}")
+            for q in self.QUANTILES:
+                lines.append(
+                    f'fumi_tpu_request_latency_ms{{{lab},quantile="{q}"}} '
+                    f"{self._pct(lat, q):.3f}")
+            lines.append(
+                f"fumi_tpu_request_latency_ms_sum{{{lab}}} "
+                f"{r['sum_ms']:.3f}")
+            lines.append(
+                f"fumi_tpu_request_latency_ms_count{{{lab}}} {r['count']}")
+        return "\n".join(lines) + "\n"
 
 
 class ServeError(Exception):
@@ -100,6 +194,7 @@ class FewShotService:
     def __init__(self, clf: FewShotClassifier):
         self.clf = clf
         self.lock = threading.Lock()
+        self.metrics = Metrics()
         # token-encoder models take support_text as int token ids on the
         # wire; coercing them to float32 would silently break the
         # embedding lookup
@@ -162,16 +257,18 @@ class FewShotService:
         return {"result": _render(logits, mode)}
 
     def reload(self, body: dict) -> dict:
-        """Hot-swap weights from a checkpoint run dir — zero
-        recompilation (params are program ARGUMENTS); any adapted state
-        is invalidated. Body: ``{"checkpoint": "<run_dir>", "best":
-        true?}``."""
+        """Hot-swap weights from a checkpoint — zero recompilation
+        (params are program ARGUMENTS); any adapted state is invalidated.
+        Body: ``{"checkpoint": "<run_dir or best.pth.tar>", "best":
+        true?}``. A torch FILE routes through the reference-checkpoint
+        importer (:mod:`fumi_tpu.interop`)."""
         path = body.get("checkpoint")
         if not isinstance(path, str) or not path:
-            raise ServeError(400, "missing field 'checkpoint' (run dir)")
+            raise ServeError(400, "missing field 'checkpoint' "
+                                  "(run dir or .pth.tar)")
         import os
-        if not os.path.isdir(path):
-            raise ServeError(400, f"checkpoint dir not found: {path!r}")
+        if not (os.path.isdir(path) or os.path.isfile(path)):
+            raise ServeError(400, f"checkpoint not found: {path!r}")
         with self.lock:
             try:
                 self.clf.reload(path, best=bool(body.get("best", True)))
@@ -192,6 +289,7 @@ class ClipService:
     def __init__(self, clf):
         self.clf = clf
         self.lock = threading.Lock()
+        self.metrics = Metrics()
 
     def healthz(self) -> dict:
         import jax
@@ -248,6 +346,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply(200, self.service.healthz())
+        elif self.path == "/v1/stats":
+            self._reply(200, {**self.service.healthz(),
+                              **self.service.metrics.stats()})
+        elif self.path == "/metrics":
+            data = self.service.metrics.prometheus().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
         else:
             self._reply(404, {"error": f"no route {self.path}"})
 
@@ -256,25 +365,31 @@ class _Handler(BaseHTTPRequestHandler):
         if route is None:
             self._reply(404, {"error": f"no route {self.path}"})
             return
+        t0 = time.perf_counter()
+        status, payload = 500, {"error": "unhandled"}
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
             if not isinstance(body, dict):
                 raise ServeError(400, "body must be a JSON object")
-            self._reply(200, route(self.service, body))
+            status, payload = 200, route(self.service, body)
         except ServeError as e:
-            self._reply(e.status, {"error": str(e)})
+            status, payload = e.status, {"error": str(e)}
         except json.JSONDecodeError as e:
-            self._reply(400, {"error": f"invalid JSON: {e}"})
+            status, payload = 400, {"error": f"invalid JSON: {e}"}
         except RequestError as e:
             # request-content errors detected past the parse layer (e.g.
             # missing support_text on a token model). Deliberately narrow:
             # a blanket ValueError/TypeError catch would reclassify
             # server-side defects as client errors
-            self._reply(400, {"error": str(e)})
+            status, payload = 400, {"error": str(e)}
         except Exception as e:  # device-side failure: fail the request,
-            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            status, payload = 500, {"error": f"{type(e).__name__}: {e}"}
             # not the server
+        finally:
+            self.service.metrics.observe(
+                self.path, (time.perf_counter() - t0) * 1e3, status)
+        self._reply(status, payload)
 
 
 def make_server(clf, host: str = "127.0.0.1",

@@ -468,3 +468,84 @@ def test_clip_reload_invalidates_gallery(tmp_path):
         assert False, "expected 409"
     except ServeError as e:
         assert e.status == 409
+
+
+def test_stats_and_prometheus_metrics(server_url):
+    """/v1/stats aggregates per-route counters + latency percentiles;
+    /metrics renders the same in Prometheus exposition format."""
+    url, _ = server_url
+    rng = np.random.RandomState(5)
+    s_im, s_y, q_im = _episode_arrays(rng)
+    _post(url, "/v1/episode", {"support_im": s_im.tolist(),
+                               "support_y": s_y.tolist(),
+                               "query_im": q_im.tolist()})
+    _post(url, "/v1/episode", {"support_y": s_y.tolist()}, expect=400)
+
+    with urllib.request.urlopen(url + "/v1/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["ok"] is True and stats["uptime_s"] >= 0
+    ep = stats["routes"]["/v1/episode"]
+    assert ep["count"] >= 2 and ep["errors"] >= 1
+    for k in ("mean_ms", "max_ms", "p50_ms", "p95_ms", "p99_ms"):
+        assert ep[k] >= 0.0
+    # errors are counted but never dominate: count >= errors
+    assert ep["count"] >= ep["errors"]
+
+    with urllib.request.urlopen(url + "/metrics") as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert '# TYPE fumi_tpu_requests_total counter' in text
+    assert 'fumi_tpu_requests_total{route="/v1/episode"}' in text
+    assert 'fumi_tpu_request_errors_total{route="/v1/episode"}' in text
+    assert 'quantile="0.5"' in text
+    assert "fumi_tpu_uptime_seconds" in text
+
+
+def test_reload_accepts_torch_checkpoint_file(tmp_path):
+    """/v1/reload with a reference best.pth.tar hot-swaps weights through
+    the torch importer (fumi_tpu/interop.py)."""
+    import torch
+    from collections import OrderedDict
+    import torch.nn as nn
+
+    layers = OrderedDict()
+    in_dim = D
+    for i, h in enumerate((16, 8)):
+        layers[f"lin_{i}"] = nn.Linear(in_dim, h)
+        layers[f"relu_{i}"] = nn.ReLU()
+        in_dim = h
+    layers["lin_final"] = nn.Linear(in_dim, N)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = nn.Sequential(layers)
+
+    path = str(tmp_path / "best.pth.tar")
+    module = M()
+    torch.save({"batch_idx": 1, "state_dict": module.state_dict(),
+                "best_loss": 1.0, "optimizer": None,
+                "args": {"model": "maml"}}, path)
+
+    clf = FewShotClassifier(small_cfg(), None)
+    server = make_server(clf, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}"
+        out = _post(url, "/v1/reload", {"checkpoint": path})
+        assert out["ok"] is True
+        # weights really swapped to the torch module's
+        np.testing.assert_allclose(
+            np.asarray(clf.params[0]["w"]),
+            module.net.lin_0.weight.detach().numpy(), rtol=1e-6)
+        # and a mismatched checkpoint is a clean 400, not a dead server
+        bad = str(tmp_path / "bad.pth.tar")
+        torch.save({"state_dict": {"net.lin_final.weight":
+                                   torch.zeros(2, 2)}}, bad)
+        _post(url, "/v1/reload", {"checkpoint": bad}, expect=400)
+        _post(url, "/v1/reload", {"checkpoint": str(tmp_path / "nope")},
+              expect=400)
+    finally:
+        server.shutdown()
