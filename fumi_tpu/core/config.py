@@ -107,6 +107,15 @@ class Config:
     # Device-side episodic sampling (one fused XLA program). Off = host-side
     # numpy sampler with reference-faithful semantics.
     device_sampler: bool = True
+    # Train steps fused per device dispatch (lax.scan length of the
+    # chunked drivers). 0 = the tuned default (1000: amortizes the ~27 ms
+    # tunneled-TPU dispatch cost to ~3%). scripts/autotune.py measures the
+    # best (batch, chunk, unroll) point for a config on the local device.
+    chunk: int = 0
+    # Outer-scan unroll of the chunked TRAIN drivers. 0 = auto: 4 for
+    # chunks >= 64 (measured +3.7% at reference shapes), 1 for short
+    # chunks where the multiplied compile time cannot pay for itself.
+    train_unroll: int = 0
     # Opt-in with-replacement sampling for classes thinner than K+Q images.
     # Default off: both samplers fail fast at construction (torchmeta's
     # ClassSplitter raises too, ref: data.py:146-184) — silent duplication
@@ -239,6 +248,9 @@ class Config:
                 raise NameError("Invalid text type used")
         if self.optim not in OPTIMIZERS:
             raise NotImplementedError(f"optimizer {self.optim!r}")
+        if self.chunk < 0 or self.train_unroll < 0:
+            raise ValueError("--tpu_chunk/--tpu_train_unroll must be >= 0 "
+                             "(0 = auto)")
         if self.meta_grad not in ("explicit", "imaml", "reptile"):
             raise ValueError(
                 f"meta_grad {self.meta_grad!r} (explicit|imaml|reptile)")
@@ -375,6 +387,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_host_sampler", action="store_true",
                    help="use host-side numpy episodic sampler instead of the "
                         "fused device sampler")
+    p.add_argument("--tpu_chunk", type=int, default=0,
+                   help="train steps per device dispatch (0 = tuned "
+                        "default 1000; see scripts/autotune.py)")
+    p.add_argument("--tpu_train_unroll", type=int, default=0,
+                   help="outer-scan unroll of the chunked train drivers "
+                        "(0 = auto: 4 for chunks >= 64)")
     p.add_argument("--tpu_allow_replacement", action="store_true",
                    help="sample with replacement from classes with fewer "
                         "than K+Q images instead of failing fast")
@@ -490,6 +508,8 @@ def config_from_args(argv=None) -> Config:
         mesh_dp=args.tpu_mesh_dp,
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
+        chunk=args.tpu_chunk,
+        train_unroll=args.tpu_train_unroll,
         allow_replacement=args.tpu_allow_replacement,
         pallas_gather=args.tpu_pallas_gather,
         pallas_fused_eval=args.tpu_pallas_fused_eval,

@@ -175,7 +175,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
 
         (params, opt_state, shard_key), ms = jax.lax.scan(
             body, (params, opt_state, shard_key), None, length=n_steps,
-            unroll=train_scan_unroll(n_steps))
+            unroll=train_scan_unroll(n_steps, cfg.train_unroll))
         return params, opt_state, ms
 
     @functools.partial(jax.jit, static_argnums=(4,))

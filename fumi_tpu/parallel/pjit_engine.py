@@ -165,7 +165,7 @@ def make_pjit_chunked_train(cfg: Config, family: Family,
         from fumi_tpu.train.steps import train_scan_unroll
         (params, opt_state, key), ms = jax.lax.scan(
             body, (params, opt_state, key), None, length=n_steps,
-            unroll=train_scan_unroll(n_steps))
+            unroll=train_scan_unroll(n_steps, cfg.train_unroll))
         return params, opt_state, key, ms
 
     def wrapper(params, opt_state, key, n=chunk):

@@ -230,6 +230,7 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
 
     device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
                    and steps.family is not None)
+    chunk = cfg.chunk or CHUNK  # --tpu_chunk override (autotune output)
     if device_path:
         if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
             # 2-D (dp × mp) declarative engine: wide weights sharded over
@@ -237,15 +238,16 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             from fumi_tpu.parallel.pjit_engine import make_pjit_chunked_train
             chunked = make_pjit_chunked_train(
                 cfg, steps.family, steps.opt, train_sampler, steps.mesh,
-                CHUNK)
+                chunk)
         elif steps.mesh is not None:
             from fumi_tpu.parallel.engine import make_parallel_chunked_train
             chunked = make_parallel_chunked_train(
                 cfg, steps.family, steps.opt, train_sampler, steps.mesh,
-                CHUNK)
+                chunk)
         else:
             chunked = make_chunked_train(steps.family, steps.opt,
-                                         train_sampler, CHUNK)
+                                         train_sampler, chunk,
+                                         unroll=cfg.train_unroll)
         train_key = k_train
     else:
         fused = (fuse_sampler(steps.train_step, train_sampler)
@@ -274,10 +276,10 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             n = stop - batch_idx + 1  # steps batch_idx..stop inclusive
 
             if device_path:
-                # split n into CHUNK-sized dispatches + one remainder
+                # split n into chunk-sized dispatches + one remainder
                 done = 0
                 while done < n:
-                    c = min(CHUNK, n - done)
+                    c = min(chunk, n - done)
                     params, opt_state, train_key, ms = chunked(
                         params, opt_state, train_key, c)
                     _log_train_stack(writer, cfg, batch_idx + done, ms,

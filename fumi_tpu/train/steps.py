@@ -649,12 +649,16 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
 TRAIN_SCAN_UNROLL = 4
 
 
-def train_scan_unroll(n_steps: int) -> int:
+def train_scan_unroll(n_steps: int, override: int = 0) -> int:
+    """``override`` > 0 (--tpu_train_unroll, autotune output) wins; else
+    the measured default."""
+    if override > 0:
+        return override
     return TRAIN_SCAN_UNROLL if n_steps >= 64 else 1
 
 
 def make_chunked_train(family: Family, opt: optax.GradientTransformation,
-                       sampler, chunk: int) -> Callable:
+                       sampler, chunk: int, unroll: int = 0) -> Callable:
     """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
     running ``chunk`` fused train steps; metrics leaves are (chunk,)."""
 
@@ -673,7 +677,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
 
         (params, opt_state, key), ms = jax.lax.scan(
             body, (params, opt_state, key), None, length=n_steps,
-            unroll=train_scan_unroll(n_steps))
+            unroll=train_scan_unroll(n_steps, unroll))
         return params, opt_state, key, ms
 
     fn = lambda p, s, k, n=chunk: run(p, s, k, sampler.tables, n)

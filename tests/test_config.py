@@ -177,3 +177,25 @@ def test_tpu_import_registers_out_of_tree_family(tmp_path, monkeypatch):
     finally:
         FAMILY_REGISTRY.pop("outoftree", None)
         sys.modules.pop("my_families", None)
+
+
+def test_chunk_and_unroll_flags():
+    """--tpu_chunk/--tpu_train_unroll plumb into Config and reject
+    negatives (0 = auto)."""
+    from fumi_tpu.core.config import config_from_args
+    cfg = config_from_args(["--tpu_chunk", "250", "--tpu_train_unroll", "2"])
+    assert cfg.chunk == 250 and cfg.train_unroll == 2
+    cfg = config_from_args([])
+    assert cfg.chunk == 0 and cfg.train_unroll == 0
+    import pytest as _pytest
+    from fumi_tpu.core.config import Config
+    with _pytest.raises(ValueError, match="tpu_chunk"):
+        Config(chunk=-1).validate()
+
+
+def test_train_scan_unroll_override():
+    from fumi_tpu.train.steps import train_scan_unroll
+    assert train_scan_unroll(1000) == 4       # measured default
+    assert train_scan_unroll(8) == 1          # short chunks skip unroll
+    assert train_scan_unroll(1000, 8) == 8    # explicit override wins
+    assert train_scan_unroll(8, 2) == 2

@@ -317,3 +317,24 @@ def test_metric_writer_warns_on_wandb_failure(tmp_path, capsys, monkeypatch):
     assert files
     rec = json.loads(open(files[0]).read().strip())
     assert rec["loss"] == 1.0
+
+
+def test_chunk_and_unroll_override_preserve_training(tmp_path):
+    """--tpu_chunk/--tpu_train_unroll change dispatch granularity, never
+    math: the PRNG key is carried across chunk boundaries, so any chunking
+    yields the same episode stream and the same trained params."""
+    results = {}
+    for name, kw in (("default", {}),
+                     ("tuned", dict(chunk=7, train_unroll=2))):
+        cfg = small_cfg("maml", epochs=20, eval_freq=10, **kw)
+        steps = make_steps(cfg, jax.random.PRNGKey(0))
+        train_s, eval_s = build_samplers(cfg)
+        writer = MetricWriter(str(tmp_path / name), use_wandb=False)
+        params = training_run(cfg, steps, train_s, eval_s, writer,
+                              str(tmp_path / name), jax.random.PRNGKey(1))
+        results[name] = params
+        writer.finish()
+    for a, b in zip(jax.tree.leaves(results["default"]),
+                    jax.tree.leaves(results["tuned"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
