@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import os
 import sys
 
@@ -51,23 +50,33 @@ def main(argv=None) -> str:
             f"(exportable: {interop.FAMILIES})")
 
     import jax
-    dictionary = None
-    vocab_path = os.path.join(args.run_dir, "vocab.json")
-    if os.path.exists(vocab_path):
-        with open(vocab_path) as f:
-            dictionary = json.load(f)
+    from fumi_tpu.serve import serving_dictionary
+    # vocab.json shipped with token-encoder runs, else the --data_dir
+    # pipeline (same resolution serving uses)
+    dictionary = serving_dictionary(cfg, args.run_dir)
     family = build_family(cfg, jax.random.PRNGKey(cfg.seed), dictionary)
     opt = make_opt(cfg)
     params, opt_state, meta = ckpt_lib.load_checkpoint(
         args.run_dir, family.params, opt.init(family.params),
         best=not args.ckpt)
+    # --tpu_ema runs are validated/selected/served on the SMOOTHED weights
+    # (train/loop.py:eval_view) — export those, so the reference user's
+    # eval of the file reproduces the embedded best_loss. The optimizer
+    # moments still describe the raw-weight trajectory; a reference-side
+    # resume restarts smoothing from the exported point.
+    from fumi_tpu.train.loop import eval_view
+    export_params = eval_view(cfg, params, opt_state)
 
+    batch_idx = meta.get("batch_idx")
+    best_loss = meta.get("best_loss")
     interop.export_torch_checkpoint(
-        args.out, params, cfg.model, opt_state=opt_state,
+        args.out, export_params, cfg.model, opt_state=opt_state,
         args=dataclasses.asdict(cfg),
-        batch_idx=int(meta.get("batch_idx") or 0),
-        best_loss=float(meta.get("best_loss") or float("inf")),
-        lr=cfg.lr, weight_decay=cfg.weight_decay, optim=cfg.optim)
+        batch_idx=int(batch_idx) if batch_idx is not None else 0,
+        best_loss=(float(best_loss) if best_loss is not None
+                   else float("inf")),
+        lr=cfg.lr, weight_decay=cfg.weight_decay, momentum=cfg.momentum,
+        optim=cfg.optim)
     print(f"exported {cfg.model} run {args.run_dir} -> {args.out}")
     return args.out
 

@@ -339,6 +339,24 @@ def inject_torch_opt_state(opt_state, torch_opt: Optional[Mapping],
     return walk(opt_state)
 
 
+def _reset_ema(opt_state, params):
+    """Point any EmaState at the (imported) params themselves."""
+    from fumi_tpu.train.optim import EmaState
+
+    def walk(s):
+        if isinstance(s, EmaState):
+            return EmaState(ema=params)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            return type(s)(*[walk(c) for c in s])
+        if isinstance(s, (tuple, list)):
+            return type(s)(walk(c) for c in s)
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        return s
+
+    return walk(opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint file import / export
 # ---------------------------------------------------------------------------
@@ -369,9 +387,17 @@ def load_torch_checkpoint(path: str, params_like=None, opt_state_like=None,
     """
     import torch
     try:
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    except TypeError:  # older torch without weights_only
-        ckpt = torch.load(path, map_location="cpu")
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        except TypeError:  # older torch without weights_only
+            ckpt = torch.load(path, map_location="cpu")
+    except Exception as e:
+        # corrupt / non-pickle file: a CLIENT/input error, not a server
+        # defect — ValueError is the error class checkpoint consumers
+        # (serving's /v1/reload, the CLI) map to "bad request"
+        raise ValueError(
+            f"{path} is not a loadable torch checkpoint: "
+            f"{type(e).__name__}: {e}") from e
     if isinstance(ckpt, Mapping) and "state_dict" in ckpt:
         sd = ckpt["state_dict"]
         meta = {"batch_idx": ckpt.get("batch_idx"),
@@ -400,6 +426,11 @@ def load_torch_checkpoint(path: str, params_like=None, opt_state_like=None,
     if opt_state is not None:
         opt_state = inject_torch_opt_state(opt_state, torch_opt, sd,
                                            family, params)
+        # --tpu_ema runs read eval/serving weights from EmaState (train/
+        # loop.py:eval_view); opt_state_like was initialized from the
+        # PRE-import params, so without this reset a torch import would
+        # silently keep serving the old weights
+        opt_state = _reset_ema(opt_state, params)
     bl = meta.get("best_loss")
     print(f"Imported torch checkpoint {path} ({family}), trained to batch "
           f"{meta.get('batch_idx')} with best loss {bl}")
@@ -442,6 +473,7 @@ def export_torch_checkpoint(path: str, params, family: str,
                             best_loss: float = float("inf"),
                             lr: float = 1e-3,
                             weight_decay: float = 5e-4,
+                            momentum: float = 0.9,
                             optim: str = "adam") -> None:
     """Write a reference-shaped ``.pth.tar`` the reference can restore.
 
@@ -466,14 +498,28 @@ def export_torch_checkpoint(path: str, params, family: str,
     ordered = _ordered_names(family, names)
     pos = {n: i for i, n in enumerate(ordered)}
 
+    # torch Optimizer.load_state_dict REPLACES each param group dict with
+    # the saved one (keeping only 'params'), so the hyperparameter keys
+    # must match the optimizer class the reference will construct
+    # (init_optim, ref utils.py:277-299): torch.optim.Adam / torch.optim.
+    # SGD / transformers AdamW (whose groups carry 'correct_bias').
     group: Dict[str, Any] = {"params": list(range(len(ordered))),
                              "lr": lr, "weight_decay": weight_decay}
     if optim == "SGD":
-        group.update(momentum=0.9, dampening=0, nesterov=False,
+        group.update(momentum=momentum, dampening=0, nesterov=False,
                      maximize=False, foreach=None, differentiable=False)
+    elif optim in ("adamw", "adamw_lin_schedule"):
+        # union of the legacy transformers-AdamW keys ('correct_bias' —
+        # the class the reference's pinned transformers 4.x constructs)
+        # and modern torch.optim.AdamW keys: each consumer reads only its
+        # own keys, and load_state_dict would KeyError on step() if the
+        # replaced group lacked one it needs
+        group.update(betas=(0.9, 0.999), eps=1e-6, correct_bias=True,
+                     weight_decay=0.0, amsgrad=False, maximize=False,
+                     foreach=None, capturable=False, differentiable=False,
+                     fused=None)
     else:
-        group.update(betas=(0.9, 0.999),
-                     eps=1e-8 if optim == "adam" else 1e-6,
+        group.update(betas=(0.9, 0.999), eps=1e-8,
                      amsgrad=False, maximize=False, foreach=None,
                      capturable=False, differentiable=False, fused=None)
     state: Dict[int, Dict[str, Any]] = {}

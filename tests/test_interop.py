@@ -478,3 +478,77 @@ def test_cli_torch_checkpoint_end_to_end(tmp_path):
     ckpt = torch.load(outp, weights_only=False)
     module.load_state_dict(ckpt["state_dict"], strict=True)
     assert ckpt["args"]["model"] == "maml"
+
+
+@pytest.mark.slow
+def test_import_resets_ema_state(tmp_path):
+    """--tpu_ema: eval/serving weights come from EmaState — a torch import
+    must point it at the IMPORTED params, not the pre-import ones."""
+    import optax
+    from fumi_tpu.train.optim import find_ema, init_optim, params_ema
+
+    module = torch_pure_image_network()
+    path = save_ref_ckpt(tmp_path, module, "maml")
+    old_params = build_maml()  # different random init
+    opt = optax.chain(init_optim("adam", lr=0.01), params_ema(0.9))
+    params, opt_state, _ = interop.load_torch_checkpoint(
+        path, params_like=old_params, opt_state_like=opt.init(old_params))
+    ema = find_ema(opt_state)
+    assert ema is not None
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_export_adamw_group_loads_into_hf_adamw(tmp_path):
+    """The reference's adamw path builds transformers' AdamW, whose param
+    groups carry 'correct_bias'; torch load_state_dict REPLACES group
+    dicts, so the exported group carries the UNION of legacy-HF and
+    modern torch.optim.AdamW keys (each consumer reads only its own)."""
+    import torch
+    from fumi_tpu.train.optim import init_optim
+
+    params = build_maml()
+    jopt = init_optim("adamw", lr=0.01)
+    opt_state = jopt.init(params)
+    path = str(tmp_path / "out.pth.tar")
+    interop.export_torch_checkpoint(path, params, "maml",
+                                    opt_state=opt_state, lr=0.01,
+                                    optim="adamw")
+    ckpt = torch.load(path, weights_only=False)
+    group = ckpt["optimizer"]["param_groups"][0]
+    # legacy transformers AdamW (the reference's pinned 4.x) reads this:
+    assert group["correct_bias"] is True and group["eps"] == 1e-6
+    # modern torch.optim.AdamW loads AND steps on the same file:
+    module = torch_pure_image_network()
+    module.load_state_dict(ckpt["state_dict"], strict=True)
+    topt = torch.optim.AdamW(module.parameters(), lr=0.01)
+    topt.load_state_dict(ckpt["optimizer"])
+    for p in module.parameters():
+        p.grad = torch.zeros_like(p)
+    topt.step()  # would KeyError 'amsgrad' without the union group
+
+
+@pytest.mark.slow
+def test_export_sgd_momentum_passthrough(tmp_path):
+    import torch
+    params = build_maml()
+    path = str(tmp_path / "out.pth.tar")
+    interop.export_torch_checkpoint(path, params, "maml", lr=0.1,
+                                    momentum=0.5, optim="SGD",
+                                    best_loss=0.0)
+    ckpt = torch.load(path, weights_only=False)
+    assert ckpt["optimizer"]["param_groups"][0]["momentum"] == 0.5
+    assert ckpt["best_loss"] == 0.0  # falsy zero survives
+    module = torch_pure_image_network()
+    module.load_state_dict(ckpt["state_dict"], strict=True)
+    topt = torch.optim.SGD(module.parameters(), lr=0.1, momentum=0.5)
+    topt.load_state_dict(ckpt["optimizer"])
+
+
+@pytest.mark.slow
+def test_corrupt_file_raises_value_error(tmp_path):
+    bad = tmp_path / "best.pth.tar"
+    bad.write_text("this is not a torch pickle")
+    with pytest.raises(ValueError, match="not a loadable torch checkpoint"):
+        interop.load_torch_checkpoint(str(bad))

@@ -547,5 +547,9 @@ def test_reload_accepts_torch_checkpoint_file(tmp_path):
         _post(url, "/v1/reload", {"checkpoint": bad}, expect=400)
         _post(url, "/v1/reload", {"checkpoint": str(tmp_path / "nope")},
               expect=400)
+        # corrupt/non-pickle file: client error (400), not a 500
+        corrupt = tmp_path / "corrupt.pth.tar"
+        corrupt.write_text("not a pickle")
+        _post(url, "/v1/reload", {"checkpoint": str(corrupt)}, expect=400)
     finally:
         server.shutdown()
