@@ -150,11 +150,17 @@ def resolve_checkpoint(checkpoint: str, model: str,
     actually findable (documented deviation). Resolution:
 
     - an existing local directory is used as-is;
+    - an existing local FILE (a reference ``best.pth.tar``) is passed
+      through to the torch importer;
     - otherwise the value is a wandb run path — full
       ``entity/project/run_id`` or a bare run id — and the run's
       checkpoint files are downloaded into
       ``dest_root/{entity}/{project}/{run_id}`` (full path in the key so
-      same-id runs under different projects cannot collide).
+      same-id runs under different projects cannot collide). Both this
+      framework's runs (orbax ``best/``/``ckpt/``) and REFERENCE wandb
+      runs (torch ``best.pth.tar``/``ckpt.pth.tar``) resolve — the
+      latter return the downloaded file path, which ``load_checkpoint``
+      routes through :mod:`fumi_tpu.interop`.
     """
     if os.path.isdir(checkpoint):
         return checkpoint
@@ -162,13 +168,27 @@ def resolve_checkpoint(checkpoint: str, model: str,
         # a reference torch checkpoint file (best.pth.tar) — passed
         # through; load_checkpoint routes files to the torch importer
         return checkpoint
+
+    def _payload(d: str) -> Optional[str]:
+        """What a downloaded run dir holds: this framework's orbax dirs,
+        or the REFERENCE's torch files (best/ckpt.pth.tar — what its
+        save_checkpoint wandb-uploads, ref utils.py:406-419)."""
+        if os.path.isdir(os.path.join(d, "best")) or \
+                os.path.isdir(os.path.join(d, "ckpt")):
+            return d
+        for name in ("best.pth.tar", "ckpt.pth.tar"):  # prefer best,
+            #  matching the reference's restore (ref main.py:61-76)
+            if os.path.isfile(os.path.join(d, name)):
+                return os.path.join(d, name)
+        return None
+
     run_path = (checkpoint if checkpoint.count("/") == 2
                 else f"{entity}/{project or model}/{checkpoint}")
     dest = os.path.join(dest_root, *run_path.split("/"))
-    if os.path.isdir(os.path.join(dest, "best")) or \
-            os.path.isdir(os.path.join(dest, "ckpt")):
-        return dest  # already downloaded (only complete downloads land
-        #              here — see the atomic rename below)
+    cached = _payload(dest)
+    if cached is not None:
+        return cached  # already downloaded (only complete downloads land
+        #                here — see the atomic rename below)
     # download into a scratch dir and publish with one atomic rename, so a
     # failure partway through can never leave a half-download at `dest`
     # that this cache check would then trust forever
@@ -190,14 +210,14 @@ def resolve_checkpoint(checkpoint: str, model: str,
         raise FileNotFoundError(
             f"--checkpoint {checkpoint!r} is neither a local run dir nor a "
             f"retrievable wandb run path ({type(e).__name__}: {e})") from e
-    if not (os.path.isdir(os.path.join(tmp, "best")) or
-            os.path.isdir(os.path.join(tmp, "ckpt"))):
+    if _payload(tmp) is None:
         shutil.rmtree(tmp, ignore_errors=True)
         raise FileNotFoundError(
-            f"wandb run {run_path} had no best/ or ckpt/ checkpoint files")
+            f"wandb run {run_path} had no checkpoint payload (orbax "
+            "best//ckpt/ dirs or reference best/ckpt.pth.tar files)")
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     os.rename(tmp, dest)
-    return dest
+    return _payload(dest)
 
 
 def load_checkpoint(run_dir: str, params_like, opt_state_like,

@@ -140,7 +140,7 @@ def test_run_without_checkpoints_is_actionable(tmp_path, monkeypatch):
     _install_fake_wandb(
         monkeypatch,
         {"multimodal-image-cls/fumi/empty": _FakeRun([_FakeFile("log.txt")])})
-    with pytest.raises(FileNotFoundError, match="no best/ or ckpt/"):
+    with pytest.raises(FileNotFoundError, match="no checkpoint payload"):
         resolve_checkpoint("empty", "fumi",
                            dest_root=str(tmp_path / "ckpts"))
 
@@ -209,3 +209,26 @@ def test_save_checkpoint_without_wandb_is_silent(tmp_path, monkeypatch):
     params = {"w": np.ones((2, 2), np.float32)}
     save_checkpoint(str(tmp_path), params, {"m": params["w"]}, 1, 0.5,
                     is_best=False)  # must not raise
+
+
+def test_reference_wandb_run_resolves_to_torch_file(tmp_path, monkeypatch):
+    """A REFERENCE wandb run uploads best.pth.tar/ckpt.pth.tar (ref
+    utils.py:406-419) — resolution returns the downloaded torch file,
+    which load_checkpoint routes through the importer."""
+    files = [_FakeFile("best.pth.tar"), _FakeFile("ckpt.pth.tar")]
+    _install_fake_wandb(monkeypatch,
+                        {"ent/proj/refrun": _FakeRun(files)})
+    monkeypatch.chdir(tmp_path)
+    out = resolve_checkpoint("ent/proj/refrun", "fumi")
+    assert out.endswith(os.path.join("refrun", "best.pth.tar"))  # best wins
+    assert os.path.isfile(out)
+    # cached second resolution takes the same path without re-downloading
+    assert resolve_checkpoint("ent/proj/refrun", "fumi") == out
+
+
+def test_ckpt_only_reference_run(tmp_path, monkeypatch):
+    _install_fake_wandb(
+        monkeypatch, {"ent/proj/r2": _FakeRun([_FakeFile("ckpt.pth.tar")])})
+    monkeypatch.chdir(tmp_path)
+    out = resolve_checkpoint("ent/proj/r2", "fumi")
+    assert out.endswith("ckpt.pth.tar")
