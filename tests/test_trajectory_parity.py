@@ -584,7 +584,7 @@ def make_rnn_episodes(rng, n):
     return eps
 
 
-def torch_am3_rnn_train(params_np, episodes, fine_tune):
+def torch_am3_rnn_train(params_np, episodes, fine_tune, kind="RNN"):
     F = torch.nn.functional
     enc_np = params_np["text_encoder"]
     emb_w = torch.tensor(enc_np["embed"], requires_grad=fine_tune)
@@ -624,8 +624,11 @@ def torch_am3_rnn_train(params_np, episodes, fine_tune):
         lens = torch.tensor((tok_np.reshape(-1, T_R) != 0).sum(axis=1))
         packed = torch.nn.utils.rnn.pack_padded_sequence(
             emb, lens, batch_first=True, enforce_sorted=False)
-        _, (hn, _) = lstm(packed)  # RNN variant: final hidden states
-        return torch.cat([hn[0], hn[1]], dim=-1).reshape(BA, NA * KA, E_RNN)
+        # RNN concatenates final HIDDEN states (ref common.py:90-101);
+        # RNNhid concatenates final CELL states (ref common.py:153-161)
+        _, (hn, cn) = lstm(packed)
+        st = hn if kind == "RNN" else cn
+        return torch.cat([st[0], st[1]], dim=-1).reshape(BA, NA * KA, E_RNN)
 
     losses = []
     for (s_tok, s_im, s_y, q_im, q_y) in episodes:
@@ -653,8 +656,9 @@ def torch_am3_rnn_train(params_np, episodes, fine_tune):
                         w_ih=dict(lstm.named_parameters())["weight_ih_l0"])
 
 
+@pytest.mark.parametrize("kind", ["RNN", "RNNhid"])
 @pytest.mark.parametrize("fine_tune", [False, True])
-def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
+def test_am3_rnn_composed_trajectory_matches_torch(fine_tune, kind):
     from fumi_tpu.models import text_encoders as te
     from fumi_tpu.models.am3 import AM3
     from fumi_tpu.core.config import Config
@@ -666,7 +670,7 @@ def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
     # small pretrained vectors force EMB_D (and mark w1/w2 as in-vocab)
     vecs = {"w1": rng.randn(EMB_D).astype(np.float32),
             "w2": rng.randn(EMB_D).astype(np.float32)}
-    enc = te.make_text_encoder("RNN", jax.random.PRNGKey(1), E_RNN,
+    enc = te.make_text_encoder(kind, jax.random.PRNGKey(1), E_RNN,
                                dictionary=d, fine_tune=fine_tune,
                                vectors=vecs)
     model = AM3(im_emb_dim=D_IM, prototype_dim=P_DIM, text_encoder=enc,
@@ -676,7 +680,7 @@ def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
     params_np = jax.tree_util.tree_map(np.asarray, params)
     enc0 = {k: np.asarray(v) for k, v in params["text_encoder"].items()}
 
-    cfg = Config(model="am3", text_encoder="RNN", fine_tune=fine_tune,
+    cfg = Config(model="am3", text_encoder=kind, fine_tune=fine_tune,
                  optim="adam", lr=R_LR, weight_decay=R_WD, dropout=0.0)
     opt = make_opt(cfg)  # production path: includes the frozen-subtree mask
     opt_state = opt.init(params)
@@ -707,7 +711,7 @@ def test_am3_rnn_composed_trajectory_matches_torch(fine_tune):
         jax_losses.append(float(loss))
 
     torch_losses, torch_final = torch_am3_rnn_train(params_np, episodes,
-                                                    fine_tune)
+                                                    fine_tune, kind)
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4,
                                atol=3e-4)
     np.testing.assert_allclose(
