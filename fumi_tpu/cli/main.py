@@ -253,6 +253,15 @@ def main(cfg: Config) -> dict:
         return {"test/acc": test_acc}
 
     # ---- episodic families ----
+    if cfg.seed_sweep > 1:
+        # lockstep multi-seed sweep: S replicas in one vmapped program
+        # (fumi_tpu/train/sweep.py); per-seed trajectories match
+        # standalone --seed runs
+        from fumi_tpu.train.sweep import sweep_main
+        samplers = _samplers(cfg, splits, image_table, image_ids)
+        return sweep_main(cfg, dictionary, samplers, writer, run_dir,
+                          results_path)
+
     # decide the mesh BEFORE building steps (each engine constructs its own
     # family; building the serial one first would just be discarded work)
     n_dev = len(jax.devices())

@@ -175,6 +175,13 @@ class Config:
     # The reference's only recovery is a manual --checkpoint restore that
     # restarts counting at 0 (SURVEY §5.3).
     auto_resume: bool = False
+    # Lockstep multi-seed sweep: S > 1 trains S independent replicas
+    # (seeds seed..seed+S-1) in ONE vmapped XLA program — the reference
+    # paper's multi-seed workflow as a single dispatch-amortized run
+    # (the flagship configs are dispatch-bound at 9.3% MFU, so S seeds
+    # ride the idle MXU). Per-seed trajectories match standalone runs
+    # (tests/test_sweep.py). 0/1 = off.
+    seed_sweep: int = 0
     # Extension modules imported at CLI/server startup (before config
     # validation), so out-of-tree `register_family` builders — and their
     # Family.serve hooks — are usable via `--model <name>` without
@@ -297,6 +304,29 @@ class Config:
             raise NotImplementedError(
                 "--tpu_adapt_params applies to the MAML family only "
                 f"(got --model {self.model})")
+        if self.seed_sweep < 0:
+            raise ValueError("--tpu_seed_sweep must be >= 0 (0/1 = off)")
+        if self.seed_sweep > 1:
+            # the sweep is a lockstep vmapped program over the fused
+            # device sampler; the incompatible modes are rejected loudly
+            # rather than silently ignored
+            if self.model == "clip":
+                raise NotImplementedError(
+                    "--tpu_seed_sweep covers the episodic families only "
+                    "(CLIP's supervised loop is already epoch-batched)")
+            if not self.device_sampler:
+                raise NotImplementedError(
+                    "--tpu_seed_sweep requires the device sampler "
+                    "(the host sampler is the serial parity mode)")
+            if self.mesh_mp > 1 or self.mesh_dp > 1:
+                raise NotImplementedError(
+                    "--tpu_seed_sweep shards over the seed axis; combine "
+                    "with --tpu_mesh_dp/--tpu_mesh_mp is not supported")
+            if self.checkpoint or self.auto_resume or self.evaluate:
+                raise NotImplementedError(
+                    "--tpu_seed_sweep trains fresh replicas; "
+                    "--checkpoint/--tpu_auto_resume/--evaluate are "
+                    "single-run modes")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -434,6 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_auto_resume", action="store_true",
                    help="resume the newest checkpointed run in log_dir "
                         "(params, optimizer state, batch counter)")
+    p.add_argument("--tpu_seed_sweep", type=int, default=0,
+                   help="train S seed replicas (seed..seed+S-1) in "
+                        "lockstep inside one vmapped program; reports "
+                        "mean +/- CI over seeds (0/1 = off)")
     p.add_argument("--tpu_import", type=str, nargs="+", default=[],
                    help="python modules to import at startup (register "
                         "out-of-tree model families / serving hooks)")
@@ -527,6 +561,7 @@ def config_from_args(argv=None) -> Config:
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,
+        seed_sweep=args.tpu_seed_sweep,
         import_modules=tuple(args.tpu_import),
         dist_coordinator=args.tpu_dist_coordinator,
         dist_num_processes=args.tpu_dist_num_processes,

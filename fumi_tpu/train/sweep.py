@@ -1,0 +1,401 @@
+"""Lockstep multi-seed training — ``--tpu_seed_sweep S``.
+
+The reference paper's real workflow is a SWEEP: the same config trained
+under several seeds, reported as mean +/- CI over seeds (each run is a
+separate ``python fumi/main.py --seed k`` invocation; SURVEY §6's eval
+protocol). On TPU the flagship configs are dispatch-bound, not
+compute-bound (9.3% MFU, docs/PERFORMANCE.md) — so instead of S serial
+processes, this module trains S independent replicas IN LOCKSTEP inside
+one vmapped XLA program: the seed axis batches every matmul (better MXU
+shapes) and S seeds share each dispatch (the actual bottleneck).
+
+Faithfulness contract (pinned by tests/test_sweep.py): replica ``i``
+follows the EXACT PRNG chain of a standalone run with ``--seed
+(seed + i)`` — model init, fused episode sampling, dropout, and eval
+streams all match, so per-seed trajectories are the standalone
+trajectories (up to vmap/XLA fp reassociation).
+
+Per-seed early stopping runs on a ``live`` mask: a seed whose patience
+lapses freezes (params/opt-state hold; its key still advances so later
+steps of other seeds are unaffected), and training ends when every seed
+is done — the same semantics as S sequential runs, without desyncing the
+lockstep program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fumi_tpu.core.config import Config
+from fumi_tpu.train import checkpoint as ckpt_lib
+from fumi_tpu.train.logging import MetricWriter
+from fumi_tpu.train.steps import (Family, _train_metrics, build_family,
+                                  make_opt, train_scan_unroll)
+from fumi_tpu.utils.profiling import Throughput
+
+ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
+
+
+def sweep_seeds(cfg: Config) -> List[int]:
+    """The sweep's seed list: ``seed, seed+1, ..., seed+S-1`` (the usual
+    convention for a paper sweep launched from a base seed)."""
+    return [cfg.seed + i for i in range(cfg.seed_sweep)]
+
+
+def stack_trees(trees):
+    """Stack a list of identically-structured pytrees along a new leading
+    seed axis (device-resident)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def unstack_tree(tree, i: int):
+    """Slice replica ``i`` out of a stacked pytree."""
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def _where_seed(mask, new, old):
+    """Per-seed select over stacked pytrees: ``mask`` is (S,) bool."""
+    def sel(a, b):
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+    return jax.tree.map(sel, new, old)
+
+
+def build_sweep_family(cfg: Config, dictionary=None):
+    """Build the family once per seed (same functions, different init) and
+    stack the params. Replica ``i``'s init key is the standalone run's:
+    ``split(PRNGKey(seed + i), 3)[0]`` (cli/main.py:216-217)."""
+    families = []
+    for s in sweep_seeds(cfg):
+        k_model = jax.random.split(jax.random.PRNGKey(s), 3)[0]
+        families.append(build_family(cfg, k_model, dictionary))
+    params = stack_trees([f.params for f in families])
+    return families[0]._replace(params=params)
+
+
+def make_sweep_chunked_train(family: Family,
+                             opt: optax.GradientTransformation,
+                             sampler, chunk: int, unroll: int = 0):
+    """jitted (params, opt_state, keys, live) ->
+    (params, opt_state, keys, metrics) running ``chunk`` lockstep steps.
+
+    Stacked leaves carry a leading (S,) seed axis; ``keys`` is (S,)
+    per-seed carry keys; ``live`` (S,) bool freezes finished seeds.
+    Per seed the body is byte-for-byte the single-seed chunked driver's
+    (steps.py make_chunked_train): split(3) -> sample -> grad -> update.
+    """
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def run(params, opt_state, keys, live, tables, n_steps):
+        def body(carry, _):
+            p, s, k = carry
+
+            def one(p_i, s_i, k_i, live_i):
+                k_i, k_s, k_step = jax.random.split(k_i, 3)
+                episode = sampler.sample(k_s, tables)
+                (loss, aux), grads = jax.value_and_grad(
+                    family.train_loss, has_aux=True)(p_i, episode, k_step)
+                updates, s_new = opt.update(grads, s_i, p_i)
+                p_new = optax.apply_updates(p_i, updates)
+                # dead seeds hold (their key still advances — the split
+                # above — so the stream stays aligned with a standalone
+                # run that stopped here)
+                p_new = jax.tree.map(
+                    lambda a, b: jnp.where(live_i, a, b), p_new, p_i)
+                s_new = jax.tree.map(
+                    lambda a, b: jnp.where(live_i, a, b), s_new, s_i)
+                m = _train_metrics(family, loss, aux, episode, grads)
+                return p_new, s_new, k_i, m
+
+            p, s, k, m = jax.vmap(one)(p, s, k, live)
+            return (p, s, k), m
+
+        (params, opt_state, keys), ms = jax.lax.scan(
+            body, (params, opt_state, keys), None, length=n_steps,
+            unroll=train_scan_unroll(n_steps, unroll))
+        return params, opt_state, keys, ms
+
+    return lambda p, s, k, live, n=chunk: run(p, s, k, live,
+                                              sampler.tables, n)
+
+
+def make_sweep_chunked_eval(family: Family, sampler,
+                            collect: bool = False):
+    """jitted (params, keys, n) -> per-seed stacked raw metrics, leaves
+    (S, n, ...). Per seed identical to steps.py make_chunked_eval."""
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(params, keys, tables, n_steps):
+        def one(p_i, k_i):
+            def body(k, _):
+                k, k_s, k_step = jax.random.split(k, 3)
+                episode = sampler.sample(k_s, tables)
+                out = family.eval_finalize(
+                    family.eval_raw(p_i, episode, k_step))
+                scalars = {kk: v for kk, v in out.items()
+                           if getattr(v, "ndim", 1) == 0}
+                if collect:
+                    scalars = dict(scalars)
+                    for kk in ("preds", "targets", "lamda"):
+                        if kk in out:
+                            scalars[kk] = out[kk]
+                    scalars["query_idx"] = episode.query_ids
+                    scalars["support_idx"] = episode.support_ids
+                return k, scalars
+
+            _, ms = jax.lax.scan(body, k_i, None, length=n_steps)
+            return ms
+
+        return jax.vmap(one)(params, keys)
+
+    return lambda p, k, n: run(p, k, sampler.tables, n)
+
+
+def _eval_view_stacked(cfg: Config, params, opt_state):
+    """Stacked analogue of loop.eval_view: the EMA (when on) rides in the
+    stacked optimizer state, so the same lookup applies."""
+    if cfg.ema > 0:
+        from fumi_tpu.train.optim import find_ema
+        ema = find_ema(opt_state)
+        if ema is not None:
+            return ema
+    return params
+
+
+def sweep_test(cfg: Config, family: Family, params, sampler,
+               keys, max_num_batches: int,
+               collect_artifacts: bool = False) -> List[Dict]:
+    """Per-seed test metrics (list of dicts shaped like loop.test_loop's
+    output). ``params`` stacked (S,...); ``keys`` (S,) per-seed rngs."""
+    run = make_sweep_chunked_eval(family, sampler,
+                                  collect=collect_artifacts)
+    ms = run(params, keys, max_num_batches + 1)
+    ms = {k: np.asarray(v) for k, v in ms.items()}
+    S = next(iter(ms.values())).shape[0]
+    out = []
+    for i in range(S):
+        d = {k: float(v[i].mean()) for k, v in ms.items()
+             if k not in ARTIFACT_KEYS}
+        from fumi_tpu.train.loop import _ci95
+        d.update(_ci95(ms.get("acc", [None] * S)[i],
+                       ms.get("loss", [None] * S)[i]))
+        if collect_artifacts:
+            for src, dst in (("preds", "preds"), ("targets", "targets"),
+                             ("query_idx", "query_idx"),
+                             ("support_idx", "support_idx"),
+                             ("lamda", "support_lamdas")):
+                if src in ms:
+                    d[dst] = ms[src][i].reshape(-1).tolist()
+        out.append(d)
+    return out
+
+
+def sweep_training_run(cfg: Config, family: Family,
+                       opt: optax.GradientTransformation,
+                       train_sampler, val_sampler, writer: MetricWriter,
+                       run_dir: str):
+    """Lockstep training of the S stacked replicas. Returns the stacked
+    per-seed FINAL params (each seed's best for AM3/FuMI, last for the
+    MAML family — loop.py's reload semantics, ref: maml.py:107).
+
+    Harness semantics per seed match train/loop.py training_run: initial
+    val seeds best_loss, eval every ``eval_freq`` (AM3 at batch 0 too),
+    per-seed patience, stop after step ``epochs``.
+    """
+    from fumi_tpu.train.loop import CHUNK
+    seeds = sweep_seeds(cfg)
+    S = len(seeds)
+    is_am3 = cfg.model == "am3"
+    eval_at_zero = is_am3
+    reload_best = cfg.model in ("am3", "fumi")
+
+    # per-seed PRNG chains, exactly the standalone driver's
+    # (cli/main.py:216-217 then loop.py:219)
+    k_trains, k_vals, k_inits = [], [], []
+    for s in seeds:
+        _, k_train_root, _ = jax.random.split(jax.random.PRNGKey(s), 3)
+        k_init, k_train, k_val = jax.random.split(k_train_root, 3)
+        k_inits.append(k_init)
+        k_trains.append(k_train)
+        k_vals.append(k_val)
+    k_inits = jnp.stack(k_inits)
+    train_keys = jnp.stack(k_trains)
+    k_vals = jnp.stack(k_vals)
+
+    params = family.params
+    opt_state = jax.vmap(opt.init)(params)
+    max_test_batches = cfg.max_test_batches // 2  # ref: main.py:82,85,95
+
+    eval_fn = make_sweep_chunked_eval(family, val_sampler)
+
+    def run_eval(p_view, keys):
+        ms = eval_fn(p_view, keys, max_test_batches + 1)
+        return {k: np.asarray(v) for k, v in ms.items()}
+
+    view = _eval_view_stacked(cfg, params, opt_state)
+    ms0 = run_eval(view, k_inits)
+    best_loss = ms0["loss"].mean(axis=1)  # (S,)
+    best_batch_idx = np.zeros(S, dtype=np.int64)
+    live = np.ones(S, dtype=bool)
+    best_view = view  # stacked snapshot of what each seed's best eval saw
+    throughput = Throughput()
+    print(f"\nsweep initial loss: {best_loss.tolist()}, "
+          f"acc: {ms0['acc'].mean(axis=1).tolist()}")
+
+    chunk = cfg.chunk or CHUNK
+    chunked = make_sweep_chunked_train(family, opt, train_sampler, chunk,
+                                       unroll=cfg.train_unroll)
+
+    def next_stop(batch_idx: int) -> int:
+        stops = [cfg.epochs]
+        if cfg.eval_freq > 0:
+            b = (batch_idx // cfg.eval_freq) * cfg.eval_freq
+            while b < batch_idx or (b == 0 and not eval_at_zero):
+                b += cfg.eval_freq
+            stops.append(b)
+        if cfg.patience > 0 and live.any():
+            stops.append(int(best_batch_idx[live].min())
+                         + cfg.patience + 1)
+        return min(stops)
+
+    batch_idx = 0
+    live_dev = jnp.asarray(live)
+    try:
+        while True:
+            stop = next_stop(batch_idx)
+            n = stop - batch_idx + 1
+            done = 0
+            while done < n:
+                c = min(chunk, n - done)
+                params, opt_state, train_keys, ms = chunked(
+                    params, opt_state, train_keys, live_dev, c)
+                _log_sweep_train(writer, cfg, batch_idx + done, ms, is_am3)
+                done += c
+            batch_idx = stop
+
+            eps_rate = throughput.update(
+                (batch_idx + 1) * cfg.batch_size * S)
+
+            is_eval = (cfg.eval_freq > 0 and batch_idx % cfg.eval_freq == 0
+                       and (eval_at_zero or batch_idx != 0))
+            if is_eval:
+                view = _eval_view_stacked(cfg, params, opt_state)
+                keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, batch_idx))(k_vals)
+                ms = run_eval(view, keys)
+                val_loss = ms["loss"].mean(axis=1)
+                improved = live & (val_loss < best_loss)
+                best_loss = np.where(improved, val_loss, best_loss)
+                best_batch_idx = np.where(improved, batch_idx,
+                                          best_batch_idx)
+                best_view = _where_seed(jnp.asarray(improved), view,
+                                        best_view)
+                rec = {}
+                for k, v in ms.items():
+                    per_seed = v.mean(axis=1)
+                    rec[f"val/{k}"] = float(per_seed.mean())
+                    for i, s in enumerate(seeds):
+                        rec[f"val/seed{s}/{k}"] = float(per_seed[i])
+                rec["episodes_per_sec"] = eps_rate
+                writer.log(rec, step=batch_idx)
+                ckpt_lib.save_checkpoint(
+                    run_dir, params, opt_state, batch_idx,
+                    float(best_loss.min()), bool(improved.any()),
+                    extra_meta={"model": cfg.model, "sweep_seeds": seeds,
+                                "best_loss_per_seed": best_loss.tolist(),
+                                "args": dataclasses.asdict(cfg)})
+                print(f"\nBatch {batch_idx + 1}/{cfg.epochs}: "
+                      f"val/loss per seed: {val_loss.tolist()}")
+
+            # per-seed patience (ref: am3.py:295-297, applied per replica)
+            if cfg.patience > 0:
+                lapsed = batch_idx - best_batch_idx > cfg.patience
+                if (live & lapsed).any():
+                    live = live & ~lapsed
+                    live_dev = jnp.asarray(live)
+            if (batch_idx > cfg.epochs - 1) or not live.any():
+                break
+            batch_idx += 1
+    except KeyboardInterrupt:
+        pass
+
+    final_view = _eval_view_stacked(cfg, params, opt_state)
+    if reload_best:
+        return best_view
+    return final_view
+
+
+def _log_sweep_train(writer: MetricWriter, cfg: Config, start_idx: int,
+                     ms: Dict, is_am3: bool) -> None:
+    """Per-step logs from a sweep chunk: metric leaves are (chunk, S)
+    (scan stacks the step axis first) — each step logs the across-seed
+    mean (per-seed traces stay available at val boundaries; logging S
+    full per-step traces would multiply the writer volume for
+    monitoring data)."""
+    from fumi_tpu.train.loop import _train_log_keys
+    from fumi_tpu.core.mesh import host_fetch
+    stacked = {k: np.asarray(host_fetch(ms[k]))
+               for k in _train_log_keys(ms, is_am3)}
+    n, S = next(iter(stacked.values())).shape[:2]
+    for j in range(n):
+        rec = {f"train/{k}": float(v[j].mean())
+               for k, v in stacked.items()}
+        rec["num_episodes"] = (start_idx + j + 1) * cfg.batch_size * S
+        writer.log(rec, step=start_idx + j)
+
+
+def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
+               run_dir: str, results_path: str) -> dict:
+    """Driver for ``--tpu_seed_sweep S``: lockstep train, per-seed test,
+    aggregate report (mean +/- 95% CI over seeds — the paper's headline
+    shape), one prediction CSV per seed."""
+    train_s, val_s, test_s = samplers
+    seeds = sweep_seeds(cfg)
+    family = build_sweep_family(cfg, dictionary)
+    opt = make_opt(cfg)
+
+    params = sweep_training_run(cfg, family, opt, train_s, val_s, writer,
+                                run_dir)
+
+    # per-seed test keys: the standalone driver's k_test
+    # (cli/main.py:216-217)
+    k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
+                         for s in seeds])
+    per_seed = sweep_test(cfg, family, params, test_s, k_tests,
+                          cfg.max_test_batches, collect_artifacts=True)
+
+    out = {}
+    scalar_keys = [k for k, v in per_seed[0].items()
+                   if isinstance(v, (int, float))]
+    for k in scalar_keys:
+        vals = np.asarray([d[k] for d in per_seed], dtype=np.float64)
+        out[f"test/{k}"] = float(vals.mean())
+        if len(vals) > 1:
+            out[f"test/{k}_seed_ci95"] = float(
+                1.96 * vals.std(ddof=1) / np.sqrt(len(vals)))
+        for s, d in zip(seeds, per_seed):
+            out[f"test/seed{s}/{k}"] = float(d[k])
+    print(f"\n SWEEP TEST (mean over {len(seeds)} seeds): "
+          f"{ {k: v for k, v in out.items() if '/' not in k[5:]} }")
+    writer.log(out)
+
+    from fumi_tpu.cli.main import _save_predictions_csv
+    for s, d in zip(seeds, per_seed):
+        sub = MetricWriterName(f"{writer.run_name}_seed{s}")
+        _save_predictions_csv(cfg, sub, results_path, d)
+    writer.finish()
+    return out
+
+
+class MetricWriterName:
+    """Minimal run_name carrier for per-seed CSV naming."""
+
+    def __init__(self, run_name: str):
+        self.run_name = run_name

@@ -1,0 +1,181 @@
+"""Lockstep multi-seed sweep (--tpu_seed_sweep): per-seed faithfulness to
+standalone runs, live-mask freezing, validation, artifacts."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fumi_tpu.cli.main import main
+from fumi_tpu.core.config import Config
+
+
+def sweep_cfg(tmp_path, model="maml", **kw):
+    base = dict(
+        model=model, dataset="synthetic", im_emb_dim=32, text_emb_dim=16,
+        im_hid_dim=(16, 8), prototype_dim=8, text_hid_dim=8,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=2, num_test_adapt_steps=2,
+        batch_size=4, epochs=12, eval_freq=6, patience=0,
+        num_ep_test=8, lr=1e-2, optim="adam", dropout=0.0,
+        text_encoder="precomputed", step_size=0.1,
+        log_dir=str(tmp_path), wandb_offline=True, seed=0,
+        prng_impl="threefry2x32",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.slow
+def test_sweep_matches_standalone_run(tmp_path):
+    """Main-driver wiring: the sweep's seed-0 replica matches a standalone
+    --seed 0 run (same synthetic data); aggregates and per-seed CSV
+    artifacts come out right."""
+    sweep_out = main(sweep_cfg(tmp_path / "sweep", seed_sweep=2))
+    assert "test/acc_seed_ci95" in sweep_out  # aggregate over 2 seeds
+
+    # mesh_dp=1 pins the solo run to the serial single-chip path (the
+    # 8-device test env would otherwise auto-pick the dp engine, whose
+    # per-shard key fold-in is a different — equally valid — stream).
+    # Only seed 0 compares at this level: a solo --seed 1 run would also
+    # REGENERATE the synthetic dataset under seed 1, while the sweep's
+    # replica 1 shares the seed-0 data (real datasets are seed-invariant;
+    # the shared-data contract is pinned by the lower-level test below).
+    solo = main(sweep_cfg(tmp_path / "solo0", seed=0, mesh_dp=1))
+    for k in ("acc", "loss"):
+        np.testing.assert_allclose(
+            sweep_out[f"test/seed0/{k}"], solo[f"test/{k}"],
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"seed 0 {k}: sweep != standalone")
+
+    # aggregate = mean of per-seed
+    np.testing.assert_allclose(
+        sweep_out["test/acc"],
+        np.mean([sweep_out["test/seed0/acc"], sweep_out["test/seed1/acc"]]),
+        rtol=1e-6)
+
+    # one prediction CSV per seed
+    csvs = sorted(glob.glob(os.path.join(
+        str(tmp_path / "sweep"), "results", "run_*_seed*.csv")))
+    assert len(csvs) == 2, csvs
+
+
+@pytest.mark.slow
+def test_sweep_every_replica_matches_serial(tmp_path):
+    """The core contract, on SHARED data: every replica of the sweep
+    follows the serial trajectory of a standalone run with its seed —
+    init, episode stream, training, eval, and test all match (up to
+    vmap/XLA fp reassociation)."""
+    from fumi_tpu.cli.main import _samplers
+    from fumi_tpu.train.logging import MetricWriter
+    from fumi_tpu.train.loop import test_loop, training_run
+    from fumi_tpu.train.steps import make_steps
+    from fumi_tpu.train.sweep import (build_sweep_family, make_opt,
+                                      sweep_seeds, sweep_test,
+                                      sweep_training_run)
+    from fumi_tpu.data.synthetic import synthetic_splits
+
+    cfg = sweep_cfg(tmp_path, seed_sweep=2)
+    splits, table, ids = synthetic_splits(
+        num_classes=32, images_per_class=64, im_dim=cfg.im_emb_dim,
+        text_dim=cfg.text_emb_dim, seed=cfg.seed)
+    samplers = _samplers(cfg, splits, table, ids)
+
+    def writer(tag):
+        d = str(tmp_path / tag)
+        os.makedirs(d, exist_ok=True)
+        return MetricWriter(d, use_wandb=False)
+
+    family = build_sweep_family(cfg, None)
+    params = sweep_training_run(cfg, family, make_opt(cfg), samplers[0],
+                                samplers[1], writer("sweep"),
+                                str(tmp_path / "sweep_run"))
+    k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
+                         for s in sweep_seeds(cfg)])
+    per_seed = sweep_test(cfg, family, params, samplers[2], k_tests,
+                          cfg.max_test_batches)
+
+    for i, s in enumerate(sweep_seeds(cfg)):
+        solo_cfg = cfg.replace(seed=s, seed_sweep=0)
+        k_model, k_train, k_test = jax.random.split(
+            jax.random.PRNGKey(s), 3)
+        steps = make_steps(solo_cfg, k_model)
+        solo_params = training_run(
+            solo_cfg, steps, samplers[0], samplers[1],
+            writer(f"solo{s}"), str(tmp_path / f"solo_run{s}"), k_train)
+        solo_m = test_loop(solo_cfg, steps, solo_params, samplers[2],
+                           solo_cfg.max_test_batches, k_test)
+        for k in ("acc", "loss"):
+            np.testing.assert_allclose(
+                per_seed[i][k], solo_m[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"replica {i} (seed {s}) {k} != serial run")
+
+
+def test_sweep_live_mask_freezes_dead_seed(tmp_path):
+    """A seed whose live flag is False holds params/opt-state bitwise
+    while live seeds keep training (the per-seed early-stop mechanism)."""
+    from fumi_tpu.data.synthetic import synthetic_splits
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.train.sweep import (build_sweep_family,
+                                      make_sweep_chunked_train)
+    from fumi_tpu.train.steps import make_opt
+
+    cfg = sweep_cfg(tmp_path, seed_sweep=2)
+    splits, table, ids = synthetic_splits(
+        num_classes=8, images_per_class=16, im_dim=cfg.im_emb_dim,
+        text_dim=cfg.text_emb_dim, seed=0)
+    spec = EpisodeSpec(cfg.batch_size, cfg.num_ways, cfg.num_shots,
+                       cfg.num_query_train, cfg.im_emb_dim,
+                       cfg.text_emb_dim)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   splits["train"], spec)
+    family = build_sweep_family(cfg, None)
+    opt = make_opt(cfg)
+    params = family.params
+    opt_state = jax.vmap(opt.init)(params)
+    keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+    live = jnp.asarray([True, False])
+
+    run = make_sweep_chunked_train(family, opt, sampler, chunk=3)
+    p2, s2, keys2, ms = run(params, opt_state, keys, live)
+
+    for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], p2)),
+                    jax.tree.leaves(jax.tree.map(lambda x: x[1], params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the live seed DID move
+    moved = any(
+        not np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)))
+    assert moved
+    # both key chains advance (a dead seed stays stream-aligned)
+    assert not np.array_equal(np.asarray(keys2), np.asarray(keys))
+    # metric leaves carry the (chunk, S) shape (scan stacks steps first)
+    assert np.asarray(ms["loss"]).shape == (3, 2)
+
+
+@pytest.mark.parametrize("kw,err", [
+    (dict(model="clip", text_encoder="BERT"), NotImplementedError),
+    (dict(device_sampler=False), NotImplementedError),
+    (dict(mesh_mp=2), NotImplementedError),
+    (dict(evaluate=True), NotImplementedError),
+    (dict(checkpoint="x"), NotImplementedError),
+])
+def test_sweep_validation_rejections(tmp_path, kw, err):
+    with pytest.raises(err):
+        sweep_cfg(tmp_path, seed_sweep=2, **kw).validate()
+
+
+@pytest.mark.slow
+def test_sweep_per_seed_patience(tmp_path):
+    """patience > 0 applies per seed; the run completes and returns
+    per-seed metrics (AM3 exercises eval-at-batch-0 + best-view reload)."""
+    out = main(sweep_cfg(tmp_path, model="am3", seed_sweep=2,
+                         epochs=12, eval_freq=4, patience=3))
+    for s in (0, 1):
+        assert np.isfinite(out[f"test/seed{s}/loss"])
+        assert 0.0 <= out[f"test/seed{s}/acc"] <= 1.0
+    assert "test/avg_lamda" in out
