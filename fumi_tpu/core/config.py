@@ -318,10 +318,17 @@ class Config:
                 raise NotImplementedError(
                     "--tpu_seed_sweep requires the device sampler "
                     "(the host sampler is the serial parity mode)")
-            if self.mesh_mp > 1 or self.mesh_dp > 1:
+            if self.mesh_mp > 1:
                 raise NotImplementedError(
-                    "--tpu_seed_sweep shards over the seed axis; combine "
-                    "with --tpu_mesh_dp/--tpu_mesh_mp is not supported")
+                    "--tpu_seed_sweep shards over the seed axis; "
+                    "--tpu_mesh_mp is not supported with it")
+            if self.mesh_dp > 1 and self.seed_sweep % self.mesh_dp != 0:
+                # with a sweep, the dp axis means SEED sharding (replica
+                # i on device i*dp/S), so it must divide the seed count
+                raise ValueError(
+                    f"--tpu_seed_sweep {self.seed_sweep} must be a "
+                    f"multiple of --tpu_mesh_dp {self.mesh_dp} (the dp "
+                    "axis shards the seed axis in a sweep)")
             if self.checkpoint or self.auto_resume or self.evaluate:
                 raise NotImplementedError(
                     "--tpu_seed_sweep trains fresh replicas; "

@@ -20,6 +20,13 @@ lapses freezes (params/opt-state hold; its key still advances so later
 steps of other seeds are unaffected), and training ends when every seed
 is done — the same semantics as S sequential runs, without desyncing the
 lockstep program.
+
+Multi-chip: the seed axis is embarrassingly parallel (replicas never
+communicate), so on a multi-device platform the stacked pytrees are
+sharded over the ``dp`` mesh axis (seed i lives wholly on device
+i*D/S) and the SAME jitted programs run with zero collectives — XLA
+just partitions the vmapped body. Sharded ≡ single-device is pinned by
+tests/test_sweep.py.
 """
 
 from __future__ import annotations
@@ -66,6 +73,41 @@ def _where_seed(mask, new, old):
         m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
         return jnp.where(m, a, b)
     return jax.tree.map(sel, new, old)
+
+
+def sweep_mesh(cfg: Config):
+    """The seed-sharding mesh: explicit ``--tpu_mesh_dp`` (validated to
+    divide S), else the largest device count dividing S. None when one
+    device (or no divisor > 1) — the single-device vmap is the program
+    either way; the mesh only changes placement."""
+    import jax
+    from fumi_tpu.core import mesh as mesh_lib
+    n_dev = len(jax.devices())
+    dp = cfg.mesh_dp
+    if dp <= 1:
+        dp = mesh_lib.largest_divisor_leq(cfg.seed_sweep, n_dev)
+    if dp <= 1:
+        return None
+    return mesh_lib.make_mesh(dp, 1)
+
+
+def _seed_sharding(mesh):
+    from fumi_tpu.core.mesh import DP_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def _place_sweep(mesh, sampler, *trees):
+    """Shard stacked pytrees over the seed axis and replicate the
+    sampler's tables (each device gathers its own seeds' episodes from a
+    local copy). No-op when mesh is None."""
+    if mesh is None:
+        return trees
+    import jax
+    from fumi_tpu.core.mesh import put_replicated
+    sampler.tables = put_replicated(sampler.tables, mesh)
+    sh = _seed_sharding(mesh)
+    return tuple(jax.device_put(t, sh) for t in trees)
 
 
 def build_sweep_family(cfg: Config, dictionary=None):
@@ -171,9 +213,11 @@ def _eval_view_stacked(cfg: Config, params, opt_state):
 
 def sweep_test(cfg: Config, family: Family, params, sampler,
                keys, max_num_batches: int,
-               collect_artifacts: bool = False) -> List[Dict]:
+               collect_artifacts: bool = False, mesh=None) -> List[Dict]:
     """Per-seed test metrics (list of dicts shaped like loop.test_loop's
     output). ``params`` stacked (S,...); ``keys`` (S,) per-seed rngs."""
+    if mesh is not None:
+        params, keys = _place_sweep(mesh, sampler, params, keys)
     run = make_sweep_chunked_eval(family, sampler,
                                   collect=collect_artifacts)
     ms = run(params, keys, max_num_batches + 1)
@@ -200,7 +244,7 @@ def sweep_test(cfg: Config, family: Family, params, sampler,
 def sweep_training_run(cfg: Config, family: Family,
                        opt: optax.GradientTransformation,
                        train_sampler, val_sampler, writer: MetricWriter,
-                       run_dir: str):
+                       run_dir: str, mesh=None):
     """Lockstep training of the S stacked replicas. Returns the stacked
     per-seed FINAL params (each seed's best for AM3/FuMI, last for the
     MAML family — loop.py's reload semantics, ref: maml.py:107).
@@ -232,6 +276,14 @@ def sweep_training_run(cfg: Config, family: Family,
     params = family.params
     opt_state = jax.vmap(opt.init)(params)
     max_test_batches = cfg.max_test_batches // 2  # ref: main.py:82,85,95
+
+    if mesh is not None:
+        # seed-sharded placement: replica i lives wholly on its device
+        # slice; the jitted programs below partition with no collectives
+        (params, opt_state, train_keys, k_inits, k_vals) = _place_sweep(
+            mesh, train_sampler, params, opt_state, train_keys, k_inits,
+            k_vals)
+        _place_sweep(mesh, val_sampler)
 
     eval_fn = make_sweep_chunked_eval(family, val_sampler)
 
@@ -265,8 +317,14 @@ def sweep_training_run(cfg: Config, family: Family,
                          + cfg.patience + 1)
         return min(stops)
 
+    def place_live(mask):
+        arr = jnp.asarray(mask)
+        if mesh is not None:
+            arr = jax.device_put(arr, _seed_sharding(mesh))
+        return arr
+
     batch_idx = 0
-    live_dev = jnp.asarray(live)
+    live_dev = place_live(live)
     try:
         while True:
             stop = next_stop(batch_idx)
@@ -319,7 +377,7 @@ def sweep_training_run(cfg: Config, family: Family,
                 lapsed = batch_idx - best_batch_idx > cfg.patience
                 if (live & lapsed).any():
                     live = live & ~lapsed
-                    live_dev = jnp.asarray(live)
+                    live_dev = place_live(live)
             if (batch_idx > cfg.epochs - 1) or not live.any():
                 break
             batch_idx += 1
@@ -360,16 +418,21 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
     seeds = sweep_seeds(cfg)
     family = build_sweep_family(cfg, dictionary)
     opt = make_opt(cfg)
+    mesh = sweep_mesh(cfg)
+    if mesh is not None:
+        print(f"seed sweep sharded over {mesh.shape} "
+              f"({cfg.seed_sweep} seeds)")
 
     params = sweep_training_run(cfg, family, opt, train_s, val_s, writer,
-                                run_dir)
+                                run_dir, mesh=mesh)
 
     # per-seed test keys: the standalone driver's k_test
     # (cli/main.py:216-217)
     k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
                          for s in seeds])
     per_seed = sweep_test(cfg, family, params, test_s, k_tests,
-                          cfg.max_test_batches, collect_artifacts=True)
+                          cfg.max_test_batches, collect_artifacts=True,
+                          mesh=mesh)
 
     out = {}
     scalar_keys = [k for k, v in per_seed[0].items()

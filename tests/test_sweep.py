@@ -170,6 +170,50 @@ def test_sweep_validation_rejections(tmp_path, kw, err):
 
 
 @pytest.mark.slow
+def test_sweep_sharded_matches_single_device(tmp_path):
+    """Seed-axis sharding over the dp mesh is placement-only (replicas
+    never communicate): the sharded sweep's per-seed test metrics equal
+    the single-device sweep's."""
+    from fumi_tpu.cli.main import _samplers
+    from fumi_tpu.core import mesh as mesh_lib
+    from fumi_tpu.train.logging import MetricWriter
+    from fumi_tpu.train.sweep import (build_sweep_family, make_opt,
+                                      sweep_seeds, sweep_test,
+                                      sweep_training_run)
+    from fumi_tpu.data.synthetic import synthetic_splits
+
+    cfg = sweep_cfg(tmp_path, seed_sweep=4, epochs=8, eval_freq=4)
+    splits, table, ids = synthetic_splits(
+        num_classes=32, images_per_class=64, im_dim=cfg.im_emb_dim,
+        text_dim=cfg.text_emb_dim, seed=cfg.seed)
+
+    def writer(tag):
+        d = str(tmp_path / tag)
+        os.makedirs(d, exist_ok=True)
+        return MetricWriter(d, use_wandb=False)
+
+    k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
+                         for s in sweep_seeds(cfg)])
+    results = {}
+    for tag, mesh in (("single", None),
+                      ("sharded", mesh_lib.make_mesh(4, 1))):
+        samplers = _samplers(cfg, splits, table, ids)
+        family = build_sweep_family(cfg, None)
+        params = sweep_training_run(
+            cfg, family, make_opt(cfg), samplers[0], samplers[1],
+            writer(tag), str(tmp_path / f"{tag}_run"), mesh=mesh)
+        results[tag] = sweep_test(cfg, family, params, samplers[2],
+                                  k_tests, cfg.max_test_batches, mesh=mesh)
+
+    for i in range(4):
+        for k in ("acc", "loss"):
+            np.testing.assert_allclose(
+                results["sharded"][i][k], results["single"][i][k],
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"replica {i} {k}: sharded != single-device")
+
+
+@pytest.mark.slow
 def test_sweep_per_seed_patience(tmp_path):
     """patience > 0 applies per seed; the run completes and returns
     per-seed metrics (AM3 exercises eval-at-batch-0 + best-view reload)."""
