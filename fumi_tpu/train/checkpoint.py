@@ -121,13 +121,18 @@ def find_latest_resumable(log_dir: str,
         run = os.path.join(runs_dir, name)
         meta = os.path.join(run, "ckpt.meta.json")
         if os.path.exists(meta) and os.path.isdir(os.path.join(run, "ckpt")):
-            if model is not None:
-                try:
-                    with open(meta) as f:
-                        if json.load(f).get("model") not in (None, model):
-                            continue
-                except (OSError, ValueError):
-                    continue  # unreadable metadata: not resumable
+            try:
+                with open(meta) as f:
+                    md = json.load(f)
+            except (OSError, ValueError):
+                continue  # unreadable metadata: not resumable
+            if model is not None and md.get("model") not in (None, model):
+                continue
+            if md.get("sweep_seeds"):
+                # sweep checkpoints hold SEED-STACKED pytrees — a
+                # single-run auto-resume can't restore them (and a sweep
+                # run doesn't auto-resume)
+                continue
             t = os.path.getmtime(meta)
             if t > best_t:
                 best_t, best_path = t, run

@@ -245,9 +245,14 @@ def sweep_training_run(cfg: Config, family: Family,
                        opt: optax.GradientTransformation,
                        train_sampler, val_sampler, writer: MetricWriter,
                        run_dir: str, mesh=None):
-    """Lockstep training of the S stacked replicas. Returns the stacked
-    per-seed FINAL params (each seed's best for AM3/FuMI, last for the
-    MAML family — loop.py's reload semantics, ref: maml.py:107).
+    """Lockstep training of the S stacked replicas.
+
+    Returns ``(params, opt_state, info)`` — the stacked per-seed FINAL
+    raw params + optimizer state (each seed's best for AM3/FuMI, last
+    for the MAML family — loop.py's reload semantics, ref: maml.py:107;
+    evaluation should see ``_eval_view_stacked`` of them), and ``info``
+    with per-seed ``best_loss``/``best_batch_idx`` + the final
+    ``batch_idx`` for per-seed checkpoint export.
 
     Harness semantics per seed match train/loop.py training_run: initial
     val seeds best_loss, eval every ``eval_freq`` (AM3 at batch 0 too),
@@ -296,7 +301,10 @@ def sweep_training_run(cfg: Config, family: Family,
     best_loss = ms0["loss"].mean(axis=1)  # (S,)
     best_batch_idx = np.zeros(S, dtype=np.int64)
     live = np.ones(S, dtype=bool)
-    best_view = view  # stacked snapshot of what each seed's best eval saw
+    # stacked on-device snapshots of each seed's best RAW state — the
+    # standalone loop's best/ checkpoint role (reload semantics AND the
+    # per-seed export's contents; eval_view of them is what eval sees)
+    best_params, best_opt = params, opt_state
     throughput = Throughput()
     print(f"\nsweep initial loss: {best_loss.tolist()}, "
           f"acc: {ms0['acc'].mean(axis=1).tolist()}")
@@ -353,8 +361,9 @@ def sweep_training_run(cfg: Config, family: Family,
                 best_loss = np.where(improved, val_loss, best_loss)
                 best_batch_idx = np.where(improved, batch_idx,
                                           best_batch_idx)
-                best_view = _where_seed(jnp.asarray(improved), view,
-                                        best_view)
+                imp_dev = place_live(improved)
+                best_params = _where_seed(imp_dev, params, best_params)
+                best_opt = _where_seed(imp_dev, opt_state, best_opt)
                 rec = {}
                 for k, v in ms.items():
                     per_seed = v.mean(axis=1)
@@ -384,10 +393,11 @@ def sweep_training_run(cfg: Config, family: Family,
     except KeyboardInterrupt:
         pass
 
-    final_view = _eval_view_stacked(cfg, params, opt_state)
+    info = {"best_loss": best_loss, "best_batch_idx": best_batch_idx,
+            "batch_idx": batch_idx}
     if reload_best:
-        return best_view
-    return final_view
+        return best_params, best_opt, info
+    return params, opt_state, info
 
 
 def _log_sweep_train(writer: MetricWriter, cfg: Config, start_idx: int,
@@ -423,14 +433,21 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
         print(f"seed sweep sharded over {mesh.shape} "
               f"({cfg.seed_sweep} seeds)")
 
-    params = sweep_training_run(cfg, family, opt, train_s, val_s, writer,
-                                run_dir, mesh=mesh)
+    params, opt_state, info = sweep_training_run(
+        cfg, family, opt, train_s, val_s, writer, run_dir, mesh=mesh)
 
+    # per-seed export: each seed becomes a FIRST-CLASS run dir
+    # (<run>/seed<k>/ with best/ + ckpt/ + config.json + meta) usable by
+    # --checkpoint, --evaluate, serving, and export_torch exactly like a
+    # standalone run's — the sweep's stacked pytrees never leak out
+    export_seed_runs(cfg, run_dir, seeds, params, opt_state, info)
+
+    view = _eval_view_stacked(cfg, params, opt_state)
     # per-seed test keys: the standalone driver's k_test
     # (cli/main.py:216-217)
     k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
                          for s in seeds])
-    per_seed = sweep_test(cfg, family, params, test_s, k_tests,
+    per_seed = sweep_test(cfg, family, view, test_s, k_tests,
                           cfg.max_test_batches, collect_artifacts=True,
                           mesh=mesh)
 
@@ -455,6 +472,34 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
         _save_predictions_csv(cfg, sub, results_path, d)
     writer.finish()
     return out
+
+
+def export_seed_runs(cfg: Config, run_dir: str, seeds, params, opt_state,
+                     info) -> None:
+    """Write one standard run dir per seed under ``run_dir/seed<k>/``:
+    the seed's slice of the final raw params + optimizer state as both
+    ``ckpt/`` and ``best/`` (they coincide — the stacked state returned
+    by training IS each seed's selected state), a ``config.json`` with
+    ``seed=<k>, seed_sweep=0`` so downstream tools rebuild the right
+    model, and the vocabulary artifact when the parent run has one."""
+    import os
+    import json
+    import shutil
+
+    for i, s in enumerate(seeds):
+        seed_dir = os.path.join(run_dir, f"seed{s}")
+        ckpt_lib.save_checkpoint(
+            seed_dir, unstack_tree(params, i), unstack_tree(opt_state, i),
+            int(info["best_batch_idx"][i]), float(info["best_loss"][i]),
+            is_best=True,
+            extra_meta={"model": cfg.model, "seed": int(s),
+                        "exported_from_sweep": True})
+        solo = dataclasses.asdict(cfg.replace(seed=int(s), seed_sweep=0))
+        with open(os.path.join(seed_dir, "config.json"), "w") as f:
+            json.dump(solo, f, indent=1, default=str)
+        vocab = os.path.join(run_dir, "vocab.json")
+        if os.path.exists(vocab):
+            shutil.copyfile(vocab, os.path.join(seed_dir, "vocab.json"))
 
 
 class MetricWriterName:

@@ -62,6 +62,22 @@ def test_sweep_matches_standalone_run(tmp_path):
         str(tmp_path / "sweep"), "results", "run_*_seed*.csv")))
     assert len(csvs) == 2, csvs
 
+    # per-seed exported run dirs are FIRST-CLASS: --evaluate --checkpoint
+    # on seed0's export reproduces the sweep's seed-0 test metrics
+    run_dirs = glob.glob(os.path.join(str(tmp_path / "sweep"), "runs",
+                                      "run_*"))
+    assert len(run_dirs) == 1
+    seed_dir = os.path.join(run_dirs[0], "seed0")
+    assert os.path.isdir(os.path.join(seed_dir, "best"))
+    assert os.path.exists(os.path.join(seed_dir, "config.json"))
+    ev = main(sweep_cfg(tmp_path / "ev", seed=0, mesh_dp=1,
+                        evaluate=True, checkpoint=seed_dir))
+    for k in ("acc", "loss"):
+        np.testing.assert_allclose(
+            ev[f"test/{k}"], sweep_out[f"test/seed0/{k}"],
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"seed0 export --evaluate {k} != sweep report")
+
 
 @pytest.mark.slow
 def test_sweep_every_replica_matches_serial(tmp_path):
@@ -90,9 +106,10 @@ def test_sweep_every_replica_matches_serial(tmp_path):
         return MetricWriter(d, use_wandb=False)
 
     family = build_sweep_family(cfg, None)
-    params = sweep_training_run(cfg, family, make_opt(cfg), samplers[0],
-                                samplers[1], writer("sweep"),
-                                str(tmp_path / "sweep_run"))
+    params, _, _ = sweep_training_run(cfg, family, make_opt(cfg),
+                                      samplers[0], samplers[1],
+                                      writer("sweep"),
+                                      str(tmp_path / "sweep_run"))
     k_tests = jnp.stack([jax.random.split(jax.random.PRNGKey(s), 3)[2]
                          for s in sweep_seeds(cfg)])
     per_seed = sweep_test(cfg, family, params, samplers[2], k_tests,
@@ -199,7 +216,7 @@ def test_sweep_sharded_matches_single_device(tmp_path):
                       ("sharded", mesh_lib.make_mesh(4, 1))):
         samplers = _samplers(cfg, splits, table, ids)
         family = build_sweep_family(cfg, None)
-        params = sweep_training_run(
+        params, _, _ = sweep_training_run(
             cfg, family, make_opt(cfg), samplers[0], samplers[1],
             writer(tag), str(tmp_path / f"{tag}_run"), mesh=mesh)
         results[tag] = sweep_test(cfg, family, params, samplers[2],
@@ -211,6 +228,27 @@ def test_sweep_sharded_matches_single_device(tmp_path):
                 results["sharded"][i][k], results["single"][i][k],
                 rtol=1e-5, atol=1e-6,
                 err_msg=f"replica {i} {k}: sharded != single-device")
+
+
+def test_auto_resume_skips_sweep_checkpoints(tmp_path):
+    """A sweep's stacked checkpoint must not be picked up by a later
+    single-run --tpu_auto_resume (its pytrees carry a leading seed
+    axis)."""
+    import json
+    from fumi_tpu.train.checkpoint import find_latest_resumable
+
+    run = tmp_path / "runs" / "run_sweep"
+    (run / "ckpt").mkdir(parents=True)
+    (run / "ckpt.meta.json").write_text(json.dumps(
+        {"batch_idx": 5, "best_loss": 1.0, "model": "maml",
+         "sweep_seeds": [0, 1]}))
+    assert find_latest_resumable(str(tmp_path), model="maml") is None
+
+    solo = tmp_path / "runs" / "run_solo"
+    (solo / "ckpt").mkdir(parents=True)
+    (solo / "ckpt.meta.json").write_text(json.dumps(
+        {"batch_idx": 5, "best_loss": 1.0, "model": "maml"}))
+    assert find_latest_resumable(str(tmp_path), model="maml") == str(solo)
 
 
 @pytest.mark.slow
