@@ -334,6 +334,14 @@ class Config:
                     "--tpu_seed_sweep trains fresh replicas; "
                     "--checkpoint/--tpu_auto_resume/--evaluate are "
                     "single-run modes")
+            if (self.dist_coordinator is not None
+                    or self.dist_num_processes > 0):
+                # the sweep's placement path device_puts host-local
+                # stacked pytrees; a pod-wide mesh of non-addressable
+                # devices needs multi-host-aware placement it doesn't have
+                raise NotImplementedError(
+                    "--tpu_seed_sweep does not support multi-host "
+                    "(--tpu_dist_*) runs; launch per-host sweeps instead")
         return self
 
     def replace(self, **kw) -> "Config":

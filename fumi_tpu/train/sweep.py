@@ -27,6 +27,14 @@ sharded over the ``dp`` mesh axis (seed i lives wholly on device
 i*D/S) and the SAME jitted programs run with zero collectives — XLA
 just partitions the vmapped body. Sharded ≡ single-device is pinned by
 tests/test_sweep.py.
+
+Known trade-off: stacking duplicates FROZEN seed-invariant subtrees
+(e.g. a pretrained glove table under ``--text_encoder glove`` without
+``--fine_tune``) S times in HBM and in the sweep checkpoint. Replicating
+those subtrees instead (vmap in_axes=None per subtree) would save the
+memory at the cost of threading per-subtree axes through every stacked
+program and the per-seed export; at the flagship scales (tables ≤ ~70 MB,
+S ≤ 8) the duplication is accepted and recorded here.
 """
 
 from __future__ import annotations
@@ -45,9 +53,8 @@ from fumi_tpu.train import checkpoint as ckpt_lib
 from fumi_tpu.train.logging import MetricWriter
 from fumi_tpu.train.steps import (Family, _train_metrics, build_family,
                                   make_opt, train_scan_unroll)
+from fumi_tpu.train.loop import ARTIFACT_KEYS, _ci95, _flatten_artifacts
 from fumi_tpu.utils.profiling import Throughput
-
-ARTIFACT_KEYS = ("preds", "targets", "lamda", "query_idx", "support_idx")
 
 
 def sweep_seeds(cfg: Config) -> List[int]:
@@ -77,15 +84,16 @@ def _where_seed(mask, new, old):
 
 def sweep_mesh(cfg: Config):
     """The seed-sharding mesh: explicit ``--tpu_mesh_dp`` (validated to
-    divide S), else the largest device count dividing S. None when one
-    device (or no divisor > 1) — the single-device vmap is the program
-    either way; the mesh only changes placement."""
+    divide S; ``1`` PINS the single-device layout, matching the
+    standalone driver's convention), ``0`` auto-picks the largest device
+    count dividing S. None for a single-device layout — the vmap is the
+    same program either way; the mesh only changes placement."""
     import jax
     from fumi_tpu.core import mesh as mesh_lib
-    n_dev = len(jax.devices())
     dp = cfg.mesh_dp
-    if dp <= 1:
-        dp = mesh_lib.largest_divisor_leq(cfg.seed_sweep, n_dev)
+    if dp == 0:
+        dp = mesh_lib.largest_divisor_leq(cfg.seed_sweep,
+                                          len(jax.devices()))
     if dp <= 1:
         return None
     return mesh_lib.make_mesh(dp, 1)
@@ -227,16 +235,12 @@ def sweep_test(cfg: Config, family: Family, params, sampler,
     for i in range(S):
         d = {k: float(v[i].mean()) for k, v in ms.items()
              if k not in ARTIFACT_KEYS}
-        from fumi_tpu.train.loop import _ci95
         d.update(_ci95(ms.get("acc", [None] * S)[i],
                        ms.get("loss", [None] * S)[i]))
         if collect_artifacts:
-            for src, dst in (("preds", "preds"), ("targets", "targets"),
-                             ("query_idx", "query_idx"),
-                             ("support_idx", "support_idx"),
-                             ("lamda", "support_lamdas")):
-                if src in ms:
-                    d[dst] = ms[src][i].reshape(-1).tolist()
+            # same key mapping as the standalone test_loop's artifacts
+            d.update(_flatten_artifacts(
+                {k: v[i] for k, v in ms.items() if k in ARTIFACT_KEYS}))
         out.append(d)
     return out
 
@@ -303,8 +307,13 @@ def sweep_training_run(cfg: Config, family: Family,
     live = np.ones(S, dtype=bool)
     # stacked on-device snapshots of each seed's best RAW state — the
     # standalone loop's best/ checkpoint role (reload semantics AND the
-    # per-seed export's contents; eval_view of them is what eval sees)
+    # per-seed export's contents; eval_view of them is what eval sees).
+    # ever_improved guards the final selection: a seed that never beats
+    # its INITIAL validation has no best/ in standalone terms (loop.py
+    # reloads best/ only if it exists) and must fall back to its final
+    # trained params, not these init-time snapshots.
     best_params, best_opt = params, opt_state
+    ever_improved = np.zeros(S, dtype=bool)
     throughput = Throughput()
     print(f"\nsweep initial loss: {best_loss.tolist()}, "
           f"acc: {ms0['acc'].mean(axis=1).tolist()}")
@@ -361,6 +370,7 @@ def sweep_training_run(cfg: Config, family: Family,
                 best_loss = np.where(improved, val_loss, best_loss)
                 best_batch_idx = np.where(improved, batch_idx,
                                           best_batch_idx)
+                ever_improved = ever_improved | improved
                 imp_dev = place_live(improved)
                 best_params = _where_seed(imp_dev, params, best_params)
                 best_opt = _where_seed(imp_dev, opt_state, best_opt)
@@ -394,9 +404,15 @@ def sweep_training_run(cfg: Config, family: Family,
         pass
 
     info = {"best_loss": best_loss, "best_batch_idx": best_batch_idx,
-            "batch_idx": batch_idx}
+            "batch_idx": batch_idx,
+            "selection": "best" if reload_best else "last"}
     if reload_best:
-        return best_params, best_opt, info
+        # per-seed fallback: no-improvement seeds keep their final
+        # trained state (standalone loop.py:338 reloads best/ only when
+        # it exists)
+        ei = place_live(ever_improved)
+        return (_where_seed(ei, best_params, params),
+                _where_seed(ei, best_opt, opt_state), info)
     return params, opt_state, info
 
 
@@ -433,8 +449,10 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
         print(f"seed sweep sharded over {mesh.shape} "
               f"({cfg.seed_sweep} seeds)")
 
-    params, opt_state, info = sweep_training_run(
-        cfg, family, opt, train_s, val_s, writer, run_dir, mesh=mesh)
+    from fumi_tpu.utils.profiling import profile_trace
+    with profile_trace(cfg.profile_dir):
+        params, opt_state, info = sweep_training_run(
+            cfg, family, opt, train_s, val_s, writer, run_dir, mesh=mesh)
 
     # per-seed export: each seed becomes a FIRST-CLASS run dir
     # (<run>/seed<k>/ with best/ + ckpt/ + config.json + meta) usable by
@@ -477,23 +495,31 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
 def export_seed_runs(cfg: Config, run_dir: str, seeds, params, opt_state,
                      info) -> None:
     """Write one standard run dir per seed under ``run_dir/seed<k>/``:
-    the seed's slice of the final raw params + optimizer state as both
+    the seed's slice of the SELECTED raw params + optimizer state as both
     ``ckpt/`` and ``best/`` (they coincide — the stacked state returned
-    by training IS each seed's selected state), a ``config.json`` with
-    ``seed=<k>, seed_sweep=0`` so downstream tools rebuild the right
-    model, and the vocabulary artifact when the parent run has one."""
+    by training IS each seed's selected state: best-val for AM3/FuMI,
+    final for the MAML family, ``info["selection"]``), a ``config.json``
+    with ``seed=<k>, seed_sweep=0`` so downstream tools rebuild the right
+    model, and the vocabulary artifact when the parent run has one.
+    Metadata stamps the step the stored state comes from (best step for
+    "best" selection, the final step for "last" — a last-selection
+    export's best/ is NOT a best-val snapshot; the meta records that)."""
     import os
     import json
     import shutil
 
     for i, s in enumerate(seeds):
         seed_dir = os.path.join(run_dir, f"seed{s}")
+        at_step = (int(info["best_batch_idx"][i])
+                   if info["selection"] == "best"
+                   else int(info["batch_idx"]))
         ckpt_lib.save_checkpoint(
             seed_dir, unstack_tree(params, i), unstack_tree(opt_state, i),
-            int(info["best_batch_idx"][i]), float(info["best_loss"][i]),
+            at_step, float(info["best_loss"][i]),
             is_best=True,
             extra_meta={"model": cfg.model, "seed": int(s),
-                        "exported_from_sweep": True})
+                        "exported_from_sweep": True,
+                        "selection": info["selection"]})
         solo = dataclasses.asdict(cfg.replace(seed=int(s), seed_sweep=0))
         with open(os.path.join(seed_dir, "config.json"), "w") as f:
             json.dump(solo, f, indent=1, default=str)

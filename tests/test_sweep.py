@@ -230,6 +230,55 @@ def test_sweep_sharded_matches_single_device(tmp_path):
                 err_msg=f"replica {i} {k}: sharded != single-device")
 
 
+def test_sweep_mesh_dp_pins_layout():
+    """--tpu_mesh_dp 1 pins the single-device layout (standalone
+    convention); 0 auto-shards; an explicit dp must divide S."""
+    from fumi_tpu.train.sweep import sweep_mesh
+    cfg = Config(model="maml", dataset="synthetic", seed_sweep=4)
+    assert sweep_mesh(cfg.replace(mesh_dp=1)) is None
+    auto = sweep_mesh(cfg.replace(mesh_dp=0))
+    assert auto is not None and auto.shape["dp"] == 4  # 8-device env
+    pinned = sweep_mesh(cfg.replace(mesh_dp=2))
+    assert pinned.shape["dp"] == 2
+    with pytest.raises(NotImplementedError):
+        cfg.replace(mesh_dp=2, dist_coordinator="h:1",
+                    dist_num_processes=2, dist_process_id=0).validate()
+
+
+@pytest.mark.slow
+def test_sweep_no_improvement_returns_trained_params(tmp_path):
+    """A reload-best family whose seeds never hit an eval boundary (or
+    never beat the initial validation) must fall back to the FINAL
+    trained params — standalone loop.py reloads best/ only when it
+    exists; returning the init-time snapshot would silently export an
+    untrained model."""
+    from fumi_tpu.cli.main import _samplers
+    from fumi_tpu.train.logging import MetricWriter
+    from fumi_tpu.train.sweep import (build_sweep_family, make_opt,
+                                      sweep_training_run)
+    from fumi_tpu.data.synthetic import synthetic_splits
+
+    # eval_freq > epochs: no eval boundary is ever reached
+    cfg = sweep_cfg(tmp_path, model="fumi", seed_sweep=2, epochs=5,
+                    eval_freq=50)
+    splits, table, ids = synthetic_splits(
+        num_classes=32, images_per_class=64, im_dim=cfg.im_emb_dim,
+        text_dim=cfg.text_emb_dim, seed=cfg.seed)
+    samplers = _samplers(cfg, splits, table, ids)
+    family = build_sweep_family(cfg, None)
+    init_leaves = [np.asarray(x) for x in jax.tree.leaves(family.params)]
+    d = str(tmp_path / "w")
+    os.makedirs(d, exist_ok=True)
+    params, _, info = sweep_training_run(
+        cfg, family, make_opt(cfg), samplers[0], samplers[1],
+        MetricWriter(d, use_wandb=False), str(tmp_path / "run"))
+    assert info["selection"] == "best"
+    moved = any(
+        not np.array_equal(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(params), init_leaves))
+    assert moved, "returned params are the untrained init snapshot"
+
+
 def test_auto_resume_skips_sweep_checkpoints(tmp_path):
     """A sweep's stacked checkpoint must not be picked up by a later
     single-run --tpu_auto_resume (its pytrees carry a leading seed
