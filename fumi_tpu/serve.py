@@ -506,6 +506,201 @@ class FewShotClassifier:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+class SeedEnsemble:
+    """Seed-ensemble serving: S replicas of the same config (typically a
+    ``--tpu_seed_sweep`` run's per-seed exports) adapt VMAPPED in one
+    program and classify by averaging the replicas' per-class
+    probabilities — the standard cheap accuracy boost for few-shot
+    models, TPU-native because the seed axis batches every matmul of the
+    adaptation exactly like training's sweep does.
+
+    Same service surface as :class:`FewShotClassifier` (adapt/classify/
+    logits/episode_logits[_batch]/reload), so the HTTP front-end serves
+    an ensemble transparently. Returned "logits" are
+    ``log(mean_s softmax(logits_s))`` — softmax of that IS the ensemble
+    distribution, so every downstream return mode renders correctly.
+
+    ``params`` is the stacked (S, ...) pytree; replicas never exchange
+    information, so on a multi-device platform the same zero-collective
+    seed sharding as training applies (pass the stacked params already
+    placed).
+    """
+
+    def __init__(self, cfg: Config, params, dictionary=None):
+        cfg = cfg.replace(seed_sweep=0)  # per-replica config
+        self._base = FewShotClassifier(cfg, None, dictionary)
+        self.cfg = self._base.cfg
+        if params is None:
+            raise ValueError("SeedEnsemble needs stacked (S, ...) params "
+                             "(e.g. SeedEnsemble.from_sweep_run)")
+        self.params = params
+        self.num_seeds = jax.tree.leaves(params)[0].shape[0]
+        self._state = None
+        self._classify_fn = None
+        self._vadapt = None
+        self._vepisode = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sweep_run(cls, run_dir: str, cfg: Optional[Config] = None,
+                       best: bool = True) -> "SeedEnsemble":
+        """Build from a sweep run dir's per-seed exports
+        (``run_dir/seed<k>/`` — train/sweep.py export_seed_runs)."""
+        import glob
+        import os
+        import re
+
+        if cfg is None:
+            from fumi_tpu.core.config import config_from_json
+            path = os.path.join(run_dir, "config.json")
+            cfg = config_from_json(path).replace(seed_sweep=0)
+        seed_dirs = sorted(
+            glob.glob(os.path.join(run_dir, "seed*")),
+            key=lambda d: int(re.search(r"(\d+)$", d).group(1)))
+        seed_dirs = [d for d in seed_dirs if os.path.isdir(d)]
+        if not seed_dirs:
+            raise FileNotFoundError(
+                f"no seed*/ exports under {run_dir} (a --tpu_seed_sweep "
+                "run writes them at the end of training)")
+        dictionary = serving_dictionary(cfg, run_dir)
+
+        from fumi_tpu.train import checkpoint as ckpt_lib
+        from fumi_tpu.train.loop import eval_view
+        from fumi_tpu.train.steps import make_opt
+        template = build_family(cfg, jax.random.PRNGKey(cfg.seed),
+                                dictionary).params
+        opt = make_opt(cfg)
+        views = []
+        for d in seed_dirs:
+            p, s, _ = ckpt_lib.load_checkpoint(d, template,
+                                               opt.init(template),
+                                               best=best)
+            views.append(eval_view(cfg, p, s))
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+        self = cls(cfg, params, dictionary)
+        self._run_dir = run_dir
+        return self
+
+    # ------------------------------------------------------------------
+    @property
+    def text_is_tokens(self) -> bool:
+        return self._base.text_is_tokens
+
+    def _ensure_fns(self):
+        if self._vadapt is None:
+            adapt_fn, serve_fn = self._base._build_adapt_fns()
+            self._vadapt = jax.jit(jax.vmap(
+                adapt_fn, in_axes=(0, None, None, None, 0)))
+            self._vserve = jax.jit(jax.vmap(
+                serve_fn, in_axes=(0, 0, None)))
+
+    @staticmethod
+    def _reduce(logits_s, axis=0):
+        """(S, ..., N) per-seed logits -> ensemble log-probs."""
+        probs = jax.nn.softmax(logits_s, axis=-1).mean(axis=axis)
+        return jnp.log(probs + 1e-9)
+
+    def adapt(self, support_im, support_text=None, support_y=None,
+              rng: Optional[jax.Array] = None) -> None:
+        """Adapt ALL replicas on this support set in one vmapped program
+        (replica i uses key fold_in(rng, i))."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        support_text = self._base._prep_text(support_text,
+                                             support_im.shape[0])
+        self._ensure_fns()
+        keys = jax.random.split(rng, self.num_seeds)
+        state = self._vadapt(self.params, support_im, support_text,
+                             support_y, keys)
+        self._state = state
+        vserve, params = self._vserve, self.params
+        self._classify_fn = lambda q: self._reduce(vserve(params, state, q))
+
+    def logits(self, query_im) -> jnp.ndarray:
+        if self._classify_fn is None:
+            raise RuntimeError("call adapt(...) before classify/logits")
+        return self._classify_fn(jnp.asarray(query_im))
+
+    def classify(self, query_im, return_probs: bool = False):
+        logits = self.logits(query_im)
+        if return_probs:
+            return jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # one-call episode paths: per-seed keys fold the request key
+    def _episode_request(self, s_im, s_y, q_im, s_text, keys):
+        if self._vepisode is None:
+            # force the vmap engine: the fused Pallas adaptation kernels
+            # have no batching rule over the stacked params axis (same
+            # reason a request mesh bypasses them; _build_episode_fn
+            # gates on `self.mesh is None`)
+            saved_mesh = self._base.mesh
+            self._base.mesh = ()
+            try:
+                fn = self._base._build_episode_fn()
+            finally:
+                self._base.mesh = saved_mesh
+            self._vepisode = jax.jit(jax.vmap(
+                fn, in_axes=(0, None, None, None, None, 0)))
+        S = self.num_seeds
+        seed_keys = jax.vmap(
+            lambda i: jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+        )(jnp.arange(S))  # (S, R) keys
+        out = self._vepisode(self.params, s_im, s_y, q_im, s_text,
+                             seed_keys)  # (S, R, M, N)
+        return self._reduce(out)
+
+    def episode_logits(self, support_im, support_y, query_im,
+                       support_text=None,
+                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        support_text = self._base._prep_text(support_text,
+                                             support_im.shape[0])
+        query_im = jnp.asarray(query_im)
+        return self._episode_request(
+            support_im[None], support_y[None], query_im[None],
+            support_text[None], _stack_keys([rng]))[0]
+
+    def episode_logits_batch(self, support_im, support_y, query_im,
+                             support_text=None,
+                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        support_im = jnp.asarray(support_im)
+        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        R = support_im.shape[0]
+        support_text = self._base._prep_text(support_text, R,
+                                             support_im.shape[1])
+        query_im = jnp.asarray(query_im)
+        keys = jax.random.split(rng, R)
+        r_pad = max(1, 1 << (R - 1).bit_length())  # same bucketing policy
+        if r_pad != R:
+            pad = r_pad - R
+            tile = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            support_im, support_y = tile(support_im), tile(support_y)
+            support_text, query_im = tile(support_text), tile(query_im)
+            keys = tile(keys)
+        out = self._episode_request(support_im, support_y, query_im,
+                                    support_text, keys)
+        return out[:R]
+
+    def reload(self, run_dir: Optional[str] = None,
+               best: bool = True) -> None:
+        """Hot-swap ALL replicas from a sweep run dir's seed exports."""
+        run_dir = run_dir or getattr(self, "_run_dir", None)
+        if run_dir is None:
+            raise ValueError("reload needs a sweep run dir")
+        fresh = SeedEnsemble.from_sweep_run(run_dir, self.cfg, best=best)
+        self.params = fresh.params
+        self.num_seeds = fresh.num_seeds
+        self._run_dir = run_dir
+        self._state = None
+        self._classify_fn = None
+
+
 class ClipRetrieval:
     """CLIP serving: index a gallery once, rank many queries against it.
 

@@ -429,9 +429,19 @@ def main(argv=None) -> None:
         clf = (ClipRetrieval.from_checkpoint(run_dir, cfg)
                if run_dir else ClipRetrieval(cfg, None))
     elif run_dir:
-        # from_checkpoint resolves the token dictionary itself (vocab.json
-        # shipped with the run, else the --data_dir pipeline)
-        clf = FewShotClassifier.from_checkpoint(run_dir, cfg)
+        import glob as _glob
+        import os as _os
+        if _glob.glob(_os.path.join(run_dir, "seed*", "best")):
+            # a --tpu_seed_sweep run dir: serve the SEED ENSEMBLE over
+            # its per-seed exports (average of replica probabilities)
+            from fumi_tpu.serve import SeedEnsemble
+            clf = SeedEnsemble.from_sweep_run(run_dir, cfg)
+            print(f"seed ensemble: {clf.num_seeds} replicas from "
+                  f"{run_dir}/seed*/")
+        else:
+            # from_checkpoint resolves the token dictionary itself
+            # (vocab.json shipped with the run, else --data_dir pipeline)
+            clf = FewShotClassifier.from_checkpoint(run_dir, cfg)
     else:
         from fumi_tpu.serve import serving_dictionary
         clf = FewShotClassifier(cfg, None,
