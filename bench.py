@@ -231,6 +231,13 @@ def main():
                 bench_tpu(args.steps, model=model), 2)
         side["eval_fumi_100step_eps_per_sec"] = round(
             bench_eval(chunk=32), 2)
+        # lockstep multi-seed sweep at the measured sweet spot S=4
+        # (docs/PERFORMANCE.md sweep-scaling table)
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.sweep_scaling import bench_sweep
+        side["fumi_sweep4_aggregate_eps_per_sec"] = round(
+            bench_sweep(4, chunk=500, iters=4), 2)
         with open("bench_all.json", "w") as f:
             json.dump(side, f, indent=1)
         print(json.dumps(side))
