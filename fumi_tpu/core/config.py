@@ -329,11 +329,12 @@ class Config:
                     f"--tpu_seed_sweep {self.seed_sweep} must be a "
                     f"multiple of --tpu_mesh_dp {self.mesh_dp} (the dp "
                     "axis shards the seed axis in a sweep)")
-            if self.checkpoint or self.auto_resume or self.evaluate:
+            if self.checkpoint or self.evaluate:
                 raise NotImplementedError(
                     "--tpu_seed_sweep trains fresh replicas; "
-                    "--checkpoint/--tpu_auto_resume/--evaluate are "
-                    "single-run modes")
+                    "--checkpoint/--evaluate are single-run modes "
+                    "(--tpu_auto_resume IS supported: a crashed sweep "
+                    "resumes its stacked state + per-seed bests)")
             if (self.dist_coordinator is not None
                     or self.dist_num_processes > 0):
                 # the sweep's placement path device_puts host-local

@@ -104,7 +104,9 @@ def _wandb_save(run_dir: str, is_best: bool) -> None:
 
 
 def find_latest_resumable(log_dir: str,
-                          model: Optional[str] = None) -> Optional[str]:
+                          model: Optional[str] = None,
+                          sweep_seeds: Optional[list] = None
+                          ) -> Optional[str]:
     """Newest run dir under ``log_dir/runs`` holding a ckpt/ checkpoint.
 
     The crash-recovery discovery step for ``--tpu_auto_resume``: ranked by
@@ -112,7 +114,9 @@ def find_latest_resumable(log_dir: str,
     most recently *progressing* run wins, not the most recently created.
     ``model`` filters to runs of that family — log_dir defaults to a
     shared ./results, and restoring another family's pytree would die on a
-    structure mismatch at startup."""
+    structure mismatch at startup. ``sweep_seeds`` (a seed list) filters
+    to SWEEP checkpoints of exactly that seed set; None (default) filters
+    sweep checkpoints OUT (their pytrees carry a leading seed axis)."""
     runs_dir = os.path.join(log_dir, "runs")
     if not os.path.isdir(runs_dir):
         return None
@@ -128,10 +132,14 @@ def find_latest_resumable(log_dir: str,
                 continue  # unreadable metadata: not resumable
             if model is not None and md.get("model") not in (None, model):
                 continue
-            if md.get("sweep_seeds"):
-                # sweep checkpoints hold SEED-STACKED pytrees — a
-                # single-run auto-resume can't restore them (and a sweep
-                # run doesn't auto-resume)
+            if sweep_seeds is None:
+                if md.get("sweep_seeds"):
+                    # sweep checkpoints hold SEED-STACKED pytrees — a
+                    # single-run auto-resume can't restore them
+                    continue
+            elif list(md.get("sweep_seeds") or []) != list(sweep_seeds):
+                # a sweep resumes only its own seed set (anything else
+                # is a different experiment or a single run)
                 continue
             t = os.path.getmtime(meta)
             if t > best_t:

@@ -245,10 +245,25 @@ def sweep_test(cfg: Config, family: Family, params, sampler,
     return out
 
 
+def _key_payload(keys):
+    """Checkpoint-safe form of a stacked PRNG-key array (typed keys are
+    unwrapped to raw data; legacy uint32 keys pass through)."""
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(keys)
+    return keys
+
+
+def _keys_from_payload(data, like):
+    if jnp.issubdtype(like.dtype, jax.dtypes.prng_key):
+        return jax.random.wrap_key_data(
+            jnp.asarray(data), impl=jax.random.key_impl(like))
+    return jnp.asarray(data)
+
+
 def sweep_training_run(cfg: Config, family: Family,
                        opt: optax.GradientTransformation,
                        train_sampler, val_sampler, writer: MetricWriter,
-                       run_dir: str, mesh=None):
+                       run_dir: str, mesh=None, resume_dir=None):
     """Lockstep training of the S stacked replicas.
 
     Returns ``(params, opt_state, info)`` — the stacked per-seed FINAL
@@ -286,25 +301,6 @@ def sweep_training_run(cfg: Config, family: Family,
     opt_state = jax.vmap(opt.init)(params)
     max_test_batches = cfg.max_test_batches // 2  # ref: main.py:82,85,95
 
-    if mesh is not None:
-        # seed-sharded placement: replica i lives wholly on its device
-        # slice; the jitted programs below partition with no collectives
-        (params, opt_state, train_keys, k_inits, k_vals) = _place_sweep(
-            mesh, train_sampler, params, opt_state, train_keys, k_inits,
-            k_vals)
-        _place_sweep(mesh, val_sampler)
-
-    eval_fn = make_sweep_chunked_eval(family, val_sampler)
-
-    def run_eval(p_view, keys):
-        ms = eval_fn(p_view, keys, max_test_batches + 1)
-        return {k: np.asarray(v) for k, v in ms.items()}
-
-    view = _eval_view_stacked(cfg, params, opt_state)
-    ms0 = run_eval(view, k_inits)
-    best_loss = ms0["loss"].mean(axis=1)  # (S,)
-    best_batch_idx = np.zeros(S, dtype=np.int64)
-    live = np.ones(S, dtype=bool)
     # stacked on-device snapshots of each seed's best RAW state — the
     # standalone loop's best/ checkpoint role (reload semantics AND the
     # per-seed export's contents; eval_view of them is what eval sees).
@@ -313,10 +309,72 @@ def sweep_training_run(cfg: Config, family: Family,
     # reloads best/ only if it exists) and must fall back to its final
     # trained params, not these init-time snapshots.
     best_params, best_opt = params, opt_state
+    best_loss = None  # set by the initial eval (or restored)
+    best_batch_idx = np.zeros(S, dtype=np.int64)
+    live = np.ones(S, dtype=bool)
     ever_improved = np.zeros(S, dtype=bool)
+    start_batch = 0
+
+    if resume_dir is not None:
+        # crash recovery (--tpu_auto_resume): restore the LIVE + BEST
+        # stacked states AND the carried per-seed train keys — the
+        # resumed run replays any steps past the last boundary with the
+        # exact key stream a crash-free run would have used
+        try:
+            payload_p = {"state": params, "best": best_params,
+                         "train_keys": _key_payload(train_keys)}
+            payload_s = {"state": opt_state, "best": best_opt}
+            payload_p, payload_s, meta = ckpt_lib.load_checkpoint(
+                resume_dir, payload_p, payload_s, best=False)
+        except Exception as e:
+            # recovery must not be worse than no recovery (same policy
+            # as the standalone driver, cli/main.py): an incompatible
+            # checkpoint starts fresh instead of dying at startup
+            print(f"sweep auto-resume: cannot restore {resume_dir} "
+                  f"({type(e).__name__}: {e}); starting fresh")
+        else:
+            params, best_params = payload_p["state"], payload_p["best"]
+            train_keys = _keys_from_payload(payload_p["train_keys"],
+                                            train_keys)
+            opt_state, best_opt = payload_s["state"], payload_s["best"]
+            best_loss = np.asarray(meta["best_loss_per_seed"], np.float64)
+            best_batch_idx = np.asarray(meta["best_batch_idx_per_seed"],
+                                        np.int64)
+            live = np.asarray(meta["live_per_seed"], bool)
+            ever_improved = np.asarray(meta["ever_improved_per_seed"],
+                                       bool)
+            start_batch = int(meta["batch_idx"]) + 1
+            if cfg.patience > 0:
+                # the boundary's own patience flip happens AFTER the save
+                # in a crash-free run — re-derive it so a seed that
+                # lapsed at the checkpointed step stays frozen on resume
+                live = live & ~(int(meta["batch_idx"]) - best_batch_idx
+                                > cfg.patience)
+            print(f"sweep auto-resume: {resume_dir} "
+                  f"(batch {meta['batch_idx']}, live {live.tolist()})")
+
+    if mesh is not None:
+        # seed-sharded placement: replica i lives wholly on its device
+        # slice; the jitted programs below partition with no collectives
+        (params, opt_state, best_params, best_opt, train_keys, k_inits,
+         k_vals) = _place_sweep(
+            mesh, train_sampler, params, opt_state, best_params, best_opt,
+            train_keys, k_inits, k_vals)
+        _place_sweep(mesh, val_sampler)
+
+    eval_fn = make_sweep_chunked_eval(family, val_sampler)
+
+    def run_eval(p_view, keys):
+        ms = eval_fn(p_view, keys, max_test_batches + 1)
+        return {k: np.asarray(v) for k, v in ms.items()}
+
     throughput = Throughput()
-    print(f"\nsweep initial loss: {best_loss.tolist()}, "
-          f"acc: {ms0['acc'].mean(axis=1).tolist()}")
+    if best_loss is None:
+        view = _eval_view_stacked(cfg, params, opt_state)
+        ms0 = run_eval(view, k_inits)
+        best_loss = ms0["loss"].mean(axis=1)  # (S,)
+        print(f"\nsweep initial loss: {best_loss.tolist()}, "
+              f"acc: {ms0['acc'].mean(axis=1).tolist()}")
 
     chunk = cfg.chunk or CHUNK
     chunked = make_sweep_chunked_train(family, opt, train_sampler, chunk,
@@ -340,11 +398,15 @@ def sweep_training_run(cfg: Config, family: Family,
             arr = jax.device_put(arr, _seed_sharding(mesh))
         return arr
 
-    batch_idx = 0
+    batch_idx = start_batch
     live_dev = place_live(live)
     try:
         while True:
+            if not live.any():  # resumed a fully-stopped sweep
+                break
             stop = next_stop(batch_idx)
+            if stop < batch_idx:  # resumed at/past the end
+                break
             n = stop - batch_idx + 1
             done = 0
             while done < n:
@@ -382,12 +444,25 @@ def sweep_training_run(cfg: Config, family: Family,
                         rec[f"val/seed{s}/{k}"] = float(per_seed[i])
                 rec["episodes_per_sec"] = eps_rate
                 writer.log(rec, step=batch_idx)
+                # payload carries the BEST stacked snapshots and the
+                # in-flight train keys alongside the live state, so a
+                # crash-resume reconstructs the full sweep (per-seed
+                # bests included) and continues the exact key stream
                 ckpt_lib.save_checkpoint(
-                    run_dir, params, opt_state, batch_idx,
-                    float(best_loss.min()), bool(improved.any()),
-                    extra_meta={"model": cfg.model, "sweep_seeds": seeds,
-                                "best_loss_per_seed": best_loss.tolist(),
-                                "args": dataclasses.asdict(cfg)})
+                    run_dir,
+                    {"state": params, "best": best_params,
+                     "train_keys": _key_payload(train_keys)},
+                    {"state": opt_state, "best": best_opt},
+                    batch_idx, float(best_loss.min()),
+                    bool(improved.any()),
+                    extra_meta={
+                        "model": cfg.model, "sweep_seeds": seeds,
+                        "best_loss_per_seed": best_loss.tolist(),
+                        "best_batch_idx_per_seed":
+                            best_batch_idx.tolist(),
+                        "live_per_seed": live.tolist(),
+                        "ever_improved_per_seed": ever_improved.tolist(),
+                        "args": dataclasses.asdict(cfg)})
                 print(f"\nBatch {batch_idx + 1}/{cfg.epochs}: "
                       f"val/loss per seed: {val_loss.tolist()}")
 
@@ -449,10 +524,16 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
         print(f"seed sweep sharded over {mesh.shape} "
               f"({cfg.seed_sweep} seeds)")
 
+    resume_dir = None
+    if cfg.auto_resume:
+        resume_dir = ckpt_lib.find_latest_resumable(
+            cfg.log_dir, model=cfg.model, sweep_seeds=seeds)
+
     from fumi_tpu.utils.profiling import profile_trace
     with profile_trace(cfg.profile_dir):
         params, opt_state, info = sweep_training_run(
-            cfg, family, opt, train_s, val_s, writer, run_dir, mesh=mesh)
+            cfg, family, opt, train_s, val_s, writer, run_dir, mesh=mesh,
+            resume_dir=resume_dir)
 
     # per-seed export: each seed becomes a FIRST-CLASS run dir
     # (<run>/seed<k>/ with best/ + ckpt/ + config.json + meta) usable by

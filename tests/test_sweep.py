@@ -279,6 +279,27 @@ def test_sweep_no_improvement_returns_trained_params(tmp_path):
     assert moved, "returned params are the untrained init snapshot"
 
 
+@pytest.mark.slow
+def test_sweep_auto_resume_equals_uninterrupted_run(tmp_path):
+    """A crashed-and-resumed sweep reproduces the uninterrupted run
+    exactly: the checkpoint carries the stacked live+best states AND the
+    in-flight train keys, so the resumed segment continues the same
+    episode stream."""
+    full = main(sweep_cfg(tmp_path / "full", seed_sweep=2,
+                          epochs=12, eval_freq=4))
+    # "crash": a run truncated at epochs=6 (last checkpoint at batch 4)
+    main(sweep_cfg(tmp_path / "crash", seed_sweep=2,
+                   epochs=6, eval_freq=4))
+    resumed = main(sweep_cfg(tmp_path / "crash", seed_sweep=2,
+                             epochs=12, eval_freq=4, auto_resume=True))
+    for s in (0, 1):
+        for k in ("acc", "loss"):
+            np.testing.assert_allclose(
+                resumed[f"test/seed{s}/{k}"], full[f"test/seed{s}/{k}"],
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"seed {s} {k}: resumed != uninterrupted")
+
+
 def test_auto_resume_skips_sweep_checkpoints(tmp_path):
     """A sweep's stacked checkpoint must not be picked up by a later
     single-run --tpu_auto_resume (its pytrees carry a leading seed
