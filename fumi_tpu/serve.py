@@ -40,6 +40,20 @@ def _stack_keys(keys):
     return jnp.stack(keys)
 
 
+def _pad_episodes(r_pad, *arrays):
+    """Pad every array's leading (episode) axis from R up to ``r_pad`` by
+    repeating the last episode — the shared request-bucketing transform
+    (variable-size batches hit a handful of compiled programs instead of
+    retracing per distinct R; see episode_logits_batch)."""
+    R = arrays[0].shape[0]
+    if r_pad == R:
+        return arrays
+    pad = r_pad - R
+    tile = lambda x: jnp.concatenate(
+        [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return tuple(tile(x) for x in arrays)
+
+
 class RequestError(ValueError):
     """A request-content problem detected past the parse layer (e.g.
     missing support_text on a token-encoder model). The HTTP front-end
@@ -370,9 +384,14 @@ class FewShotClassifier:
     # per-episode PRNG keys as an argument, so the single call is exactly
     # the R=1 view and the two paths cannot drift apart.
 
-    def _build_episode_fn(self):
+    def _build_episode_fn(self, force_vmap: bool = False):
         """jitted fn(p, s_im (R,NK,D), s_y (R,NK), q_im (R,M,D),
-        s_text (R,NK,E|T), keys (R,)) -> (R, M, N) logits."""
+        s_text (R,NK,E|T), keys (R,)) -> (R, M, N) logits.
+
+        ``force_vmap`` bypasses the fused Pallas kernels even where
+        applicable — callers that vmap the returned program over an extra
+        leading axis need it (a pallas_call has no batching rule over the
+        stacked params axis; see SeedEnsemble)."""
         cfg = self.cfg
         from fumi_tpu.ops.pallas_kernels import (fused_adapt_applicable,
                                                  fused_fumi_adapt,
@@ -382,7 +401,8 @@ class FewShotClassifier:
         # configs must serve through the engine-faithful fallback; a
         # request mesh also forces the vmap engine (pallas_call is not
         # partitionable across the episode axis)
-        fused_ok = (self.mesh is None
+        fused_ok = (not force_vmap
+                    and self.mesh is None
                     and plain_full_gd_adaptation(cfg)
                     and fused_adapt_applicable(
                         cfg.model, cfg.im_encoder, cfg.im_hid_dim,
@@ -472,13 +492,9 @@ class FewShotClassifier:
             from fumi_tpu.core.mesh import DP_AXIS
             dp = int(self.mesh.shape.get(DP_AXIS, 1))
             r_pad = ((r_pad + dp - 1) // dp) * dp
-        if r_pad != R:
-            pad = r_pad - R
-            tile = lambda x: jnp.concatenate(
-                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-            support_im, support_y = tile(support_im), tile(support_y)
-            support_text, query_im = tile(support_text), tile(query_im)
-            keys = tile(keys)
+        support_im, support_y, support_text, query_im, keys = \
+            _pad_episodes(r_pad, support_im, support_y, support_text,
+                          query_im, keys)
         if self.mesh is not None:
             # R episodes sharded over the dp axis; params stay replicated.
             # XLA partitions the vmapped request program from these input
@@ -546,40 +562,53 @@ class SeedEnsemble:
                        best: bool = True) -> "SeedEnsemble":
         """Build from a sweep run dir's per-seed exports
         (``run_dir/seed<k>/`` — train/sweep.py export_seed_runs)."""
-        import glob
         import os
-        import re
 
         if cfg is None:
             from fumi_tpu.core.config import config_from_json
             path = os.path.join(run_dir, "config.json")
             cfg = config_from_json(path).replace(seed_sweep=0)
+        dictionary = serving_dictionary(cfg, run_dir)
+        template = build_family(cfg, jax.random.PRNGKey(cfg.seed),
+                                dictionary).params
+        params = cls._load_stacked(run_dir, cfg, template, best)
+        self = cls(cfg, params, dictionary)
+        self._run_dir = run_dir
+        return self
+
+    @staticmethod
+    def _load_stacked(run_dir: str, cfg: Config, template, best: bool):
+        """Load ``run_dir/seed<k>/`` exports into one stacked (S, ...)
+        pytree of serving views (EMA-aware, like from_checkpoint)."""
+        import glob
+        import os
+        import re
+
+        def seed_no(d):
+            m = re.fullmatch(r"seed(\d+)", os.path.basename(d))
+            return int(m.group(1)) if m and os.path.isdir(d) else None
+
+        # filter (isdir + exact seed<k> name) BEFORE sorting: a stray
+        # run-dir entry like seed_notes.txt must not crash the sort key
         seed_dirs = sorted(
-            glob.glob(os.path.join(run_dir, "seed*")),
-            key=lambda d: int(re.search(r"(\d+)$", d).group(1)))
-        seed_dirs = [d for d in seed_dirs if os.path.isdir(d)]
+            (d for d in glob.glob(os.path.join(run_dir, "seed*"))
+             if seed_no(d) is not None),
+            key=seed_no)
         if not seed_dirs:
             raise FileNotFoundError(
                 f"no seed*/ exports under {run_dir} (a --tpu_seed_sweep "
                 "run writes them at the end of training)")
-        dictionary = serving_dictionary(cfg, run_dir)
 
         from fumi_tpu.train import checkpoint as ckpt_lib
         from fumi_tpu.train.loop import eval_view
         from fumi_tpu.train.steps import make_opt
-        template = build_family(cfg, jax.random.PRNGKey(cfg.seed),
-                                dictionary).params
-        opt = make_opt(cfg)
+        opt_template = make_opt(cfg).init(template)
         views = []
         for d in seed_dirs:
-            p, s, _ = ckpt_lib.load_checkpoint(d, template,
-                                               opt.init(template),
+            p, s, _ = ckpt_lib.load_checkpoint(d, template, opt_template,
                                                best=best)
             views.append(eval_view(cfg, p, s))
-        params = jax.tree.map(lambda *xs: jnp.stack(xs), *views)
-        self = cls(cfg, params, dictionary)
-        self._run_dir = run_dir
-        return self
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *views)
 
     # ------------------------------------------------------------------
     @property
@@ -603,14 +632,18 @@ class SeedEnsemble:
     def adapt(self, support_im, support_text=None, support_y=None,
               rng: Optional[jax.Array] = None) -> None:
         """Adapt ALL replicas on this support set in one vmapped program
-        (replica i uses key fold_in(rng, i))."""
+        (replica i uses key fold_in(rng, i) — the same per-seed key
+        derivation as the one-call episode paths, so a single replica's
+        behavior is reproducible with ``solo.adapt(..., rng=fold_in(rng,
+        i))`` regardless of which ensemble entry point served it)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._base._prep_text(support_text,
                                              support_im.shape[0])
         self._ensure_fns()
-        keys = jax.random.split(rng, self.num_seeds)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(self.num_seeds))
         state = self._vadapt(self.params, support_im, support_text,
                              support_y, keys)
         self._state = state
@@ -632,15 +665,8 @@ class SeedEnsemble:
     def _episode_request(self, s_im, s_y, q_im, s_text, keys):
         if self._vepisode is None:
             # force the vmap engine: the fused Pallas adaptation kernels
-            # have no batching rule over the stacked params axis (same
-            # reason a request mesh bypasses them; _build_episode_fn
-            # gates on `self.mesh is None`)
-            saved_mesh = self._base.mesh
-            self._base.mesh = ()
-            try:
-                fn = self._base._build_episode_fn()
-            finally:
-                self._base.mesh = saved_mesh
+            # have no batching rule over the stacked params axis
+            fn = self._base._build_episode_fn(force_vmap=True)
             self._vepisode = jax.jit(jax.vmap(
                 fn, in_axes=(0, None, None, None, None, 0)))
         S = self.num_seeds
@@ -676,26 +702,29 @@ class SeedEnsemble:
         query_im = jnp.asarray(query_im)
         keys = jax.random.split(rng, R)
         r_pad = max(1, 1 << (R - 1).bit_length())  # same bucketing policy
-        if r_pad != R:
-            pad = r_pad - R
-            tile = lambda x: jnp.concatenate(
-                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-            support_im, support_y = tile(support_im), tile(support_y)
-            support_text, query_im = tile(support_text), tile(query_im)
-            keys = tile(keys)
+        support_im, support_y, support_text, query_im, keys = \
+            _pad_episodes(r_pad, support_im, support_y, support_text,
+                          query_im, keys)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
         return out[:R]
 
     def reload(self, run_dir: Optional[str] = None,
                best: bool = True) -> None:
-        """Hot-swap ALL replicas from a sweep run dir's seed exports."""
+        """Hot-swap ALL replicas from a sweep run dir's seed exports.
+
+        Like FewShotClassifier.reload, this loads into the EXISTING
+        templates (the compiled programs take params as arguments): no
+        model re-init, no dictionary re-resolution, zero recompilation —
+        a reload costs S checkpoint reads. The new run must share this
+        ensemble's model structure (a mismatch errors at load)."""
         run_dir = run_dir or getattr(self, "_run_dir", None)
         if run_dir is None:
             raise ValueError("reload needs a sweep run dir")
-        fresh = SeedEnsemble.from_sweep_run(run_dir, self.cfg, best=best)
-        self.params = fresh.params
-        self.num_seeds = fresh.num_seeds
+        params = self._load_stacked(run_dir, self.cfg,
+                                    self._base.family.params, best)
+        self.params = params
+        self.num_seeds = jax.tree.leaves(params)[0].shape[0]
         self._run_dir = run_dir
         self._state = None
         self._classify_fn = None

@@ -274,6 +274,10 @@ class FewShotService:
                 self.clf.reload(path, best=bool(body.get("best", True)))
             except ValueError as e:  # structure mismatch / corrupt files
                 raise ServeError(400, str(e))
+            except FileNotFoundError as e:
+                # e.g. an ensemble pointed at a dir with no seed*/
+                # exports — a request-content problem, not a server error
+                raise ServeError(400, str(e))
         return {"ok": True, "checkpoint": path}
 
     ROUTES = {"/v1/episode": episode, "/v1/episode_batch": episode_batch,

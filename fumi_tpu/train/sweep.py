@@ -402,10 +402,14 @@ def sweep_training_run(cfg: Config, family: Family,
     live_dev = place_live(live)
     try:
         while True:
-            if not live.any():  # resumed a fully-stopped sweep
-                break
             stop = next_stop(batch_idx)
-            if stop < batch_idx:  # resumed at/past the end
+            if not live.any() or stop < batch_idx:
+                # resumed a finished (or fully patience-stopped) sweep:
+                # nothing left to train. The last TRAINED batch is the
+                # checkpointed one (start_batch - 1), not the batch we
+                # were about to run — info["batch_idx"] feeds the
+                # per-seed exports' at_step metadata
+                batch_idx = max(0, batch_idx - 1)
                 break
             n = stop - batch_idx + 1
             done = 0

@@ -3,6 +3,7 @@ distribution is exactly the mean of the per-seed classifiers'."""
 
 import json
 import os
+import pathlib
 
 import jax
 import jax.numpy as jnp
@@ -73,12 +74,12 @@ def test_ensemble_is_mean_of_seed_classifiers(sweep_exports):
     ens.adapt(s_im, support_text=s_text, support_y=s_y, rng=rng)
     p_ens = np.asarray(ens.classify(q_im, return_probs=True))
 
-    keys = jax.random.split(rng, 2)
     per = []
     for i, p in enumerate(params_list):
         solo = FewShotClassifier(cfg.replace(seed_sweep=0), p)
+        # the documented per-replica derivation: replica i == fold_in(rng, i)
         solo.adapt(s_im, support_text=s_text, support_y=s_y,
-                   rng=keys[i])
+                   rng=jax.random.fold_in(rng, i))
         per.append(np.asarray(jax.nn.softmax(solo.logits(q_im), axis=-1)))
     np.testing.assert_allclose(p_ens, np.mean(per, axis=0),
                                rtol=1e-5, atol=1e-6)
@@ -170,3 +171,20 @@ def test_ensemble_reload_and_errors(sweep_exports, tmp_path):
         ens.logits(q_im)  # adapted state invalidated
     with pytest.raises(FileNotFoundError):
         SeedEnsemble.from_sweep_run(str(tmp_path / "empty"))
+
+    # stray run-dir entries matching seed* (a notes file, an unrelated
+    # dir with no trailing digits) must be ignored, not crash the sort
+    (pathlib.Path(run_dir) / "seed_notes.txt").write_text("x")
+    (pathlib.Path(run_dir) / "seed_exports").mkdir(exist_ok=True)
+    ens2 = SeedEnsemble.from_sweep_run(run_dir)
+    assert ens2.num_seeds == ens.num_seeds
+
+    # a reload pointed at a dir WITHOUT seed exports is a client mistake:
+    # the HTTP layer maps it to 400, not a 500 server error
+    from fumi_tpu.serve_http import FewShotService, ServeError
+    svc = FewShotService(ens)
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    with pytest.raises(ServeError) as ei:
+        svc.reload({"checkpoint": str(plain)})
+    assert ei.value.status == 400

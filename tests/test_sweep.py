@@ -300,6 +300,27 @@ def test_sweep_auto_resume_equals_uninterrupted_run(tmp_path):
                 err_msg=f"seed {s} {k}: resumed != uninterrupted")
 
 
+@pytest.mark.slow
+def test_sweep_resume_at_end_exports_trained_step(tmp_path):
+    """Resuming an already-FINISHED sweep trains nothing and stamps the
+    per-seed export's at_step with the checkpointed batch (the last one
+    actually trained), not the batch it was about to run."""
+    import json
+    cfg = sweep_cfg(tmp_path, seed_sweep=2, epochs=6, eval_freq=6)
+    main(cfg)
+    main(cfg.replace(auto_resume=True))
+    runs = sorted(glob.glob(os.path.join(str(tmp_path), "runs", "run_*")),
+                  key=os.path.getmtime)
+    metas = []
+    for r in runs:
+        p = os.path.join(r, "seed0", "best.meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                metas.append(json.load(f))
+    assert len(metas) == 2, f"expected 2 exporting runs, got {len(metas)}"
+    assert metas[0]["batch_idx"] == metas[1]["batch_idx"] == 6
+
+
 def test_auto_resume_skips_sweep_checkpoints(tmp_path):
     """A sweep's stacked checkpoint must not be picked up by a later
     single-run --tpu_auto_resume (its pytrees carry a leading seed
