@@ -54,6 +54,48 @@ def _pad_episodes(r_pad, *arrays):
     return tuple(tile(x) for x in arrays)
 
 
+def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
+                          support_text, rng, dp: int = 1):
+    """THE batched-request policy, shared by FewShotClassifier and
+    SeedEnsemble ``episode_logits_batch``: array coercion, per-episode
+    key derivation (episode r uses ``split(rng, R)[r]``), and
+    power-of-two R bucketing via ``_pad_episodes`` (rounded up to a dp
+    multiple when the batch will shard over a mesh). One definition so
+    a policy change cannot silently reach only one front-end. Returns
+    ``(R, support_im, support_y, support_text, query_im, keys)`` with
+    the arrays padded to the bucket size and ``R`` the true request
+    count (callers slice outputs back with ``[:R]``)."""
+    _check_support_y(cfg, support_y)
+    support_im = jnp.asarray(support_im)
+    support_y = jnp.asarray(support_y, dtype=jnp.int32)
+    R = support_im.shape[0]
+    support_text = prep_text(support_text, R, support_im.shape[1])
+    query_im = jnp.asarray(query_im)
+    keys = jax.random.split(rng, R)
+    r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
+    if dp > 1:
+        r_pad = ((r_pad + dp - 1) // dp) * dp
+    return (R,) + _pad_episodes(r_pad, support_im, support_y,
+                                support_text, query_im, keys)
+
+
+def _check_support_y(cfg: Config, support_y) -> None:
+    """Reject out-of-range support labels loudly. Labels must be
+    episode-local class ids in [0, num_ways) (the adapt/episode
+    docstrings' contract): an out-of-range id — typically a client
+    sending raw DATASET class ids instead of remapping per episode —
+    would otherwise be dropped silently by XLA's out-of-bounds scatter
+    semantics (that support sample simply stops contributing), returning
+    confidently wrong answers instead of an error. Host-side, O(NK)."""
+    y = np.asarray(support_y)
+    if y.size and (y.min() < 0 or y.max() >= cfg.num_ways):
+        raise RequestError(
+            f"support_y must be episode-local class ids in "
+            f"[0, {cfg.num_ways}) for this {cfg.num_ways}-way model "
+            f"(got range [{y.min()}, {y.max()}]); remap dataset class "
+            "ids to 0..N-1 per episode")
+
+
 class RequestError(ValueError):
     """A request-content problem detected past the parse layer (e.g.
     missing support_text on a token-encoder model). The HTTP front-end
@@ -364,6 +406,7 @@ class FewShotClassifier:
         [0, num_ways); support_text: (N*K, E) / (N*K, T) for text models.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _check_support_y(self.cfg, support_y)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._prep_text(support_text, support_im.shape[0])
@@ -453,6 +496,7 @@ class FewShotClassifier:
         (1.41 vs 2.58 ms; docs/PERFORMANCE.md). Returns (M, N) logits.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _check_support_y(self.cfg, support_y)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._prep_text(support_text, support_im.shape[0])
@@ -479,22 +523,15 @@ class FewShotClassifier:
         costs seconds on a tunneled runtime vs ~ms steady-state.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        support_im = jnp.asarray(support_im)
-        support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        R = support_im.shape[0]
-        support_text = self._prep_text(support_text, R, support_im.shape[1])
-        query_im = jnp.asarray(query_im)
-        keys = jax.random.split(rng, R)
-
-        r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
+        dp = 1
         if self.mesh is not None:
             # sharded requests: the leading axis must split evenly over dp
             from fumi_tpu.core.mesh import DP_AXIS
             dp = int(self.mesh.shape.get(DP_AXIS, 1))
-            r_pad = ((r_pad + dp - 1) // dp) * dp
-        support_im, support_y, support_text, query_im, keys = \
-            _pad_episodes(r_pad, support_im, support_y, support_text,
-                          query_im, keys)
+        R, support_im, support_y, support_text, query_im, keys = \
+            _prep_batched_request(self.cfg, self._prep_text, support_im,
+                                  support_y, query_im, support_text, rng,
+                                  dp=dp)
         if self.mesh is not None:
             # R episodes sharded over the dp axis; params stay replicated.
             # XLA partitions the vmapped request program from these input
@@ -522,6 +559,31 @@ class FewShotClassifier:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def find_seed_exports(run_dir: str):
+    """Per-seed export dirs under a sweep run: strictly-named
+    ``run_dir/seed<k>/`` (``re.fullmatch(r"seed(\\d+)")``) that contain a
+    ``best/`` checkpoint, sorted by seed number. This ONE definition is
+    shared by the HTTP front-end's sweep autodetection and
+    ``SeedEnsemble._load_stacked`` so detection can never match an entry
+    the loader would reject (e.g. a stray ``seed0_backup/`` or
+    ``seed_notes.txt`` next to a standalone run's own ``best/``)."""
+    import glob
+    import os
+    import re
+
+    def seed_no(d):
+        m = re.fullmatch(r"seed(\d+)", os.path.basename(d))
+        return int(m.group(1)) if m and os.path.isdir(d) else None
+
+    # filter (isdir + exact seed<k> name + has best/) BEFORE sorting: a
+    # stray run-dir entry must not crash the sort key
+    return sorted(
+        (d for d in glob.glob(os.path.join(run_dir, "seed*"))
+         if seed_no(d) is not None
+         and os.path.isdir(os.path.join(d, "best"))),
+        key=seed_no)
+
+
 class SeedEnsemble:
     """Seed-ensemble serving: S replicas of the same config (typically a
     ``--tpu_seed_sweep`` run's per-seed exports) adapt VMAPPED in one
@@ -542,9 +604,13 @@ class SeedEnsemble:
     placed).
     """
 
-    def __init__(self, cfg: Config, params, dictionary=None):
+    def __init__(self, cfg: Config, params, dictionary=None, _base=None):
         cfg = cfg.replace(seed_sweep=0)  # per-replica config
-        self._base = FewShotClassifier(cfg, None, dictionary)
+        # _base: an already-built per-replica classifier (from_sweep_run
+        # passes the one whose family.params served as the load template,
+        # avoiding a second model init at startup)
+        self._base = (_base if _base is not None
+                      else FewShotClassifier(cfg, None, dictionary))
         self.cfg = self._base.cfg
         if params is None:
             raise ValueError("SeedEnsemble needs stacked (S, ...) params "
@@ -569,10 +635,13 @@ class SeedEnsemble:
             path = os.path.join(run_dir, "config.json")
             cfg = config_from_json(path).replace(seed_sweep=0)
         dictionary = serving_dictionary(cfg, run_dir)
-        template = build_family(cfg, jax.random.PRNGKey(cfg.seed),
-                                dictionary).params
-        params = cls._load_stacked(run_dir, cfg, template, best)
-        self = cls(cfg, params, dictionary)
+        # build the per-replica classifier ONCE; its freshly-initialized
+        # family params double as the checkpoint-load template
+        base = FewShotClassifier(cfg.replace(seed_sweep=0), None,
+                                 dictionary)
+        params = cls._load_stacked(run_dir, base.cfg,
+                                   base.family.params, best)
+        self = cls(cfg, params, dictionary, _base=base)
         self._run_dir = run_dir
         return self
 
@@ -580,20 +649,7 @@ class SeedEnsemble:
     def _load_stacked(run_dir: str, cfg: Config, template, best: bool):
         """Load ``run_dir/seed<k>/`` exports into one stacked (S, ...)
         pytree of serving views (EMA-aware, like from_checkpoint)."""
-        import glob
-        import os
-        import re
-
-        def seed_no(d):
-            m = re.fullmatch(r"seed(\d+)", os.path.basename(d))
-            return int(m.group(1)) if m and os.path.isdir(d) else None
-
-        # filter (isdir + exact seed<k> name) BEFORE sorting: a stray
-        # run-dir entry like seed_notes.txt must not crash the sort key
-        seed_dirs = sorted(
-            (d for d in glob.glob(os.path.join(run_dir, "seed*"))
-             if seed_no(d) is not None),
-            key=seed_no)
+        seed_dirs = find_seed_exports(run_dir)
         if not seed_dirs:
             raise FileNotFoundError(
                 f"no seed*/ exports under {run_dir} (a --tpu_seed_sweep "
@@ -637,6 +693,7 @@ class SeedEnsemble:
         behavior is reproducible with ``solo.adapt(..., rng=fold_in(rng,
         i))`` regardless of which ensemble entry point served it)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _check_support_y(self.cfg, support_y)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._base._prep_text(support_text,
@@ -681,6 +738,7 @@ class SeedEnsemble:
                        support_text=None,
                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _check_support_y(self.cfg, support_y)
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._base._prep_text(support_text,
@@ -694,17 +752,10 @@ class SeedEnsemble:
                              support_text=None,
                              rng: Optional[jax.Array] = None) -> jnp.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        support_im = jnp.asarray(support_im)
-        support_y = jnp.asarray(support_y, dtype=jnp.int32)
-        R = support_im.shape[0]
-        support_text = self._base._prep_text(support_text, R,
-                                             support_im.shape[1])
-        query_im = jnp.asarray(query_im)
-        keys = jax.random.split(rng, R)
-        r_pad = max(1, 1 << (R - 1).bit_length())  # same bucketing policy
-        support_im, support_y, support_text, query_im, keys = \
-            _pad_episodes(r_pad, support_im, support_y, support_text,
-                          query_im, keys)
+        R, support_im, support_y, support_text, query_im, keys = \
+            _prep_batched_request(self.cfg, self._base._prep_text,
+                                  support_im, support_y, query_im,
+                                  support_text, rng)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
         return out[:R]

@@ -433,11 +433,14 @@ def main(argv=None) -> None:
         clf = (ClipRetrieval.from_checkpoint(run_dir, cfg)
                if run_dir else ClipRetrieval(cfg, None))
     elif run_dir:
-        import glob as _glob
-        import os as _os
-        if _glob.glob(_os.path.join(run_dir, "seed*", "best")):
+        from fumi_tpu.serve import find_seed_exports
+        if find_seed_exports(run_dir):
             # a --tpu_seed_sweep run dir: serve the SEED ENSEMBLE over
-            # its per-seed exports (average of replica probabilities)
+            # its per-seed exports (average of replica probabilities).
+            # Detection uses the SAME strict seed<k> definition as the
+            # ensemble loader, so a stray seed*-prefixed entry next to a
+            # standalone run's best/ cannot divert it off the
+            # from_checkpoint path below.
             from fumi_tpu.serve import SeedEnsemble
             clf = SeedEnsemble.from_sweep_run(run_dir, cfg)
             print(f"seed ensemble: {clf.num_seeds} replicas from "

@@ -400,6 +400,11 @@ def sweep_training_run(cfg: Config, family: Family,
 
     batch_idx = start_batch
     live_dev = place_live(live)
+    # cumulative episodes actually trained (live replicas only). On a
+    # crash resume the pre-crash per-step live history is not stored;
+    # approximate the prefix as all-live (exact for crash-free runs and
+    # for any prefix before the first patience freeze).
+    episodes_done = start_batch * cfg.batch_size * S
     try:
         while True:
             stop = next_stop(batch_idx)
@@ -417,7 +422,9 @@ def sweep_training_run(cfg: Config, family: Family,
                 c = min(chunk, n - done)
                 params, opt_state, train_keys, ms = chunked(
                     params, opt_state, train_keys, live_dev, c)
-                _log_sweep_train(writer, cfg, batch_idx + done, ms, is_am3)
+                episodes_done = _log_sweep_train(
+                    writer, cfg, batch_idx + done, ms, is_am3, live,
+                    episodes_done)
                 done += c
             batch_idx = stop
 
@@ -483,7 +490,7 @@ def sweep_training_run(cfg: Config, family: Family,
         pass
 
     info = {"best_loss": best_loss, "best_batch_idx": best_batch_idx,
-            "batch_idx": batch_idx,
+            "batch_idx": batch_idx, "ever_improved": ever_improved,
             "selection": "best" if reload_best else "last"}
     if reload_best:
         # per-seed fallback: no-improvement seeds keep their final
@@ -496,22 +503,31 @@ def sweep_training_run(cfg: Config, family: Family,
 
 
 def _log_sweep_train(writer: MetricWriter, cfg: Config, start_idx: int,
-                     ms: Dict, is_am3: bool) -> None:
+                     ms: Dict, is_am3: bool, live,
+                     episodes_done: int) -> int:
     """Per-step logs from a sweep chunk: metric leaves are (chunk, S)
     (scan stacks the step axis first) — each step logs the across-seed
-    mean (per-seed traces stay available at val boundaries; logging S
-    full per-step traces would multiply the writer volume for
-    monitoring data)."""
+    mean over LIVE replicas only (a patience-frozen replica's
+    held-constant loss/grad-norm would dilute the monitored curves; S
+    sequential runs log nothing for a stopped run). Per-seed traces stay
+    available at val boundaries; logging S full per-step traces would
+    multiply the writer volume for monitoring data. ``num_episodes``
+    likewise counts live replicas' episodes only; returns the updated
+    cumulative count."""
     from fumi_tpu.train.loop import _train_log_keys
     from fumi_tpu.core.mesh import host_fetch
     stacked = {k: np.asarray(host_fetch(ms[k]))
                for k in _train_log_keys(ms, is_am3)}
-    n, S = next(iter(stacked.values())).shape[:2]
+    n = next(iter(stacked.values())).shape[0]
+    live = np.asarray(live)
+    per_step = cfg.batch_size * int(live.sum())
     for j in range(n):
-        rec = {f"train/{k}": float(v[j].mean())
+        rec = {f"train/{k}": float(v[j][live].mean())
                for k, v in stacked.items()}
-        rec["num_episodes"] = (start_idx + j + 1) * cfg.batch_size * S
+        episodes_done += per_step
+        rec["num_episodes"] = episodes_done
         writer.log(rec, step=start_idx + j)
+    return episodes_done
 
 
 def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
@@ -586,25 +602,35 @@ def export_seed_runs(cfg: Config, run_dir: str, seeds, params, opt_state,
     final for the MAML family, ``info["selection"]``), a ``config.json``
     with ``seed=<k>, seed_sweep=0`` so downstream tools rebuild the right
     model, and the vocabulary artifact when the parent run has one.
-    Metadata stamps the step the stored state comes from (best step for
-    "best" selection, the final step for "last" — a last-selection
-    export's best/ is NOT a best-val snapshot; the meta records that)."""
+    Metadata stamps the step the stored state actually comes from:
+    best step for a seed selected at its best val, the FINAL step for
+    "last" selection AND for a best-selection seed that never improved
+    (that seed fell back to its final trained params — standalone
+    loop.py reloads best/ only when it exists — so stamping its
+    init-time best step would claim untrained provenance; the meta
+    records the fallback under ``no_improvement``). ``best_loss`` is
+    always the best VAL loss observed during the run, which for a
+    no-improvement seed was measured on the initial params, not the
+    exported ones."""
     import os
     import json
     import shutil
 
     for i, s in enumerate(seeds):
         seed_dir = os.path.join(run_dir, f"seed{s}")
-        at_step = (int(info["best_batch_idx"][i])
-                   if info["selection"] == "best"
+        fell_back = (info["selection"] == "best"
+                     and not bool(info["ever_improved"][i]))
+        selection = "last" if fell_back else info["selection"]
+        at_step = (int(info["best_batch_idx"][i]) if selection == "best"
                    else int(info["batch_idx"]))
+        extra = {"model": cfg.model, "seed": int(s),
+                 "exported_from_sweep": True, "selection": selection}
+        if fell_back:
+            extra["no_improvement"] = True
         ckpt_lib.save_checkpoint(
             seed_dir, unstack_tree(params, i), unstack_tree(opt_state, i),
             at_step, float(info["best_loss"][i]),
-            is_best=True,
-            extra_meta={"model": cfg.model, "seed": int(s),
-                        "exported_from_sweep": True,
-                        "selection": info["selection"]})
+            is_best=True, extra_meta=extra)
         solo = dataclasses.asdict(cfg.replace(seed=int(s), seed_sweep=0))
         with open(os.path.join(seed_dir, "config.json"), "w") as f:
             json.dump(solo, f, indent=1, default=str)

@@ -188,3 +188,30 @@ def test_ensemble_reload_and_errors(sweep_exports, tmp_path):
     with pytest.raises(ServeError) as ei:
         svc.reload({"checkpoint": str(plain)})
     assert ei.value.status == 400
+
+
+def test_find_seed_exports_matches_loader_definition(sweep_exports,
+                                                     tmp_path):
+    """The HTTP front-end's sweep autodetection and the ensemble loader
+    share ONE definition of 'seed export' (strict seed<k> name + best/):
+    a standalone run dir with a stray seed*-prefixed entry must NOT be
+    detected as a sweep (the loader would reject the stray and crash the
+    server at startup where from_checkpoint serves fine)."""
+    from fumi_tpu.serve import find_seed_exports
+    cfg, run_dir, _ = sweep_exports
+
+    found = find_seed_exports(run_dir)
+    assert [os.path.basename(d) for d in found] == ["seed0", "seed1"]
+
+    # a standalone-shaped run dir: own best/ plus a stray seed0_backup/
+    # containing a best/ (e.g. a manual `cp -r ../sweep/seed0 .`)
+    solo = tmp_path / "solo"
+    (solo / "best").mkdir(parents=True)
+    import shutil
+    shutil.copytree(os.path.join(run_dir, "seed0"),
+                    str(solo / "seed0_backup"))
+    assert find_seed_exports(str(solo)) == []
+
+    # strict-name dir WITHOUT a best/ checkpoint is not an export either
+    (solo / "seed3").mkdir()
+    assert find_seed_exports(str(solo)) == []

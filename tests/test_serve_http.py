@@ -126,6 +126,20 @@ def test_error_paths(server_url):
     # unknown route -> 404
     out = _post(url, "/v1/nope", {}, expect=404)
     assert "no route" in out["error"]
+    # out-of-range support labels -> 400 (XLA's OOB scatter would DROP
+    # those support samples silently; a client sending raw dataset class
+    # ids instead of episode-local 0..N-1 must get an error, not
+    # confidently wrong answers)
+    bad_y = s_y.copy()
+    bad_y[0] = 999
+    out = _post(url, "/v1/episode", {
+        "support_im": s_im.tolist(), "support_y": bad_y.tolist(),
+        "query_im": q_im.tolist()}, expect=400)
+    assert "episode-local" in out["error"]
+    out = _post(url, "/v1/adapt", {
+        "support_im": s_im.tolist(), "support_y": bad_y.tolist()},
+        expect=400)
+    assert "episode-local" in out["error"]
 
 
 def test_episode_batch_accepts_raw_images():

@@ -269,14 +269,63 @@ def test_sweep_no_improvement_returns_trained_params(tmp_path):
     init_leaves = [np.asarray(x) for x in jax.tree.leaves(family.params)]
     d = str(tmp_path / "w")
     os.makedirs(d, exist_ok=True)
-    params, _, info = sweep_training_run(
+    run_dir = str(tmp_path / "run")
+    params, opt_state, info = sweep_training_run(
         cfg, family, make_opt(cfg), samplers[0], samplers[1],
-        MetricWriter(d, use_wandb=False), str(tmp_path / "run"))
+        MetricWriter(d, use_wandb=False), run_dir)
     assert info["selection"] == "best"
     moved = any(
         not np.array_equal(np.asarray(a), b)
         for a, b in zip(jax.tree.leaves(params), init_leaves))
     assert moved, "returned params are the untrained init snapshot"
+
+    # the per-seed export must stamp HONEST provenance for the fallback:
+    # the stored weights are the final trained state, so the meta says
+    # selection=last at the final step (stamping the init-time best step
+    # would claim the weights are the untrained batch-0 snapshot)
+    import json
+    from fumi_tpu.train.sweep import export_seed_runs, sweep_seeds
+    export_seed_runs(cfg, run_dir, sweep_seeds(cfg), params, opt_state,
+                     info)
+    for s in sweep_seeds(cfg):
+        with open(os.path.join(run_dir, f"seed{s}",
+                               "best.meta.json")) as f:
+            meta = json.load(f)
+        assert meta["selection"] == "last"
+        assert meta["no_improvement"] is True
+        assert meta["batch_idx"] == int(info["batch_idx"])
+
+
+def test_sweep_train_logs_mask_frozen_seeds(tmp_path):
+    """Per-step sweep train logs average over LIVE replicas only and
+    count only their episodes: a patience-frozen replica's held-constant
+    metrics must not dilute the monitored curves (S sequential runs log
+    nothing for a stopped run)."""
+    from fumi_tpu.train.sweep import _log_sweep_train
+
+    class Rec:
+        def __init__(self):
+            self.recs = []
+
+        def log(self, rec, step=None):
+            self.recs.append((step, dict(rec)))
+
+    cfg = sweep_cfg(tmp_path, batch_size=4)
+    # (chunk=2 steps, S=3 seeds); seed 1 frozen with sentinel metrics
+    ms = {"loss": jnp.array([[1.0, 99.0, 3.0], [2.0, 99.0, 4.0]]),
+          "acc": jnp.array([[0.5, 0.0, 0.7], [0.6, 0.0, 0.8]]),
+          "grad_norm": jnp.array([[1.0, 0.0, 1.0], [1.0, 0.0, 1.0]])}
+    live = np.array([True, False, True])
+    w = Rec()
+    end = _log_sweep_train(w, cfg, start_idx=10, ms=ms, is_am3=False,
+                           live=live, episodes_done=100)
+    assert [s for s, _ in w.recs] == [10, 11]
+    np.testing.assert_allclose(w.recs[0][1]["train/loss"], 2.0)  # (1+3)/2
+    np.testing.assert_allclose(w.recs[1][1]["train/loss"], 3.0)  # (2+4)/2
+    # 2 live seeds x batch 4 per step, cumulative from 100
+    assert w.recs[0][1]["num_episodes"] == 108
+    assert w.recs[1][1]["num_episodes"] == 116
+    assert end == 116
 
 
 @pytest.mark.slow
