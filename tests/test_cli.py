@@ -69,6 +69,18 @@ def test_cli_end_to_end(tmp_path, model):
         cfg.num_ways * cfg.num_shots
 
 
+def test_cli_run_is_deterministic(tmp_path):
+    """Two identical CLI invocations produce IDENTICAL test metrics —
+    the production reproducibility contract (every random draw rides a
+    seeded PRNG chain: data split, model init, episode sampling, dropout;
+    nothing keys off wall clock or iteration order). The reference can't
+    make this promise (unseeded supervised shuffle, data.py:231-258)."""
+    out1 = main(small_cfg(tmp_path / "a", "fumi", epochs=10, eval_freq=5))
+    out2 = main(small_cfg(tmp_path / "b", "fumi", epochs=10, eval_freq=5))
+    for k in ("test/loss", "test/acc", "test/acc_ci95"):
+        assert out1[k] == out2[k], f"{k}: {out1[k]} != {out2[k]}"
+
+
 def test_cli_evaluate_with_checkpoint(tmp_path):
     cfg = small_cfg(tmp_path, "fumi", epochs=16, eval_freq=8)
     main(cfg)
