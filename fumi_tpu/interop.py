@@ -529,14 +529,16 @@ def export_torch_checkpoint(path: str, params, family: str,
         for n in ordered:
             state[pos[n]] = {
                 "step": torch.tensor(float(moments["count"])),
-                "exp_avg": torch.from_numpy(_np(mu_by_name[n])),
-                "exp_avg_sq": torch.from_numpy(_np(nu_by_name[n])),
+                # torch.tensor copies: from_numpy on a jax-backed view would
+                # alias non-writable memory (and warn)
+                "exp_avg": torch.tensor(_np(mu_by_name[n])),
+                "exp_avg_sq": torch.tensor(_np(nu_by_name[n])),
             }
     elif moments["trace"] is not None:
         tr_by_name = dict(zip(name_leaves, jax.tree.leaves(moments["trace"])))
         for n in ordered:
             state[pos[n]] = {
-                "momentum_buffer": torch.from_numpy(_np(tr_by_name[n]))}
+                "momentum_buffer": torch.tensor(_np(tr_by_name[n]))}
 
     ckpt = {
         "batch_idx": int(batch_idx),
