@@ -143,6 +143,16 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
     import dataclasses
     local_spec = dataclasses.replace(sampler.spec,
                                      batch_size=cfg.batch_size // dp)
+    # --tpu_grad_accum: each shard micro-batches its LOCAL tasks before
+    # the pmean — mean(micro-means) per shard then mean over shards is
+    # still the exact global batch gradient
+    accum = cfg.grad_accum
+    if accum > 1 and (cfg.batch_size // dp) % accum != 0:
+        raise ValueError(
+            f"--tpu_grad_accum {accum} must divide the per-shard batch "
+            f"{cfg.batch_size // dp} (batch_size/dp)")
+    from fumi_tpu.train.steps import accum_value_and_grad
+    grad_fn = accum_value_and_grad(family, accum)
     rep = P()
     # place tables replicated on the mesh ONCE — passing single-device
     # tables would re-broadcast them across chips on every dispatch
@@ -161,8 +171,7 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
                 tables, local_spec, k_s,
                 use_pallas_gather=sampler.use_pallas_gather,
                 augment_scale=sampler.augment_scale)
-            (loss, aux), grads = jax.value_and_grad(
-                family.train_loss, has_aux=True)(p, episode, k_step)
+            (loss, aux), grads = grad_fn(p, episode, k_step)
             grads = jax.lax.pmean(grads, DP_AXIS)
             loss = jax.lax.pmean(loss, DP_AXIS)
             aux = _reduce_raw(aux, family.eval_reduce)

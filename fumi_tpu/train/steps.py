@@ -649,6 +649,55 @@ def fuse_sampler(step_fn: Callable, sampler) -> Callable:
 TRAIN_SCAN_UNROLL = 4
 
 
+def accum_value_and_grad(family: Family, accum: int) -> Callable:
+    """Meta-batch gradient in ``accum`` sequential micro-batches
+    (``--tpu_grad_accum``): same signature as
+    ``jax.value_and_grad(family.train_loss, has_aux=True)`` but the B
+    tasks are processed as ``accum`` scans of B/accum tasks each, so the
+    SECOND-ORDER working set (the inner loop's batched activations — the
+    measured B=64 cliff in docs/PERFORMANCE.md) scales with B/accum while
+    the meta-update stays the exact full-batch gradient: every family's
+    outer loss is a mean over tasks, so the mean of equal-size micro-batch
+    gradients IS the batch gradient (up to fp reassociation).
+
+    Aux combining contract (holds for every built-in family and is the
+    documented requirement for registered ones): scalar aux leaves are
+    per-batch MEANS (micro-averaged), ``conf`` is a count matrix (summed),
+    any other array leaf is per-task (concatenated back along the task
+    axis). Micro-batch i draws forward-time noise from
+    ``fold_in(rng, i)`` — stochastic forwards (dropout, ``rand`` text
+    encoder) are statistically equivalent, not bitwise-equal, to the
+    unaccumulated batch."""
+    vg = jax.value_and_grad(family.train_loss, has_aux=True)
+    if accum <= 1:
+        return vg
+
+    def run(p, episode, rng):
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            episode)
+
+        def body(i, ep_i):
+            (loss, aux), g = vg(p, ep_i, jax.random.fold_in(rng, i))
+            return i + 1, ((loss, aux), g)
+
+        _, ((losses, auxs), grads) = jax.lax.scan(body, 0, micro)
+        loss = losses.mean()
+        grads = jax.tree.map(lambda g: g.mean(0), grads)
+
+        def combine(k, v):
+            if k == "conf":
+                return v.sum(0)
+            if v.ndim <= 1:  # scalar per micro-batch -> batch mean
+                return v.mean(0)
+            return v.reshape((-1,) + v.shape[2:])  # per-task -> concat
+
+        aux = {k: combine(k, v) for k, v in auxs.items()}
+        return (loss, aux), grads
+
+    return run
+
+
 def train_scan_unroll(n_steps: int, override: int = 0) -> int:
     """``override`` > 0 (--tpu_train_unroll, autotune output) wins; else
     the measured default."""
@@ -658,9 +707,14 @@ def train_scan_unroll(n_steps: int, override: int = 0) -> int:
 
 
 def make_chunked_train(family: Family, opt: optax.GradientTransformation,
-                       sampler, chunk: int, unroll: int = 0) -> Callable:
+                       sampler, chunk: int, unroll: int = 0,
+                       accum: int = 1) -> Callable:
     """jitted (params, opt_state, key) -> (params, opt_state, key, metrics)
-    running ``chunk`` fused train steps; metrics leaves are (chunk,)."""
+    running ``chunk`` fused train steps; metrics leaves are (chunk,).
+    ``accum`` > 1 computes each step's meta-gradient in micro-batches
+    (``--tpu_grad_accum``; the episode key stream is unchanged — the SAME
+    B episodes are sampled, then split)."""
+    grad_fn = accum_value_and_grad(family, accum)
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def run(params, opt_state, key, tables, n_steps):
@@ -668,8 +722,7 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
             p, s, k = carry
             k, k_s, k_step = jax.random.split(k, 3)
             episode = sampler.sample(k_s, tables)
-            (loss, aux), grads = jax.value_and_grad(
-                family.train_loss, has_aux=True)(p, episode, k_step)
+            (loss, aux), grads = grad_fn(p, episode, k_step)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             m = _train_metrics(family, loss, aux, episode, grads)

@@ -132,15 +132,19 @@ def build_sweep_family(cfg: Config, dictionary=None):
 
 def make_sweep_chunked_train(family: Family,
                              opt: optax.GradientTransformation,
-                             sampler, chunk: int, unroll: int = 0):
+                             sampler, chunk: int, unroll: int = 0,
+                             accum: int = 1):
     """jitted (params, opt_state, keys, live) ->
     (params, opt_state, keys, metrics) running ``chunk`` lockstep steps.
 
     Stacked leaves carry a leading (S,) seed axis; ``keys`` is (S,)
     per-seed carry keys; ``live`` (S,) bool freezes finished seeds.
     Per seed the body is byte-for-byte the single-seed chunked driver's
-    (steps.py make_chunked_train): split(3) -> sample -> grad -> update.
+    (steps.py make_chunked_train): split(3) -> sample -> grad -> update
+    (incl. --tpu_grad_accum micro-batching via ``accum``).
     """
+    from fumi_tpu.train.steps import accum_value_and_grad
+    grad_fn = accum_value_and_grad(family, accum)
 
     @functools.partial(jax.jit, static_argnums=(5,))
     def run(params, opt_state, keys, live, tables, n_steps):
@@ -150,8 +154,7 @@ def make_sweep_chunked_train(family: Family,
             def one(p_i, s_i, k_i, live_i):
                 k_i, k_s, k_step = jax.random.split(k_i, 3)
                 episode = sampler.sample(k_s, tables)
-                (loss, aux), grads = jax.value_and_grad(
-                    family.train_loss, has_aux=True)(p_i, episode, k_step)
+                (loss, aux), grads = grad_fn(p_i, episode, k_step)
                 updates, s_new = opt.update(grads, s_i, p_i)
                 p_new = optax.apply_updates(p_i, updates)
                 # dead seeds hold (their key still advances — the split
@@ -378,7 +381,8 @@ def sweep_training_run(cfg: Config, family: Family,
 
     chunk = cfg.chunk or CHUNK
     chunked = make_sweep_chunked_train(family, opt, train_sampler, chunk,
-                                       unroll=cfg.train_unroll)
+                                       unroll=cfg.train_unroll,
+                                       accum=cfg.grad_accum)
 
     def next_stop(batch_idx: int) -> int:
         stops = [cfg.epochs]
