@@ -216,13 +216,52 @@ def get_baseline(refresh: bool = False) -> float:
     return eps
 
 
+def _wait_for_tpu(max_wait_s: float = 1800.0) -> None:
+    """Ride out tunnel wedges before benching.
+
+    The tunneled TPU runtime occasionally WEDGES (even ``jax.devices()``
+    hangs indefinitely) — an in-process retry never fires because nothing
+    throws. Probe with a small subprocess under a hard timeout (the child
+    is killed by PID via the subprocess API) and sleep-retry up to
+    ``max_wait_s``; then proceed regardless — if the tunnel recovered
+    mid-probe the bench runs normally, and a still-wedged run is bounded
+    by the caller's own timeout instead of silently recording nothing."""
+    import subprocess
+    probe = ("import jax, numpy as np, jax.numpy as jnp; "
+             "jax.devices(); "
+             "print(float(np.asarray(jnp.ones((8,8)).sum())))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=300,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except Exception:
+            if time.time() >= deadline:
+                print(f"# TPU probe still failing after {attempt} attempts"
+                      f" (~{max_wait_s:.0f}s); proceeding anyway",
+                      file=sys.stderr)
+                return
+            print(f"# TPU probe attempt {attempt} failed (tunnel wedged?);"
+                  " sleeping 120s", file=sys.stderr)
+            time.sleep(120)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="bench all families + eval; write bench_all.json")
+    ap.add_argument("--no-wait", action="store_true",
+                    help="skip the tunnel-wedge probe loop")
     args = ap.parse_args()
+
+    if not args.no_wait:
+        _wait_for_tpu()
 
     if args.all:
         side = {}
