@@ -21,8 +21,17 @@ recorded in docs/PARITY.md):
   200 meta-updates — the engines are numerically equivalent — while
   single runs of the full protocol still spread σ≈4-5pp with seed on a
   hard dataset (both frameworks equally). The cluster separation below
-  (mean_scale 0.62) brings per-run σ down to ~2pp; measured means then
-  agree to <1pp (MAML 87.2 vs 87.4, FuMI 69.0 vs 68.1).
+  (mean_scale 0.62) brings per-run σ down to ~2-3pp; measured means then
+  agree to <1pp (MAML 87.2 vs 87.4, FuMI 69.0 vs 68.1, AM3+glove 80.3
+  vs 81.1).
+
+The AM3 case drives the full STANDARD-tokenisation path end to end on
+both sides (gensim-Dictionary token ids → pretrained embedding matrix →
+pooled text features → λ-blend) by exporting the gensim shim's fake
+vector store into the rebuild's word_vectors_glove.npz artifact — both
+frameworks embed each token from the identical word→vector function —
+and additionally asserts the reference's prediction-CSV artifact
+(main.py:128-136) and the rebuild's are structurally interchangeable.
 
 Skipped when /root/reference is not present (judge boxes may not mount
 it)."""
@@ -65,16 +74,41 @@ def _load_dataset_gen():
     return mod
 
 
+# per-encoder text_emb_dim: the glove dim is pinned by the shim's fake
+# vector store (downloader.FAKE_DIM; the reference overrides the flag
+# with the store's vector_size, am3.py:60, and the rebuild's encoder
+# factory derives the same dim from the exported artifact).
+TEXT_DIM = {"rand": 16, "glove": 48}
+
+
+def _export_fake_glove(data_dir):
+    """Write the shim's fake vectors into the rebuild's artifact format
+    (word_vectors_glove.npz) so both frameworks embed each token from
+    the IDENTICAL word→vector function (shims/gensim/downloader.py)."""
+    spec = importlib.util.spec_from_file_location(
+        "oracle_fake_vectors",
+        os.path.join(ORACLE, "shims", "gensim", "downloader.py"))
+    dl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dl)
+    from fumi_tpu.data.vectors import artifact_path, dataset_word_set
+    words = sorted(dataset_word_set(data_dir))
+    mat = np.stack([dl.fake_vector(w) for w in words]).astype(np.float32)
+    np.savez_compressed(artifact_path(data_dir, "glove"),
+                        words=np.asarray(words), vectors=mat)
+
+
 @pytest.fixture(scope="module")
 def oracle_data_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("oracle")
     # mean_scale 0.62: hard enough that accuracy stays off the ceiling,
     # separable enough that per-run seed variance is ~2pp (see module
     # docstring) — single-seed comparisons on harder clusters are noise.
-    return _load_dataset_gen().build(str(root), mean_scale=0.62)
+    data_dir = _load_dataset_gen().build(str(root), mean_scale=0.62)
+    _export_fake_glove(data_dir)
+    return data_dir
 
 
-def run_reference(data_dir, log_dir, model, seed):
+def run_reference(data_dir, log_dir, model, seed, text_encoder="rand"):
     """Spawn the reference driver; return its final test accuracy."""
     os.makedirs(log_dir, exist_ok=True)
     out_json = os.path.join(log_dir, f"ref_{model}_{seed}.json")
@@ -83,7 +117,8 @@ def run_reference(data_dir, log_dir, model, seed):
         "--data_dir", os.path.dirname(data_dir),  # reference appends /iNat-Anim
         "--image_embedding_model", "resnet-34", "--im_emb_dim", "512",
         "--im_hid_dim", "32", "16",
-        "--text_encoder", "rand", "--text_emb_dim", "16",
+        "--text_encoder", text_encoder,
+        "--text_emb_dim", str(TEXT_DIM[text_encoder]),
         "--text_hid_dim", "16",
         "--log_dir", log_dir, "--seed", str(seed),
     ]
@@ -102,7 +137,7 @@ def run_reference(data_dir, log_dir, model, seed):
         return float(json.load(f)["test/acc"])
 
 
-def run_ours(data_dir, log_dir, model, seed):
+def run_ours(data_dir, log_dir, model, seed, text_encoder="rand"):
     from fumi_tpu.cli.main import main
     from fumi_tpu.core.config import Config
 
@@ -110,7 +145,8 @@ def run_ours(data_dir, log_dir, model, seed):
         model=model, dataset="inat-anim", data_dir=data_dir,
         image_embedding_model="resnet-34", im_emb_dim=512,
         im_hid_dim=(32, 16),
-        text_encoder="rand", text_emb_dim=16, text_hid_dim=16,
+        text_encoder=text_encoder, text_emb_dim=TEXT_DIM[text_encoder],
+        text_hid_dim=16,
         log_dir=log_dir, wandb_offline=True, seed=seed,
         prng_impl="threefry2x32",  # tests run on CPU
         **COMMON)
@@ -118,15 +154,22 @@ def run_ours(data_dir, log_dir, model, seed):
 
 
 @needs_reference
-@pytest.mark.parametrize("model,seeds,tol", [
-    ("maml", (1, 2, 3), 0.05),
-    ("fumi", (1, 2), 0.06),  # 2nd-order dual updates: slower runs, wider σ
+@pytest.mark.parametrize("model,text_encoder,seeds,tol", [
+    ("maml", "rand", (1, 2, 3), 0.05),
+    ("fumi", "rand", (1, 2), 0.06),  # 2nd-order duals: slower runs, wider σ
+    # AM3 through the full token path: STANDARD tokenisation → dictionary
+    # → pretrained (fake-)glove embedding matrix → pooled text features →
+    # λ-blended prototypes. Calibrated means on this dataset: reference
+    # 80.3% (79.3/84.0/77.7) vs rebuild 81.1% (84.7/77.3/81.3).
+    ("am3", "glove", (1, 2, 3), 0.06),
 ])
 def test_final_accuracy_matches_reference(oracle_data_dir, tmp_path,
-                                          model, seeds, tol):
-    ref = [run_reference(oracle_data_dir, str(tmp_path / "ref"), model, s)
+                                          model, text_encoder, seeds, tol):
+    ref = [run_reference(oracle_data_dir, str(tmp_path / "ref"), model, s,
+                         text_encoder)
            for s in seeds]
-    ours = [run_ours(oracle_data_dir, str(tmp_path / f"ours_{s}"), model, s)
+    ours = [run_ours(oracle_data_dir, str(tmp_path / f"ours_{s}"), model, s,
+                     text_encoder)
             for s in seeds]
 
     # Every run must actually learn on this dataset...
@@ -138,3 +181,51 @@ def test_final_accuracy_matches_reference(oracle_data_dir, tmp_path,
     assert abs(ref_mean - our_mean) <= tol, \
         (f"{model}: reference mean test acc {ref_mean:.4f} (runs {ref}) vs "
          f"rebuild {our_mean:.4f} (runs {ours}) — more than {tol} apart")
+
+    if model == "am3":
+        # AM3 is the family whose test loop the reference persists as a
+        # prediction CSV (main.py:128-136); assert the rebuild's artifact
+        # is structurally interchangeable with the one the reference's
+        # own code just wrote.
+        _assert_csv_artifact_parity(
+            _find_run_csv(str(tmp_path / "ref")),
+            _find_run_csv(str(tmp_path / f"ours_{seeds[0]}")))
+
+
+def _find_run_csv(log_dir):
+    import glob
+    hits = sorted(glob.glob(os.path.join(log_dir, "results", "run_*.csv")))
+    assert hits, f"no prediction CSV under {log_dir}/results"
+    return hits[0]
+
+
+def _assert_csv_artifact_parity(ref_csv, our_csv):
+    """Same five columns in order, same task count, same per-cell list
+    widths, same value domains — a downstream harness diffing the two
+    artifacts sees the same shape (values differ: episode streams do)."""
+    import ast
+
+    import pandas as pd
+
+    ref_df = pd.read_csv(ref_csv, index_col=0)
+    our_df = pd.read_csv(our_csv, index_col=0)
+    cols = ["support_idx", "support_lamda", "query_idx", "query_preds",
+            "query_targets"]
+    assert list(ref_df.columns) == cols, list(ref_df.columns)
+    assert list(our_df.columns) == cols, list(our_df.columns)
+    # test loops run max_test_batches+1 meta-batches of batch_size tasks
+    # (am3.py:364); one CSV row per task on both sides
+    assert len(ref_df) == len(our_df), (len(ref_df), len(our_df))
+    N, K = COMMON["num_ways"], COMMON["num_shots"]
+    n_query = N * (100 // N)  # ClassSplitter query size, data.py:165
+    for col, width in (("support_idx", N * K), ("support_lamda", N * K),
+                       ("query_idx", n_query), ("query_preds", n_query),
+                       ("query_targets", n_query)):
+        for df, side in ((ref_df, "reference"), (our_df, "rebuild")):
+            cell = ast.literal_eval(df[col].iloc[0])
+            assert len(cell) == width, (side, col, len(cell))
+    for df in (ref_df, our_df):
+        preds = ast.literal_eval(df["query_preds"].iloc[0])
+        lam = ast.literal_eval(df["support_lamda"].iloc[0])
+        assert set(preds) <= set(range(N))
+        assert all(0.0 <= v <= 1.0 for v in lam)
