@@ -55,5 +55,20 @@ def finish(*args, **kwargs):
     pass
 
 
-def restore(*args, **kwargs):
-    raise NotImplementedError("oracle shim: wandb.restore is not supported")
+def restore(name, run_path=None, root=None, **kwargs):
+    """Faithful subset of wandb.restore (the reference's checkpoint
+    fetch, main.py:70-74): place ``name`` under ``root`` and return an
+    open file whose ``.name`` is the local path. The "run" to fetch from
+    is a local directory given via WANDB_ORACLE_RESTORE_DIR (real wandb
+    downloads from the run named by ``run_path``)."""
+    src_dir = os.environ.get("WANDB_ORACLE_RESTORE_DIR")
+    if not src_dir:
+        raise NotImplementedError(
+            "oracle shim: set WANDB_ORACLE_RESTORE_DIR to a directory "
+            f"holding {name} to use wandb.restore")
+    import shutil
+    root = root or (run.dir if run is not None else tempfile.mkdtemp())
+    os.makedirs(root, exist_ok=True)
+    dst = os.path.join(root, name)
+    shutil.copyfile(os.path.join(src_dir, name), dst)
+    return open(dst, "r")

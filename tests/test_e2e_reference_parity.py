@@ -108,7 +108,8 @@ def oracle_data_dir(tmp_path_factory):
     return data_dir
 
 
-def run_reference(data_dir, log_dir, model, seed, text_encoder="rand"):
+def run_reference(data_dir, log_dir, model, seed, text_encoder="rand",
+                  extra_flags=(), extra_env=None):
     """Spawn the reference driver; return its final test accuracy."""
     os.makedirs(log_dir, exist_ok=True)
     out_json = os.path.join(log_dir, f"ref_{model}_{seed}.json")
@@ -124,13 +125,17 @@ def run_reference(data_dir, log_dir, model, seed, text_encoder="rand"):
     ]
     for k, v in COMMON.items():
         flags += [f"--{k}", str(v)]
+    flags += list(extra_flags)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # pure-torch subprocess
     env["WANDB_ORACLE_DIR"] = os.path.join(log_dir, f"wandb_{seed}")
+    env.update(extra_env or {})
     cmd = [sys.executable, os.path.join(ORACLE, "run_reference.py"),
            "--json-out", out_json, "--"] + flags
+    # cwd=log_dir: the reference's --checkpoint path writes a relative
+    # ./checkpoints/<model>/<id> scratch dir (main.py:62-63)
     res = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         timeout=1800)
+                         cwd=log_dir, timeout=1800)
     assert res.returncode == 0, \
         f"reference run failed:\n{res.stdout[-2000:]}\n{res.stderr[-4000:]}"
     with open(out_json) as f:
@@ -229,3 +234,80 @@ def _assert_csv_artifact_parity(ref_csv, our_csv):
         lam = ast.literal_eval(df["support_lamda"].iloc[0])
         assert set(preds) <= set(range(N))
         assert all(0.0 <= v <= 1.0 for v in lam)
+
+
+# ---------------------------------------------------------------------------
+# Cross-framework checkpoint evaluation: the weights themselves cross the
+# framework boundary, so accuracy differences reduce to EVALUATION-protocol
+# parity (same weights, independent test-episode streams — σ of a 124-task
+# mean ≈ 1pp per side). AM3 is the family whose reference harness reloads
+# best/ before testing (am3.py:300-310), so its reported test accuracy
+# corresponds exactly to best.pth.tar; the glove encoder additionally
+# routes the pretrained-embedding matrix through the import/export maps.
+# ---------------------------------------------------------------------------
+
+@needs_reference
+def test_reference_trained_checkpoint_evaluates_identically(
+        oracle_data_dir, tmp_path):
+    """reference-trained best.pth.tar → fumi_tpu interop import → OUR
+    eval engine reproduces the reference's own reported test accuracy."""
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    ref_log = str(tmp_path / "ref")
+    ref_acc = run_reference(oracle_data_dir, ref_log, "am3", 1, "glove")
+    with open(os.path.join(ref_log, "ref_am3_1.json")) as f:
+        ref_metrics = json.load(f)
+    ckpt = os.path.join(ref_log, "wandb_1", "best.pth.tar")
+    assert os.path.exists(ckpt), "reference run saved no best.pth.tar"
+
+    cfg = Config(
+        model="am3", dataset="inat-anim", data_dir=oracle_data_dir,
+        image_embedding_model="resnet-34", im_emb_dim=512,
+        im_hid_dim=(32, 16),
+        text_encoder="glove", text_emb_dim=TEXT_DIM["glove"],
+        text_hid_dim=16,
+        log_dir=str(tmp_path / "ours"), wandb_offline=True, seed=1,
+        prng_impl="threefry2x32",
+        checkpoint=ckpt, evaluate=True,
+        **COMMON)
+    ours = main(cfg)
+
+    assert ref_acc > CHANCE + 0.2
+    assert abs(ours["test/acc"] - ref_acc) <= 0.04, \
+        (f"same weights, different eval verdicts: reference "
+         f"{ref_acc:.4f} vs rebuild {ours['test/acc']:.4f}")
+    # λ is a pure function of the imported weights and the class text —
+    # a tight cross-check that the text path imported correctly
+    assert abs(ours["test/avg_lamda"]
+               - ref_metrics["test/avg_lamda"]) <= 0.03
+
+
+@needs_reference
+def test_our_trained_checkpoint_evaluates_identically_in_reference(
+        oracle_data_dir, tmp_path):
+    """fumi_tpu-trained run → export_torch → the REFERENCE's own
+    --checkpoint/--evaluate path reproduces our reported test accuracy."""
+    import glob
+
+    from fumi_tpu.cli import export_torch
+
+    ours_log = str(tmp_path / "ours")
+    our_acc = run_ours(oracle_data_dir, ours_log, "am3", 1, "glove")
+    run_dirs = sorted(glob.glob(os.path.join(ours_log, "runs", "run_*")))
+    assert run_dirs, "training left no run directory"
+    exp_dir = tmp_path / "export"
+    exp_dir.mkdir()
+    export_torch.main([run_dirs[-1], str(exp_dir / "best.pth.tar")])
+
+    ref_acc = run_reference(
+        oracle_data_dir, str(tmp_path / "ref"), "am3", 1, "glove",
+        # the shim's wandb.restore fetches best.pth.tar from
+        # WANDB_ORACLE_RESTORE_DIR (real wandb: from the run_path)
+        extra_flags=["--checkpoint", "oracle-import", "--evaluate"],
+        extra_env={"WANDB_ORACLE_RESTORE_DIR": str(exp_dir)})
+
+    assert our_acc > CHANCE + 0.2
+    assert abs(ref_acc - our_acc) <= 0.04, \
+        (f"same weights, different eval verdicts: rebuild {our_acc:.4f} "
+         f"vs reference {ref_acc:.4f}")
