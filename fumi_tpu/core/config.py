@@ -281,6 +281,16 @@ class Config:
                 raise NotImplementedError(
                     "--tpu_grad_accum requires the device sampler "
                     "(drop --tpu_host_sampler)")
+            if self.mesh_mp > 1:
+                # the declarative 2-D engine computes the whole-batch
+                # gradient under pjit shardings; micro-batching its
+                # globally-sharded task axis would reshuffle the sharded
+                # dim. Statically known here — fail before dataset load /
+                # mesh build / initial eval (training_run keeps a backstop
+                # for programmatic callers)
+                raise NotImplementedError(
+                    "--tpu_grad_accum > 1 is not wired into the 2-D (mp) "
+                    "engine — use --tpu_mesh_mp 1")
         if self.meta_grad not in ("explicit", "imaml", "reptile"):
             raise ValueError(
                 f"meta_grad {self.meta_grad!r} (explicit|imaml|reptile)")

@@ -232,17 +232,15 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                    and steps.family is not None)
     chunk = cfg.chunk or CHUNK  # --tpu_chunk override (autotune output)
     if device_path:
-        if (cfg.grad_accum > 1 and steps.mesh is not None
-                and _mesh_mp(steps.mesh) > 1):
-            # the declarative 2-D engine computes the whole-batch gradient
-            # under pjit shardings; micro-batching its globally-sharded
-            # task axis would reshuffle the sharded dim — reject rather
-            # than silently ignore the flag (the dp engine and the serial
-            # driver both support it)
-            raise NotImplementedError(
-                "--tpu_grad_accum > 1 is not wired into the 2-D (mp) "
-                "engine — use --tpu_mesh_mp 1")
         if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
+            if cfg.grad_accum > 1:
+                # backstop for programmatic callers; the CLI fails fast in
+                # Config.validate (micro-batching the pjit engine's
+                # globally-sharded task axis would reshuffle the sharded
+                # dim — the dp engine and serial driver both support it)
+                raise NotImplementedError(
+                    "--tpu_grad_accum > 1 is not wired into the 2-D (mp) "
+                    "engine — use --tpu_mesh_mp 1")
             # 2-D (dp × mp) declarative engine: wide weights sharded over
             # mp, episodes over dp, XLA-inserted collectives
             from fumi_tpu.parallel.pjit_engine import make_pjit_chunked_train

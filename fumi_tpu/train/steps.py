@@ -673,6 +673,7 @@ def accum_value_and_grad(family: Family, accum: int) -> Callable:
         return vg
 
     def run(p, episode, rng):
+        micro_size = episode.support_im.shape[0] // accum
         micro = jax.tree.map(
             lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
             episode)
@@ -686,10 +687,22 @@ def accum_value_and_grad(family: Family, accum: int) -> Callable:
         grads = jax.tree.map(lambda g: g.mean(0), grads)
 
         def combine(k, v):
+            # v: (accum,) + per-micro-batch aux shape. Shapes are static,
+            # so contract violations raise at trace time, not silently
+            # mis-aggregate (a registered family with e.g. a per-class
+            # vector aux would otherwise be scrambled across micro
+            # batches whenever --tpu_grad_accum > 1).
             if k == "conf":
                 return v.sum(0)
             if v.ndim <= 1:  # scalar per micro-batch -> batch mean
                 return v.mean(0)
+            if v.shape[1] != micro_size:
+                raise ValueError(
+                    f"--tpu_grad_accum cannot combine aux leaf {k!r}: "
+                    f"per-micro-batch shape {v.shape[1:]} is neither "
+                    f"scalar, 'conf' (summed counts), nor per-task "
+                    f"(leading dim {micro_size}) — see the "
+                    "accum_value_and_grad aux contract")
             return v.reshape((-1,) + v.shape[2:])  # per-task -> concat
 
         aux = {k: combine(k, v) for k, v in auxs.items()}

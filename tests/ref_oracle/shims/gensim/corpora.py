@@ -4,9 +4,10 @@ Token-id assignment follows gensim: within each added document, NEW
 tokens receive consecutive ids in sorted token order (gensim's doc2bow
 sorts the missing-token set before assigning). Only the members the
 reference touches are provided: construction from documents,
-``add_documents``, ``token2id``, ``items()``/``__len__``/``__getitem__``
-via token2id (models index the returned token2id dict directly,
-data.py:344, common.py:15)."""
+``add_documents``, ``token2id``, ``__len__`` (the reference reads
+``.token2id`` and iterates/indexes THAT dict directly — data.py:344,464,
+common.py:14-15 — so the Dictionary object itself needs no item
+access)."""
 
 
 class Dictionary(object):

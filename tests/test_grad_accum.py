@@ -133,6 +133,31 @@ def test_accum_validation(tmp_path):
     # host-sampler path has no accumulation wiring: reject, don't ignore
     with pytest.raises(NotImplementedError, match="device sampler"):
         _cfg(tmp_path, grad_accum=2, device_sampler=False).validate()
+    # the 2-D (mp) engine rejection is statically known — it must fail
+    # at validate(), before dataset load / mesh build / initial eval
+    with pytest.raises(NotImplementedError, match="mp"):
+        _cfg(tmp_path, grad_accum=2, mesh_mp=2).validate()
+
+
+def test_accum_rejects_unknown_aux_shape(tmp_path):
+    """A registered family whose aux carries an array that is neither
+    scalar, 'conf', nor per-task must fail loudly at trace time — the
+    shape heuristic must never silently scramble such a leaf across
+    micro-batches."""
+    cfg = _cfg(tmp_path, model="fumi")
+    sampler, family = _sampler_family(cfg)
+    episode = sampler.sample(jax.random.PRNGKey(5), sampler.tables)
+
+    def bad_loss(params, ep, rng):
+        loss, aux = family.train_loss(params, ep, rng)
+        aux = dict(aux)
+        aux["per_class"] = jnp.zeros((cfg.num_ways,))  # not per-task
+        return loss, aux
+
+    bad = family._replace(train_loss=bad_loss)
+    with pytest.raises(ValueError, match="per_class"):
+        accum_value_and_grad(bad, 2)(family.params, episode,
+                                     jax.random.PRNGKey(0))
 
 
 @pytest.mark.slow
