@@ -567,3 +567,80 @@ def test_reload_accepts_torch_checkpoint_file(tmp_path):
         _post(url, "/v1/reload", {"checkpoint": str(corrupt)}, expect=400)
     finally:
         server.shutdown()
+
+
+def test_soak_concurrent_clients_with_hot_reload(tmp_path):
+    """Production soak: concurrent clients hammer the stateless episode
+    endpoints while weights are hot-reloaded mid-flight. Every response
+    must be a valid prediction (no 5xx ever — reloads may never tear a
+    request), and /v1/stats must account for every request exactly."""
+    import jax.numpy as jnp
+
+    from fumi_tpu import interop
+
+    clf = FewShotClassifier(small_cfg(), None)
+    # two weight sets to flip between: the live init and a jittered copy
+    ckpt_a = str(tmp_path / "a.pth.tar")
+    ckpt_b = str(tmp_path / "b.pth.tar")
+    interop.export_torch_checkpoint(ckpt_a, clf.params, "maml")
+    interop.export_torch_checkpoint(
+        ckpt_b, jax.tree.map(lambda x: x + 0.01, clf.params), "maml")
+
+    server = make_server(clf, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+
+    n_threads, n_requests = 4, 10
+    failures = []
+
+    def client(tid):
+        rng = np.random.RandomState(100 + tid)
+        for i in range(n_requests):
+            try:
+                if i % 2 == 0:
+                    s_im, s_y, q_im = _episode_arrays(rng)
+                    out = _post(url, "/v1/episode",
+                                {"support_im": s_im.tolist(),
+                                 "support_y": s_y.tolist(),
+                                 "query_im": q_im.tolist()})
+                    preds = np.asarray(out["result"])
+                    assert preds.shape == (M,)
+                else:
+                    # R in {1,2,3,5}: crosses the power-of-two padding
+                    # buckets (1, 2, 4, 8) under concurrency
+                    R = (1, 2, 3, 5)[i % 4]
+                    s_im, s_y, q_im = _episode_arrays(rng, batch=R)
+                    out = _post(url, "/v1/episode_batch",
+                                {"support_im": s_im.tolist(),
+                                 "support_y": s_y.tolist(),
+                                 "query_im": q_im.tolist()})
+                    preds = np.asarray(out["result"])
+                    assert preds.shape == (R, M)
+                assert set(np.unique(preds)) <= set(range(N))
+            except Exception as e:  # noqa: BLE001 - collected for report
+                failures.append((tid, i, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    # hot-reload mid-flight, alternating weight sets
+    n_reloads = 4
+    for r in range(n_reloads):
+        _post(url, "/v1/reload",
+              {"checkpoint": ckpt_a if r % 2 else ckpt_b})
+    for t in threads:
+        t.join()
+
+    assert not failures, failures
+    with urllib.request.urlopen(url + "/v1/stats") as resp:
+        stats = json.loads(resp.read())
+    server.shutdown()
+    routes = {k: v for k, v in stats["routes"].items()
+              if k != "/v1/stats"}
+    total = sum(r["count"] for r in routes.values())
+    errors = sum(r["errors"] for r in routes.values())
+    assert total == n_threads * n_requests + n_reloads, routes
+    assert errors == 0, routes
