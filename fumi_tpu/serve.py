@@ -40,6 +40,33 @@ def _stack_keys(keys):
     return jnp.stack(keys)
 
 
+def _bucket_queries(query_im, axis: int):
+    """Pad the per-episode QUERY axis M up to the next power of two by
+    repeating the last query; callers slice the logits back to M.
+
+    Exact for every family (adaptation reads only the support set;
+    query classification is per-query independent), and the query-count
+    analogue of the R bucketing below: production traffic with variable
+    query counts hits ~log2 compiled programs instead of retracing per
+    distinct M — a retrace costs seconds on a tunneled runtime vs the
+    <2x padded forward math (queries are the cheap half of a request).
+
+    HOST-side numpy on purpose: eager jnp pad ops would themselves
+    compile per distinct M (seconds each on a tunneled runtime), which
+    is exactly what bucketing exists to avoid. Callers pad BEFORE any
+    device placement. Returns ``(M, padded_query_im)``."""
+    query_im = np.asarray(query_im)
+    M = query_im.shape[axis]
+    m_pad = max(1, 1 << (M - 1).bit_length())
+    if m_pad != M:
+        idx = [slice(None)] * query_im.ndim
+        idx[axis] = slice(M - 1, M)
+        last = query_im[tuple(idx)]
+        query_im = np.concatenate(
+            [query_im, np.repeat(last, m_pad - M, axis=axis)], axis=axis)
+    return M, query_im
+
+
 def _pad_episodes(r_pad, *arrays):
     """Pad every array's leading (episode) axis from R up to ``r_pad`` by
     repeating the last episode — the shared request-bucketing transform
@@ -58,25 +85,27 @@ def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
                           support_text, rng, dp: int = 1):
     """THE batched-request policy, shared by FewShotClassifier and
     SeedEnsemble ``episode_logits_batch``: array coercion, per-episode
-    key derivation (episode r uses ``split(rng, R)[r]``), and
-    power-of-two R bucketing via ``_pad_episodes`` (rounded up to a dp
-    multiple when the batch will shard over a mesh). One definition so
-    a policy change cannot silently reach only one front-end. Returns
-    ``(R, support_im, support_y, support_text, query_im, keys)`` with
-    the arrays padded to the bucket size and ``R`` the true request
-    count (callers slice outputs back with ``[:R]``)."""
+    key derivation (episode r uses ``split(rng, R)[r]``), power-of-two
+    R bucketing via ``_pad_episodes`` (rounded up to a dp multiple when
+    the batch will shard over a mesh), and power-of-two query-axis
+    bucketing via ``_bucket_queries``. One definition so a policy change
+    cannot silently reach only one front-end. Returns
+    ``(R, M, support_im, support_y, support_text, query_im, keys)`` with
+    the arrays padded to the bucket sizes and ``R``/``M`` the true
+    request counts (callers slice outputs back with ``[:R, :M]``)."""
     _check_support_y(cfg, support_y)
     support_im = jnp.asarray(support_im)
     support_y = jnp.asarray(support_y, dtype=jnp.int32)
     R = support_im.shape[0]
     support_text = prep_text(support_text, R, support_im.shape[1])
+    M, query_im = _bucket_queries(query_im, axis=1)  # host-side pad
     query_im = jnp.asarray(query_im)
     keys = jax.random.split(rng, R)
     r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
     if dp > 1:
         r_pad = ((r_pad + dp - 1) // dp) * dp
-    return (R,) + _pad_episodes(r_pad, support_im, support_y,
-                                support_text, query_im, keys)
+    return (R, M) + _pad_episodes(r_pad, support_im, support_y,
+                                  support_text, query_im, keys)
 
 
 def _check_support_y(cfg: Config, support_y) -> None:
@@ -500,12 +529,17 @@ class FewShotClassifier:
         support_im = jnp.asarray(support_im)
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._prep_text(support_text, support_im.shape[0])
+        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
         query_im = jnp.asarray(query_im)
         # the R=1 view of the shared program; this episode's key is rng
         # itself (batched requests draw split(rng, R) instead)
-        return self._episode_request(
+        out = self._episode_request(
             support_im[None], support_y[None], query_im[None],
-            support_text[None], _stack_keys([rng]))[0]
+            support_text[None], _stack_keys([rng]))
+        # host-side unpad: an eager device slice would itself compile per
+        # distinct M (the retrace bucketing exists to avoid); the logits
+        # are request-sized and leave the device anyway
+        return np.asarray(out)[0, :M]
 
     def episode_logits_batch(self, support_im, support_y, query_im,
                              support_text=None,
@@ -520,7 +554,9 @@ class FewShotClassifier:
         R is padded up to the next power of two internally (repeating the
         last episode) so variable-size request batches hit a handful of
         compiled programs instead of retracing per distinct R — a retrace
-        costs seconds on a tunneled runtime vs ~ms steady-state.
+        costs seconds on a tunneled runtime vs ~ms steady-state. The
+        query axis M is bucketed the same way (``_bucket_queries``), so
+        variable query counts are also retrace-free.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dp = 1
@@ -528,7 +564,7 @@ class FewShotClassifier:
             # sharded requests: the leading axis must split evenly over dp
             from fumi_tpu.core.mesh import DP_AXIS
             dp = int(self.mesh.shape.get(DP_AXIS, 1))
-        R, support_im, support_y, support_text, query_im, keys = \
+        R, M, support_im, support_y, support_text, query_im, keys = \
             _prep_batched_request(self.cfg, self._prep_text, support_im,
                                   support_y, query_im, support_text, rng,
                                   dp=dp)
@@ -544,19 +580,25 @@ class FewShotClassifier:
             keys = put(keys)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
-        return out[:R]
+        return np.asarray(out)[:R, :M]  # host-side unpad (see episode_logits)
 
     def logits(self, query_im) -> jnp.ndarray:
         if self._classify_fn is None:
             raise RuntimeError("call adapt(...) before classify/logits")
-        return self._classify_fn(jnp.asarray(query_im))
+        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
+        return np.asarray(self._classify_fn(jnp.asarray(query_im)))[:M]
 
     def classify(self, query_im, return_probs: bool = False):
-        """(M, ...) query images → (M,) int labels (or (M, N) probs)."""
-        logits = self.logits(query_im)
+        """(M, ...) query images → (M,) int labels (or (M, N) probs).
+
+        Post-processing is host-side numpy: logits are already fetched
+        (see ``logits``) and eager jnp ops would compile per query-count.
+        """
+        logits = np.asarray(self.logits(query_im))
         if return_probs:
-            return jax.nn.softmax(logits, axis=-1)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            return e / e.sum(axis=-1, keepdims=True)
+        return np.argmax(logits, axis=-1).astype(np.int32)
 
 
 def find_seed_exports(run_dir: str):
@@ -710,13 +752,16 @@ class SeedEnsemble:
     def logits(self, query_im) -> jnp.ndarray:
         if self._classify_fn is None:
             raise RuntimeError("call adapt(...) before classify/logits")
-        return self._classify_fn(jnp.asarray(query_im))
+        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
+        return np.asarray(self._classify_fn(jnp.asarray(query_im)))[:M]
 
     def classify(self, query_im, return_probs: bool = False):
-        logits = self.logits(query_im)
+        # host-side post-processing, like FewShotClassifier.classify
+        logits = np.asarray(self.logits(query_im))
         if return_probs:
-            return jax.nn.softmax(logits, axis=-1)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            return e / e.sum(axis=-1, keepdims=True)
+        return np.argmax(logits, axis=-1).astype(np.int32)
 
     # one-call episode paths: per-seed keys fold the request key
     def _episode_request(self, s_im, s_y, q_im, s_text, keys):
@@ -743,22 +788,24 @@ class SeedEnsemble:
         support_y = jnp.asarray(support_y, dtype=jnp.int32)
         support_text = self._base._prep_text(support_text,
                                              support_im.shape[0])
+        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
         query_im = jnp.asarray(query_im)
-        return self._episode_request(
+        out = self._episode_request(
             support_im[None], support_y[None], query_im[None],
-            support_text[None], _stack_keys([rng]))[0]
+            support_text[None], _stack_keys([rng]))
+        return np.asarray(out)[0, :M]  # host-side unpad
 
     def episode_logits_batch(self, support_im, support_y, query_im,
                              support_text=None,
                              rng: Optional[jax.Array] = None) -> jnp.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        R, support_im, support_y, support_text, query_im, keys = \
+        R, M, support_im, support_y, support_text, query_im, keys = \
             _prep_batched_request(self.cfg, self._base._prep_text,
                                   support_im, support_y, query_im,
                                   support_text, rng)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
-        return out[:R]
+        return np.asarray(out)[:R, :M]  # host-side unpad
 
     def reload(self, run_dir: Optional[str] = None,
                best: bool = True) -> None:
@@ -865,3 +912,65 @@ class ClipRetrieval:
         """Stateless (Nt, Ni) cosine-similarity matrix (ref: clip.py:26-40)."""
         return self._sim(self.params, jnp.asarray(text),
                          jnp.asarray(images))
+
+
+def warmup(clf, r_buckets=(1,), num_queries: int = 16,
+           text_len: int = 8) -> None:
+    """Pre-compile the serving programs before traffic arrives.
+
+    A cold server pays the first compile on a live request — minutes on
+    a tunneled runtime (docs/PERFORMANCE.md platform caveats). This runs
+    synthetic requests through the hot paths at deploy time instead:
+    the stateful adapt+classify pair, and the one-dispatch episode path
+    at each requested R bucket — all at the M bucket covering
+    ``num_queries``. With R and M both power-of-two bucketed, any later
+    request whose R/M land in the warmed buckets is retrace-free.
+
+    Works for :class:`FewShotClassifier` and :class:`SeedEnsemble`
+    (same surface); no-op with a notice for :class:`ClipRetrieval`
+    (its gallery shapes are data-dependent). The dummy adapted state is
+    cleared afterwards — clients still get the 409 before their own
+    ``adapt``; the compiled programs stay cached.
+    """
+    import time
+
+    if isinstance(clf, ClipRetrieval):
+        print("warmup: skipped (CLIP gallery shapes are data-dependent)")
+        return
+    from fumi_tpu.models import RAW_IMAGE_ENCODERS
+    cfg = clf.cfg
+    NK = cfg.num_ways * cfg.num_shots
+    im_tail = ((cfg.im_size, cfg.im_size, cfg.im_channels)
+               if cfg.im_encoder in RAW_IMAGE_ENCODERS
+               else (cfg.im_emb_dim,))
+    rng = np.random.RandomState(0)
+    s_im = rng.randn(NK, *im_tail).astype(np.float32)
+    q_im = rng.randn(num_queries, *im_tail).astype(np.float32)
+    s_y = np.repeat(np.arange(cfg.num_ways),
+                    cfg.num_shots).astype(np.int32)
+    if clf.text_is_tokens:
+        s_text = np.zeros((NK, text_len), np.int32)  # all-PAD is valid
+    elif cfg.model in ("am3", "fumi"):
+        s_text = rng.randn(NK, cfg.text_emb_dim).astype(np.float32)
+    else:
+        s_text = None
+
+    t0 = time.perf_counter()
+    clf.adapt(s_im, s_text, s_y)
+    np.asarray(clf.classify(q_im))  # fetch = compile + run completed
+    clf._state = None  # dummy state must not mask the 409-before-adapt
+    clf._classify_fn = None
+    print(f"warmup: adapt+classify in {time.perf_counter() - t0:.1f}s")
+
+    for R in r_buckets:
+        t0 = time.perf_counter()
+        if R <= 1:
+            np.asarray(clf.episode_logits(s_im, s_y, q_im,
+                                          support_text=s_text))
+        else:
+            tile = lambda x: np.repeat(x[None], R, axis=0)
+            np.asarray(clf.episode_logits_batch(
+                tile(s_im), tile(s_y), tile(q_im),
+                support_text=None if s_text is None else tile(s_text)))
+        print(f"warmup: episode path R={R} "
+              f"in {time.perf_counter() - t0:.1f}s")

@@ -174,14 +174,16 @@ def _array(body: dict, key: str, dtype=np.float32,
 
 
 def _render(logits, mode: str) -> list:
-    import jax
-    import jax.numpy as jnp
+    # host-side numpy: the classifier already fetched the logits, and
+    # eager jnp post-ops would compile once per query-count shape
+    logits = np.asarray(logits)
     if mode == "logits":
         out = logits
     elif mode == "probs":
-        out = jax.nn.softmax(logits, axis=-1)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        out = e / e.sum(axis=-1, keepdims=True)
     elif mode == "labels":
-        out = jnp.argmax(logits, axis=-1)
+        out = np.argmax(logits, axis=-1)
     else:
         raise ServeError(400, f"unknown return mode {mode!r} "
                               "(labels|probs|logits)")
@@ -416,6 +418,15 @@ def main(argv=None) -> None:
     net = argparse.ArgumentParser(add_help=False)
     net.add_argument("--host", type=str, default="127.0.0.1")
     net.add_argument("--port", type=int, default=8080)
+    net.add_argument(
+        "--warmup", type=str, default=None, metavar="R[,R...]",
+        help="pre-compile the serving programs before accepting traffic: "
+             "comma-separated episode-batch buckets to warm (e.g. '1,8'; "
+             "'1' = the single-episode path). Cold compiles cost minutes "
+             "on a tunneled runtime; warmed buckets serve retrace-free.")
+    net.add_argument(
+        "--warmup_queries", type=int, default=16,
+        help="query count whose power-of-two bucket --warmup compiles")
     net_args, rest = net.parse_known_args(argv)
 
     cfg = config_from_args(rest)  # the full training CLI flag surface
@@ -453,6 +464,12 @@ def main(argv=None) -> None:
         from fumi_tpu.serve import serving_dictionary
         clf = FewShotClassifier(cfg, None,
                                 serving_dictionary(cfg))  # fresh init
+
+    if net_args.warmup:
+        from fumi_tpu.serve import warmup
+        warmup(clf,
+               r_buckets=tuple(int(r) for r in net_args.warmup.split(",")),
+               num_queries=net_args.warmup_queries)
 
     server = make_server(clf, net_args.host, net_args.port)
     host, port = server.server_address[:2]

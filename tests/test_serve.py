@@ -292,6 +292,57 @@ def test_episode_logits_batch_pads_to_power_of_two():
     assert clf._episode_fn._cache_size() == 1
 
 
+def test_query_axis_buckets_to_power_of_two():
+    """Variable query count M is bucketed like R: results are exact
+    (padding sliced away), and M=5/7/8 share ONE compiled program on
+    both the one-call episode path and the stateful classify path."""
+    rng = np.random.RandomState(10)
+    cfg = base_cfg("maml")
+    clf = FewShotClassifier(cfg, None)
+    s_im, _, s_y, q_im = episode_data(rng)
+
+    out8 = np.asarray(clf.episode_logits(s_im, s_y, q_im[:8]))
+    out5 = np.asarray(clf.episode_logits(s_im, s_y, q_im[:5]))
+    out7 = np.asarray(clf.episode_logits(s_im, s_y, q_im[:7]))
+    assert out5.shape[0] == 5 and out7.shape[0] == 7
+    # per-query independence: the padded program's real rows are the
+    # unpadded program's rows (identical compiled code, identical inputs)
+    np.testing.assert_allclose(out5, out8[:5], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out7, out8[:7], rtol=1e-6, atol=1e-6)
+    assert clf._episode_fn._cache_size() == 1
+
+    clf.adapt(s_im, None, s_y)
+    l8 = np.asarray(clf.logits(q_im[:8]))
+    l5 = np.asarray(clf.logits(q_im[:5]))
+    np.testing.assert_allclose(l5, l8[:5], rtol=1e-6, atol=1e-6)
+    assert clf._serve_fn._cache_size() == 1
+
+
+def test_warmup_precompiles_and_clears_state():
+    """serve.warmup compiles the hot paths ahead of traffic: later
+    requests inside the warmed R/M buckets add no cache entries, and the
+    dummy adapted state is cleared (409-before-adapt preserved)."""
+    from fumi_tpu.serve import warmup
+
+    cfg = base_cfg("fumi")
+    clf = FewShotClassifier(cfg, None)
+    warmup(clf, r_buckets=(1, 2), num_queries=6)
+    with pytest.raises(RuntimeError, match="adapt"):
+        clf.logits(np.zeros((4, D), np.float32))
+    n_ep = clf._episode_fn._cache_size()
+    n_serve = clf._serve_fn._cache_size()
+
+    rng = np.random.RandomState(3)
+    s_im, s_tx, s_y, q_im = episode_data(rng)
+    np.asarray(clf.episode_logits(s_im, s_y, q_im[:7], support_text=s_tx))
+    np.asarray(clf.episode_logits_batch(
+        s_im[None], s_y[None], q_im[None, :5], support_text=s_tx[None]))
+    clf.adapt(s_im, s_tx, s_y)
+    np.asarray(clf.classify(q_im[:5]))
+    assert clf._episode_fn._cache_size() == n_ep  # warmed: no retrace
+    assert clf._serve_fn._cache_size() == n_serve
+
+
 def test_episode_logits_fused_glue_interpret(monkeypatch):
     """The fused MAML/FuMI branches of the request path (unreachable on
     CPU by default) exercised via interpret-mode kernels: forcing the
