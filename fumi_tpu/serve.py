@@ -172,6 +172,11 @@ class FewShotClassifier:
         self.mesh = mesh
         self.family = build_family(cfg, jax.random.PRNGKey(cfg.seed),
                                    dictionary)
+        # PAD id for token-length bucketing (same resolution as the
+        # encoder factory, models/text_encoders.py:make_text_encoder)
+        from fumi_tpu.models.text_encoders import PAD_WORD
+        d = dictionary or {}
+        self._pad_id = int(d.get(PAD_WORD, d.get("PAD", 0)))
         self.params = params if params is not None else self.family.params
         self._state = None  # adapted params / prototypes
         self._classify_fn = None
@@ -415,17 +420,30 @@ class FewShotClassifier:
 
     def _prep_text(self, support_text, *fill_shape: int):
         """Normalize the support_text argument; token models require it
-        (a silent zero-fill would feed all-PAD text to the encoder)."""
+        (a silent zero-fill would feed all-PAD text to the encoder).
+
+        Token sequences are length-bucketed to the next power of two
+        with trailing PAD ids (host-side, like ``_bucket_queries``):
+        exact, because every encoder masks PAD (pooling divides by true
+        lengths, the biLSTM carry freezes on masked steps), and requests
+        with variable description lengths then hit ~log2 compiled
+        programs instead of retracing per distinct T."""
         if support_text is None:
             if self.text_is_tokens and self.cfg.model in ("am3", "fumi"):
                 raise RequestError(
                     f"--text_encoder {self.cfg.text_encoder} models need "
                     "support_text (int token ids)")
             return jnp.zeros(fill_shape + (1,), jnp.float32)
-        support_text = jnp.asarray(support_text)
         if self.text_is_tokens:
-            support_text = support_text.astype(jnp.int32)
-        return support_text
+            t = np.asarray(support_text, dtype=np.int32)
+            T = t.shape[-1]
+            t_pad = max(1, 1 << (T - 1).bit_length())
+            if t_pad != T:
+                fill = np.full(t.shape[:-1] + (t_pad - T,), self._pad_id,
+                               np.int32)
+                t = np.concatenate([t, fill], axis=-1)
+            return jnp.asarray(t)
+        return jnp.asarray(support_text)
 
     def adapt(self, support_im, support_text=None, support_y=None,
               rng: Optional[jax.Array] = None) -> None:

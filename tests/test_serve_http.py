@@ -644,3 +644,25 @@ def test_soak_concurrent_clients_with_hot_reload(tmp_path):
     errors = sum(r["errors"] for r in routes.values())
     assert total == n_threads * n_requests + n_reloads, routes
     assert errors == 0, routes
+
+
+def test_token_length_buckets_to_power_of_two():
+    """Variable token length T is bucketed with trailing PAD ids: logits
+    are exact (every encoder masks PAD) and T=5/6/8 — all the same text
+    content modulo trailing PADs — share ONE compiled episode program."""
+    d, s_im, s_y, q_im, s_text = _token_episode(np.random.RandomState(7))
+    clf = FewShotClassifier(_token_cfg("am3", "glove"), None, d)
+
+    # same semantic text at three lengths: T=6 (two trailing PADs),
+    # T=5 (one trailing PAD dropped), T=8 (manually PAD-extended to
+    # the bucket size)
+    ext = np.concatenate([s_text, np.zeros((N * K, 8 - T), int)], axis=1)
+    want = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=ext.astype(np.int32)))
+    got6 = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=s_text.astype(np.int32)))
+    got5 = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=s_text[:, :T - 1].astype(np.int32)))
+    np.testing.assert_allclose(got6, want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got5, want, rtol=1e-6, atol=1e-6)
+    assert clf._episode_fn._cache_size() == 1
