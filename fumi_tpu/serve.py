@@ -932,7 +932,7 @@ class ClipRetrieval:
                          jnp.asarray(images))
 
 
-def warmup(clf, r_buckets=(1,), num_queries: int = 16,
+def warmup(clf, r_buckets=(1,), num_queries=16,
            text_len: int = 8) -> None:
     """Pre-compile the serving programs before traffic arrives.
 
@@ -940,9 +940,10 @@ def warmup(clf, r_buckets=(1,), num_queries: int = 16,
     a tunneled runtime (docs/PERFORMANCE.md platform caveats). This runs
     synthetic requests through the hot paths at deploy time instead:
     the stateful adapt+classify pair, and the one-dispatch episode path
-    at each requested R bucket — all at the M bucket covering
-    ``num_queries``. With R and M both power-of-two bucketed, any later
-    request whose R/M land in the warmed buckets is retrace-free.
+    at each requested R bucket — at the M bucket(s) covering
+    ``num_queries`` (an int or an iterable of ints, one compile per
+    (R, M-bucket) pair). With R and M both power-of-two bucketed, any
+    later request whose R/M land in the warmed buckets is retrace-free.
 
     Works for :class:`FewShotClassifier` and :class:`SeedEnsemble`
     (same surface); no-op with a notice for :class:`ClipRetrieval`
@@ -963,7 +964,10 @@ def warmup(clf, r_buckets=(1,), num_queries: int = 16,
                else (cfg.im_emb_dim,))
     rng = np.random.RandomState(0)
     s_im = rng.randn(NK, *im_tail).astype(np.float32)
-    q_im = rng.randn(num_queries, *im_tail).astype(np.float32)
+    if isinstance(num_queries, int):
+        num_queries = (num_queries,)
+    q_ims = [rng.randn(m, *im_tail).astype(np.float32)
+             for m in num_queries]
     s_y = np.repeat(np.arange(cfg.num_ways),
                     cfg.num_shots).astype(np.int32)
     if clf.text_is_tokens:
@@ -975,20 +979,23 @@ def warmup(clf, r_buckets=(1,), num_queries: int = 16,
 
     t0 = time.perf_counter()
     clf.adapt(s_im, s_text, s_y)
-    np.asarray(clf.classify(q_im))  # fetch = compile + run completed
+    for q_im in q_ims:
+        np.asarray(clf.classify(q_im))  # fetch = compile + run completed
     clf._state = None  # dummy state must not mask the 409-before-adapt
     clf._classify_fn = None
     print(f"warmup: adapt+classify in {time.perf_counter() - t0:.1f}s")
 
     for R in r_buckets:
         t0 = time.perf_counter()
-        if R <= 1:
-            np.asarray(clf.episode_logits(s_im, s_y, q_im,
-                                          support_text=s_text))
-        else:
-            tile = lambda x: np.repeat(x[None], R, axis=0)
-            np.asarray(clf.episode_logits_batch(
-                tile(s_im), tile(s_y), tile(q_im),
-                support_text=None if s_text is None else tile(s_text)))
+        for q_im in q_ims:
+            if R <= 1:
+                np.asarray(clf.episode_logits(s_im, s_y, q_im,
+                                              support_text=s_text))
+            else:
+                tile = lambda x: np.repeat(x[None], R, axis=0)
+                np.asarray(clf.episode_logits_batch(
+                    tile(s_im), tile(s_y), tile(q_im),
+                    support_text=None if s_text is None else tile(s_text)))
         print(f"warmup: episode path R={R} "
+              f"(M buckets {sorted(set(num_queries))}) "
               f"in {time.perf_counter() - t0:.1f}s")

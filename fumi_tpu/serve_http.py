@@ -425,8 +425,9 @@ def main(argv=None) -> None:
              "'1' = the single-episode path). Cold compiles cost minutes "
              "on a tunneled runtime; warmed buckets serve retrace-free.")
     net.add_argument(
-        "--warmup_queries", type=int, default=16,
-        help="query count whose power-of-two bucket --warmup compiles")
+        "--warmup_queries", type=str, default="16", metavar="M[,M...]",
+        help="query count(s) whose power-of-two bucket(s) --warmup "
+             "compiles (one compile per (R, M-bucket) pair)")
     net_args, rest = net.parse_known_args(argv)
 
     cfg = config_from_args(rest)  # the full training CLI flag surface
@@ -469,7 +470,8 @@ def main(argv=None) -> None:
         from fumi_tpu.serve import warmup
         warmup(clf,
                r_buckets=tuple(int(r) for r in net_args.warmup.split(",")),
-               num_queries=net_args.warmup_queries)
+               num_queries=tuple(
+                   int(m) for m in net_args.warmup_queries.split(",")))
 
     server = make_server(clf, net_args.host, net_args.port)
     host, port = server.server_address[:2]
