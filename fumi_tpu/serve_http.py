@@ -410,10 +410,11 @@ def make_server(clf, host: str = "127.0.0.1",
     return ThreadingHTTPServer((host, port), handler)
 
 
-def main(argv=None) -> None:
+def build_net_parser():
+    """The server's OWN flags (everything else forwards to the full
+    training-config parser). A function so the docs-rot guard
+    (tests/test_docs_flags.py) can see these flags too."""
     import argparse
-
-    from fumi_tpu.core.config import config_from_args
 
     net = argparse.ArgumentParser(add_help=False)
     net.add_argument("--host", type=str, default="127.0.0.1")
@@ -428,7 +429,13 @@ def main(argv=None) -> None:
         "--warmup_queries", type=str, default="16", metavar="M[,M...]",
         help="query count(s) whose power-of-two bucket(s) --warmup "
              "compiles (one compile per (R, M-bucket) pair)")
-    net_args, rest = net.parse_known_args(argv)
+    return net
+
+
+def main(argv=None) -> None:
+    from fumi_tpu.core.config import config_from_args
+
+    net_args, rest = build_net_parser().parse_known_args(argv)
 
     cfg = config_from_args(rest)  # the full training CLI flag surface
 

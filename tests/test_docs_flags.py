@@ -17,7 +17,6 @@ DOC_FILES = ["README.md", "docs/MIGRATION.md", "docs/PARITY.md",
 # mentioned in docs but not CLI flags of this framework
 NON_CLI = {
     "--no-build-isolation",  # pip
-    "--host", "--port",  # serve_http's own net parser
     "--src", "--kind", "--raw_dir",  # data.prepare subcommand parsers
     "--x",  # prose fragment
 }
@@ -35,7 +34,9 @@ def _doc_flags():
 
 
 def _parser_flags():
-    return {opt for action in build_parser()._actions
+    from fumi_tpu.serve_http import build_net_parser
+    parsers = (build_parser(), build_net_parser())
+    return {opt for p in parsers for action in p._actions
             for opt in action.option_strings}
 
 
