@@ -10,7 +10,8 @@ from fumi_tpu.core.config import build_parser
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOC_FILES = ["README.md", "docs/MIGRATION.md", "docs/PARITY.md",
-             "docs/PERFORMANCE.md", "docs/VERDICT_R1_RESPONSE.md",
+             "docs/PERFORMANCE.md", "docs/DEPLOYMENT.md",
+             "docs/VERDICT_R1_RESPONSE.md",
              "docs/VERDICT_R2_RESPONSE.md",
              ".claude/skills/verify/SKILL.md"]
 
