@@ -40,16 +40,33 @@ def _stack_keys(keys):
     return jnp.stack(keys)
 
 
-def _bucket_queries(query_im, axis: int):
+def _np_softmax(logits: np.ndarray) -> np.ndarray:
+    """Stable host-side softmax — request post-processing stays numpy
+    (the logits are already fetched, and eager jnp post-ops would
+    compile once per query-count shape). One definition for both
+    classifier classes and the HTTP renderer."""
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _bucket_queries(query_im, axis: int, enabled: bool = True):
     """Pad the per-episode QUERY axis M up to the next power of two by
     repeating the last query; callers slice the logits back to M.
 
-    Exact for every family (adaptation reads only the support set;
-    query classification is per-query independent), and the query-count
-    analogue of the R bucketing below: production traffic with variable
-    query counts hits ~log2 compiled programs instead of retracing per
-    distinct M — a retrace costs seconds on a tunneled runtime vs the
-    <2x padded forward math (queries are the cheap half of a request).
+    Exact for embedding-input families (adaptation reads only the
+    support set; query classification is per-query independent), and
+    the query-count analogue of the R bucketing below: production
+    traffic with variable query counts hits ~log2 compiled programs
+    instead of retracing per distinct M — a retrace costs seconds on a
+    tunneled runtime vs the <2x padded forward math (queries are the
+    cheap half of a request).
+
+    ``enabled=False`` skips the padding (still validating M): raw-image
+    backbones (conv4/resnet12) normalize with CURRENT-BATCH statistics
+    over the query batch — transductive batch norm, the model's
+    semantics — so padded duplicate queries would shift every real
+    query's logits. Those models compile one program per distinct M
+    instead (matching their engine-eval predictions exactly).
 
     HOST-side numpy on purpose: eager jnp pad ops would themselves
     compile per distinct M (seconds each on a tunneled runtime), which
@@ -57,7 +74,12 @@ def _bucket_queries(query_im, axis: int):
     device placement. Returns ``(M, padded_query_im)``."""
     query_im = np.asarray(query_im)
     M = query_im.shape[axis]
-    m_pad = max(1, 1 << (M - 1).bit_length())
+    if M == 0:
+        raise RequestError("request has no queries (query_im is empty "
+                           "along the query axis)")
+    if not enabled:
+        return M, query_im
+    m_pad = 1 << (M - 1).bit_length()
     if m_pad != M:
         idx = [slice(None)] * query_im.ndim
         idx[axis] = slice(M - 1, M)
@@ -71,21 +93,26 @@ def _pad_episodes(r_pad, *arrays):
     """Pad every array's leading (episode) axis from R up to ``r_pad`` by
     repeating the last episode — the shared request-bucketing transform
     (variable-size batches hit a handful of compiled programs instead of
-    retracing per distinct R; see episode_logits_batch)."""
+    retracing per distinct R; see episode_logits_batch). Host-side numpy
+    like ``_bucket_queries``: eager jnp pads would compile per distinct
+    true R inside a bucket."""
+    arrays = tuple(np.asarray(x) for x in arrays)
     R = arrays[0].shape[0]
     if r_pad == R:
         return arrays
     pad = r_pad - R
-    tile = lambda x: jnp.concatenate(
-        [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    tile = lambda x: np.concatenate(
+        [x, np.repeat(x[-1:], pad, axis=0)], axis=0)
     return tuple(tile(x) for x in arrays)
 
 
 def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
-                          support_text, rng, dp: int = 1):
+                          support_text, rng, dp: int = 1,
+                          bucket_m: bool = True):
     """THE batched-request policy, shared by FewShotClassifier and
     SeedEnsemble ``episode_logits_batch``: array coercion, per-episode
-    key derivation (episode r uses ``split(rng, R)[r]``), power-of-two
+    key derivation (episode r uses ``split(rng, n)[r]``, independent of
+    n — see the bucket-size split note below), power-of-two
     R bucketing via ``_pad_episodes`` (rounded up to a dp multiple when
     the batch will shard over a mesh), and power-of-two query-axis
     bucketing via ``_bucket_queries``. One definition so a policy change
@@ -94,18 +121,21 @@ def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
     the arrays padded to the bucket sizes and ``R``/``M`` the true
     request counts (callers slice outputs back with ``[:R, :M]``)."""
     _check_support_y(cfg, support_y)
-    support_im = jnp.asarray(support_im)
-    support_y = jnp.asarray(support_y, dtype=jnp.int32)
+    support_im = np.asarray(support_im, dtype=np.float32)
+    support_y = np.asarray(support_y, dtype=np.int32)
     R = support_im.shape[0]
     support_text = prep_text(support_text, R, support_im.shape[1])
-    M, query_im = _bucket_queries(query_im, axis=1)  # host-side pad
-    query_im = jnp.asarray(query_im)
-    keys = jax.random.split(rng, R)
+    M, query_im = _bucket_queries(query_im, axis=1, enabled=bucket_m)
     r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
     if dp > 1:
         r_pad = ((r_pad + dp - 1) // dp) * dp
+    # split at the BUCKET size: split(rng, n)[r] is counter-based and
+    # independent of n (verified for threefry and rbg), so episode r's
+    # key is unchanged, the padding episodes' keys come for free, and
+    # there is no per-distinct-R eager split/pad to compile
+    keys = jax.random.split(rng, r_pad)
     return (R, M) + _pad_episodes(r_pad, support_im, support_y,
-                                  support_text, query_im, keys)
+                                  support_text, query_im) + (keys,)
 
 
 def _check_support_y(cfg: Config, support_y) -> None:
@@ -177,6 +207,20 @@ class FewShotClassifier:
         from fumi_tpu.models.text_encoders import PAD_WORD
         d = dictionary or {}
         self._pad_id = int(d.get(PAD_WORD, d.get("PAD", 0)))
+        # request-shape bucketing is only applied where it is EXACT:
+        # - query axis M: not for raw-image backbones (transductive
+        #   batch-stat norm couples the query batch — _bucket_queries)
+        # - token axis T: biLSTMs mask PAD via the frozen-carry scan;
+        #   pooled word embeddings only under mean pooling with a frozen
+        #   (zero) PAD row — unmasked max pooling sees appended zero
+        #   rows, and a fine-tuned PAD row is no longer zero under the
+        #   reference's unmasked sum (text_encoders.py:83-85)
+        from fumi_tpu.models import RAW_IMAGE_ENCODERS
+        self._bucket_m = cfg.im_encoder not in RAW_IMAGE_ENCODERS
+        te = cfg.text_encoder
+        self._bucket_t = te in ("RNN", "RNNhid") or (
+            te in ("glove", "w2v") and cfg.pooling_strat == "mean"
+            and not cfg.fine_tune)
         self.params = params if params is not None else self.family.params
         self._state = None  # adapted params / prototypes
         self._classify_fn = None
@@ -423,27 +467,29 @@ class FewShotClassifier:
         (a silent zero-fill would feed all-PAD text to the encoder).
 
         Token sequences are length-bucketed to the next power of two
-        with trailing PAD ids (host-side, like ``_bucket_queries``):
-        exact, because every encoder masks PAD (pooling divides by true
-        lengths, the biLSTM carry freezes on masked steps), and requests
-        with variable description lengths then hit ~log2 compiled
-        programs instead of retracing per distinct T."""
+        with trailing PAD ids (host-side, like ``_bucket_queries``)
+        WHERE exact — see the ``_bucket_t`` gating in ``__init__``
+        (biLSTMs always; pooled embeddings only for mean pooling with a
+        frozen PAD row). Requests with variable description lengths then
+        hit ~log2 compiled programs instead of retracing per distinct
+        T; the ungated configs compile per distinct T instead of
+        silently changing predictions."""
         if support_text is None:
             if self.text_is_tokens and self.cfg.model in ("am3", "fumi"):
                 raise RequestError(
                     f"--text_encoder {self.cfg.text_encoder} models need "
                     "support_text (int token ids)")
-            return jnp.zeros(fill_shape + (1,), jnp.float32)
+            return np.zeros(fill_shape + (1,), np.float32)
         if self.text_is_tokens:
             t = np.asarray(support_text, dtype=np.int32)
             T = t.shape[-1]
-            t_pad = max(1, 1 << (T - 1).bit_length())
-            if t_pad != T:
+            t_pad = max(1, 1 << (max(T, 1) - 1).bit_length())
+            if self._bucket_t and t_pad != T:
                 fill = np.full(t.shape[:-1] + (t_pad - T,), self._pad_id,
                                np.int32)
                 t = np.concatenate([t, fill], axis=-1)
-            return jnp.asarray(t)
-        return jnp.asarray(support_text)
+            return t
+        return np.asarray(support_text, dtype=np.float32)
 
     def adapt(self, support_im, support_text=None, support_y=None,
               rng: Optional[jax.Array] = None) -> None:
@@ -533,9 +579,10 @@ class FewShotClassifier:
 
     def episode_logits(self, support_im, support_y, query_im,
                        support_text=None,
-                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                       rng: Optional[jax.Array] = None) -> np.ndarray:
         """One-call request path: adapt on this support set AND classify
-        these queries in a single dispatch.
+        these queries in a single dispatch. Returns host numpy (the
+        request result is fetched and unpadded host-side).
 
         Latency-bound, so MAML/FuMI use the fused Pallas adaptation kernel
         where supported — the whole n-step inner loop in one grid program,
@@ -544,16 +591,19 @@ class FewShotClassifier:
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         _check_support_y(self.cfg, support_y)
-        support_im = jnp.asarray(support_im)
-        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        # host numpy like _prep_batched_request: the jit cache keys on
+        # host-vs-device input kind, so the R=1 single-call view only
+        # shares the batch path's compiled program if both feed numpy
+        support_im = np.asarray(support_im, dtype=np.float32)
+        support_y = np.asarray(support_y, dtype=np.int32)
         support_text = self._prep_text(support_text, support_im.shape[0])
-        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
-        query_im = jnp.asarray(query_im)
+        M, query_im = _bucket_queries(query_im, axis=0,
+                                      enabled=self._bucket_m)
         # the R=1 view of the shared program; this episode's key is rng
-        # itself (batched requests draw split(rng, R) instead)
+        # itself (batched requests draw split(rng, ...) instead)
         out = self._episode_request(
             support_im[None], support_y[None], query_im[None],
-            support_text[None], _stack_keys([rng]))
+            np.asarray(support_text)[None], _stack_keys([rng]))
         # host-side unpad: an eager device slice would itself compile per
         # distinct M (the retrace bucketing exists to avoid); the logits
         # are request-sized and leave the device anyway
@@ -561,13 +611,14 @@ class FewShotClassifier:
 
     def episode_logits_batch(self, support_im, support_y, query_im,
                              support_text=None,
-                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                             rng: Optional[jax.Array] = None) -> np.ndarray:
         """Batched request path: R independent episodes adapted AND
         classified in one dispatch — support_im (R, NK, D), support_y
-        (R, NK), query_im (R, M, D) -> (R, M, N) logits. Amortizes the
-        per-dispatch RPC cost across the whole request batch (measured
-        2.6x the single-call throughput at R=16; docs/PERFORMANCE.md).
-        Episode r uses PRNG key ``split(rng, R)[r]``.
+        (R, NK), query_im (R, M, D) -> (R, M, N) logits (host numpy; the
+        request result is fetched). Amortizes the per-dispatch RPC cost
+        across the whole request batch (measured 2.6x the single-call
+        throughput at R=16; docs/PERFORMANCE.md). Episode r uses PRNG
+        key ``split(rng, n)[r]`` — counter-based and independent of n.
 
         R is padded up to the next power of two internally (repeating the
         last episode) so variable-size request batches hit a handful of
@@ -585,7 +636,7 @@ class FewShotClassifier:
         R, M, support_im, support_y, support_text, query_im, keys = \
             _prep_batched_request(self.cfg, self._prep_text, support_im,
                                   support_y, query_im, support_text, rng,
-                                  dp=dp)
+                                  dp=dp, bucket_m=self._bucket_m)
         if self.mesh is not None:
             # R episodes sharded over the dp axis; params stay replicated.
             # XLA partitions the vmapped request program from these input
@@ -600,10 +651,11 @@ class FewShotClassifier:
                                     support_text, keys)
         return np.asarray(out)[:R, :M]  # host-side unpad (see episode_logits)
 
-    def logits(self, query_im) -> jnp.ndarray:
+    def logits(self, query_im) -> np.ndarray:
         if self._classify_fn is None:
             raise RuntimeError("call adapt(...) before classify/logits")
-        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
+        M, query_im = _bucket_queries(query_im, axis=0,
+                                      enabled=self._bucket_m)
         return np.asarray(self._classify_fn(jnp.asarray(query_im)))[:M]
 
     def classify(self, query_im, return_probs: bool = False):
@@ -612,10 +664,9 @@ class FewShotClassifier:
         Post-processing is host-side numpy: logits are already fetched
         (see ``logits``) and eager jnp ops would compile per query-count.
         """
-        logits = np.asarray(self.logits(query_im))
+        logits = self.logits(query_im)
         if return_probs:
-            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-            return e / e.sum(axis=-1, keepdims=True)
+            return _np_softmax(logits)
         return np.argmax(logits, axis=-1).astype(np.int32)
 
 
@@ -767,18 +818,18 @@ class SeedEnsemble:
         vserve, params = self._vserve, self.params
         self._classify_fn = lambda q: self._reduce(vserve(params, state, q))
 
-    def logits(self, query_im) -> jnp.ndarray:
+    def logits(self, query_im) -> np.ndarray:
         if self._classify_fn is None:
             raise RuntimeError("call adapt(...) before classify/logits")
-        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
+        M, query_im = _bucket_queries(query_im, axis=0,
+                                      enabled=self._base._bucket_m)
         return np.asarray(self._classify_fn(jnp.asarray(query_im)))[:M]
 
     def classify(self, query_im, return_probs: bool = False):
         # host-side post-processing, like FewShotClassifier.classify
-        logits = np.asarray(self.logits(query_im))
+        logits = self.logits(query_im)
         if return_probs:
-            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-            return e / e.sum(axis=-1, keepdims=True)
+            return _np_softmax(logits)
         return np.argmax(logits, axis=-1).astype(np.int32)
 
     # one-call episode paths: per-seed keys fold the request key
@@ -799,28 +850,31 @@ class SeedEnsemble:
 
     def episode_logits(self, support_im, support_y, query_im,
                        support_text=None,
-                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                       rng: Optional[jax.Array] = None) -> np.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         _check_support_y(self.cfg, support_y)
-        support_im = jnp.asarray(support_im)
-        support_y = jnp.asarray(support_y, dtype=jnp.int32)
+        # host numpy throughout, matching _prep_batched_request (the jit
+        # cache keys on host-vs-device input kind — see episode_logits)
+        support_im = np.asarray(support_im, dtype=np.float32)
+        support_y = np.asarray(support_y, dtype=np.int32)
         support_text = self._base._prep_text(support_text,
                                              support_im.shape[0])
-        M, query_im = _bucket_queries(query_im, axis=0)  # host-side pad
-        query_im = jnp.asarray(query_im)
+        M, query_im = _bucket_queries(query_im, axis=0,
+                                      enabled=self._base._bucket_m)
         out = self._episode_request(
             support_im[None], support_y[None], query_im[None],
-            support_text[None], _stack_keys([rng]))
+            np.asarray(support_text)[None], _stack_keys([rng]))
         return np.asarray(out)[0, :M]  # host-side unpad
 
     def episode_logits_batch(self, support_im, support_y, query_im,
                              support_text=None,
-                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                             rng: Optional[jax.Array] = None) -> np.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         R, M, support_im, support_y, support_text, query_im, keys = \
             _prep_batched_request(self.cfg, self._base._prep_text,
                                   support_im, support_y, query_im,
-                                  support_text, rng)
+                                  support_text, rng,
+                                  bucket_m=self._base._bucket_m)
         out = self._episode_request(support_im, support_y, query_im,
                                     support_text, keys)
         return np.asarray(out)[:R, :M]  # host-side unpad

@@ -176,12 +176,12 @@ def _array(body: dict, key: str, dtype=np.float32,
 def _render(logits, mode: str) -> list:
     # host-side numpy: the classifier already fetched the logits, and
     # eager jnp post-ops would compile once per query-count shape
+    from fumi_tpu.serve import _np_softmax
     logits = np.asarray(logits)
     if mode == "logits":
         out = logits
     elif mode == "probs":
-        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        out = e / e.sum(axis=-1, keepdims=True)
+        out = _np_softmax(logits)
     elif mode == "labels":
         out = np.argmax(logits, axis=-1)
     else:

@@ -53,6 +53,13 @@ class Family(NamedTuple):
     # (cfg, family) -> (adapt_fn(p, s_im, s_text, s_y, rng) -> state,
     #                   classify_fn(p, state, q_im) -> (M, N) logits)
     serve: Optional[Callable] = None
+    # optional TRAIN-aux combining declaration for --tpu_grad_accum
+    # (accum_value_and_grad): aux key -> "mean" | "sum" | "concat".
+    # Undeclared array leaves fall back to the shape heuristic there,
+    # which cannot distinguish a per-task leaf from e.g. a per-class
+    # one when num_ways happens to equal the micro-batch size — declare
+    # such leaves explicitly.
+    train_aux_reduce: Optional[Dict[str, str]] = None
 
 
 class FamilySteps(NamedTuple):
@@ -183,6 +190,7 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         eval_finalize=lambda raw: raw,
         eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
                      "targets": "concat"},
+        train_aux_reduce={"acc": "mean", "preds": "concat"},
     )
 
 
@@ -255,6 +263,7 @@ def build_fumi_family(cfg: Config, key: jax.Array,
         eval_reduce={"loss": "mean", "acc": "mean", "preds": "concat",
                      "targets": "concat"},
         model=model,
+        train_aux_reduce={"acc": "mean", "preds": "concat"},
     )
 
 
@@ -321,6 +330,8 @@ def build_am3_family(cfg: Config, key: jax.Array,
                      "preds": "concat", "targets": "concat",
                      "lamda": "concat"},
         model=model,
+        train_aux_reduce={"conf": "sum", "avg_lamda": "mean",
+                          "preds": "concat"},
     )
 
 
@@ -686,12 +697,30 @@ def accum_value_and_grad(family: Family, accum: int) -> Callable:
         loss = losses.mean()
         grads = jax.tree.map(lambda g: g.mean(0), grads)
 
+        declared = family.train_aux_reduce or {}
+
         def combine(k, v):
             # v: (accum,) + per-micro-batch aux shape. Shapes are static,
             # so contract violations raise at trace time, not silently
             # mis-aggregate (a registered family with e.g. a per-class
             # vector aux would otherwise be scrambled across micro
             # batches whenever --tpu_grad_accum > 1).
+            how = declared.get(k)
+            if how == "mean":
+                return v.mean(0)
+            if how == "sum":
+                return v.sum(0)
+            if how == "concat":
+                return v.reshape((-1,) + v.shape[2:])
+            if how is not None:
+                raise ValueError(
+                    f"train_aux_reduce[{k!r}] = {how!r} "
+                    "(mean|sum|concat)")
+            # undeclared: the shape heuristic. NOTE it cannot tell a
+            # per-task leaf from another leaf whose leading dim happens
+            # to equal the micro-batch size (e.g. per-class with
+            # num_ways == batch_size/accum) — families with such aux
+            # must declare it via Family.train_aux_reduce.
             if k == "conf":
                 return v.sum(0)
             if v.ndim <= 1:  # scalar per micro-batch -> batch mean
@@ -701,8 +730,8 @@ def accum_value_and_grad(family: Family, accum: int) -> Callable:
                     f"--tpu_grad_accum cannot combine aux leaf {k!r}: "
                     f"per-micro-batch shape {v.shape[1:]} is neither "
                     f"scalar, 'conf' (summed counts), nor per-task "
-                    f"(leading dim {micro_size}) — see the "
-                    "accum_value_and_grad aux contract")
+                    f"(leading dim {micro_size}) — declare it via "
+                    "Family.train_aux_reduce")
             return v.reshape((-1,) + v.shape[2:])  # per-task -> concat
 
         aux = {k: combine(k, v) for k, v in auxs.items()}

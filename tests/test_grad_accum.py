@@ -182,3 +182,34 @@ def test_accum_cli_end_to_end(tmp_path):
     s2 = main(_cfg(tmp_path / "s2", seed_sweep=2, grad_accum=2, **base))
     for k in ("test/seed0/loss", "test/seed1/loss"):
         np.testing.assert_allclose(s1[k], s2[k], rtol=2e-5)
+
+
+def test_accum_declared_aux_reduce(tmp_path):
+    """Family.train_aux_reduce removes the shape-heuristic blind spot:
+    a per-class aux whose length EQUALS the micro-batch size (the case
+    the heuristic cannot distinguish from per-task) is combined as
+    declared. Also documents the undeclared fallback's wrong answer."""
+    cfg = _cfg(tmp_path, model="fumi", num_ways=4, batch_size=8)
+    sampler, family = _sampler_family(cfg)
+    episode = sampler.sample(jax.random.PRNGKey(5), sampler.tables)
+
+    def loss2(params, ep, rng):
+        loss, aux = family.train_loss(params, ep, rng)
+        aux = dict(aux)
+        aux["per_class"] = jnp.arange(cfg.num_ways,
+                                      dtype=jnp.float32) * loss
+        return loss, aux
+
+    declared = dict(family.train_aux_reduce or {})
+    declared["per_class"] = "mean"
+    fam_ok = family._replace(train_loss=loss2, train_aux_reduce=declared)
+    (_, aux), _ = accum_value_and_grad(fam_ok, 2)(
+        family.params, episode, jax.random.PRNGKey(0))
+    assert aux["per_class"].shape == (cfg.num_ways,)  # micro-averaged
+
+    # undeclared: micro_size == num_ways == 4, so the heuristic treats
+    # the leaf as per-task and concatenates — the documented blind spot
+    fam_bad = family._replace(train_loss=loss2)
+    (_, aux2), _ = accum_value_and_grad(fam_bad, 2)(
+        family.params, episode, jax.random.PRNGKey(0))
+    assert aux2["per_class"].shape == (cfg.batch_size,)

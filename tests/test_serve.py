@@ -462,3 +462,32 @@ def test_episode_batch_shards_over_mesh(model):
     got = np.asarray(sharded.episode_logits_batch(s_im, s_y, q_im, **kw))
     assert got.shape == (R, M, N)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_raw_image_queries_skip_bucketing():
+    """conv4/resnet12 normalize with CURRENT-BATCH statistics over the
+    query batch (transductive batch norm — the model's semantics), so
+    padded duplicate queries would shift every real query's logits.
+    Raw-image models must compile per distinct M instead of padding."""
+    cfg = base_cfg("maml", im_encoder="conv4", im_size=16)
+    clf = FewShotClassifier(cfg, None)
+    assert not clf._bucket_m
+    rng = np.random.RandomState(3)
+    s_im = rng.randn(N * K, 16, 16, 3).astype(np.float32)
+    s_y = np.repeat(np.arange(N), K).astype(np.int32)
+    q = rng.randn(8, 16, 16, 3).astype(np.float32)
+    out5 = np.asarray(clf.episode_logits(s_im, s_y, q[:5]))
+    out8 = np.asarray(clf.episode_logits(s_im, s_y, q))
+    assert out5.shape == (5, N) and out8.shape == (8, N)
+    # two programs (no padding), and the M=5 logits are the UNPADDED
+    # forward — batch stats over exactly the 5 real queries
+    assert clf._episode_fn._cache_size() == 2
+
+
+def test_zero_queries_is_request_error():
+    from fumi_tpu.serve import RequestError
+
+    clf = FewShotClassifier(base_cfg("maml"), None)
+    s_im, _, s_y, _ = episode_data(np.random.RandomState(0))
+    with pytest.raises(RequestError, match="no queries"):
+        clf.episode_logits(s_im, s_y, np.zeros((0, D), np.float32))

@@ -666,3 +666,32 @@ def test_token_length_buckets_to_power_of_two():
     np.testing.assert_allclose(got6, want, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(got5, want, rtol=1e-6, atol=1e-6)
     assert clf._episode_fn._cache_size() == 1
+
+
+def test_token_length_bucketing_gated_where_inexact():
+    """T bucketing only applies where trailing PADs cannot change the
+    encoding: max pooling is UNMASKED (appended zero rows can change a
+    max) and a fine-tuned PAD row is no longer zero under the
+    reference's unmasked sum — those configs compile per distinct T
+    instead of silently changing predictions. biLSTMs (frozen-carry
+    masking) always bucket."""
+    d = _token_episode(np.random.RandomState(8))[0]
+    mk = lambda cfg: FewShotClassifier(cfg, None, d)
+    assert mk(_token_cfg("am3", "glove"))._bucket_t
+    assert not mk(_token_cfg("am3", "glove").replace(
+        pooling_strat="max"))._bucket_t
+    assert not mk(_token_cfg("am3", "glove").replace(
+        fine_tune=True))._bucket_t
+    assert mk(_token_cfg("am3", "RNN"))._bucket_t
+    assert mk(_token_cfg("am3", "RNN").replace(fine_tune=True))._bucket_t
+
+    d, s_im, s_y, q_im, s_text = _token_episode(np.random.RandomState(8))
+    clf = mk(_token_cfg("am3", "glove").replace(pooling_strat="max"))
+    got6 = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=s_text.astype(np.int32)))
+    got5 = np.asarray(clf.episode_logits(
+        s_im, s_y, q_im, support_text=s_text[:, :T - 1].astype(np.int32)))
+    # both carry >=1 trailing PAD, so the unmasked max sees the zero row
+    # either way: same text -> same logits, but via TWO programs
+    np.testing.assert_allclose(got5, got6, rtol=1e-6, atol=1e-6)
+    assert clf._episode_fn._cache_size() == 2
