@@ -36,8 +36,20 @@ _HABITATS = ["montane forest", "coastal wetland", "arid scrubland",
 
 
 def build(root, num_classes=30, images_per_class=40, seed=7,
-          mean_scale=0.45, noise_scale=1.0):
-    """Write the dataset under ``<root>/iNat-Anim`` and return that path."""
+          mean_scale=0.45, noise_scale=1.0, text_means_fn=None):
+    """Write the dataset under ``<root>/iNat-Anim`` and return that path.
+
+    ``text_means_fn`` (optional): callable ``description str -> (H,)
+    vector``. When given, each class's image-cluster mean is a fixed
+    seeded linear projection of its TEXT embedding (unit-normalised,
+    rescaled to the same ``mean_scale * sqrt(DIM)`` norm the Gaussian
+    means have) — a global cross-modal correspondence, so a model that
+    learns text→image alignment on train classes can retrieve UNSEEN
+    val/test classes. This is the structure the real iNat-Anim has
+    (BERT description embeddings correlate with image content) and what
+    makes the reference's CLIP evaluation (clip.py:43-74, disjoint
+    class splits) non-vacuous on synthetic data. Episodic oracle runs
+    keep the default independent Gaussian means."""
     data_dir = os.path.join(root, "iNat-Anim")
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -63,7 +75,16 @@ def build(root, num_classes=30, images_per_class=40, seed=7,
         json.dump({"categories": categories, "images": images,
                    "annotations": annotations}, f)
 
-    means = rng.randn(num_classes, DIM) * mean_scale
+    if text_means_fn is not None:
+        t = np.stack([np.asarray(text_means_fn(c["description"]),
+                                 dtype=np.float64)
+                      for c in categories])  # (C, H)
+        proj = rng.randn(DIM, t.shape[1]) / np.sqrt(t.shape[1])
+        v = t @ proj.T  # (C, DIM)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        means = v * (mean_scale * np.sqrt(DIM))
+    else:
+        means = rng.randn(num_classes, DIM) * mean_scale
     emb = np.empty((n_images, DIM), dtype=np.float32)
     for i in range(n_images):
         c = i % num_classes
