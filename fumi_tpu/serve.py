@@ -124,6 +124,13 @@ def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
     support_im = np.asarray(support_im, dtype=np.float32)
     support_y = np.asarray(support_y, dtype=np.int32)
     R = support_im.shape[0]
+    if R == 0:
+        # the M=0 analogue (_bucket_queries): without this guard an
+        # empty batch reaches the jitted vmap as 0-row episode arrays
+        # against (r_pad,) keys — an opaque ValueError the HTTP layer
+        # would map to a 500 for what is a malformed request
+        raise RequestError("request has no episodes (support_im is "
+                           "empty along the episode axis)")
     support_text = prep_text(support_text, R, support_im.shape[1])
     M, query_im = _bucket_queries(query_im, axis=1, enabled=bucket_m)
     r_pad = max(1, 1 << (R - 1).bit_length())  # next power of two
@@ -1050,6 +1057,14 @@ def warmup(clf, r_buckets=(1,), num_queries=16,
                 np.asarray(clf.episode_logits_batch(
                     tile(s_im), tile(s_y), tile(q_im),
                     support_text=None if s_text is None else tile(s_text)))
+        # report the buckets actually compiled, not the raw requested
+        # counts (raw-image backbones skip M bucketing — transductive
+        # batch norm — so there the raw counts ARE the buckets)
+        if cfg.im_encoder in RAW_IMAGE_ENCODERS:
+            m_buckets = sorted(set(num_queries))
+        else:
+            m_buckets = sorted({1 << (m - 1).bit_length()
+                                for m in num_queries})
         print(f"warmup: episode path R={R} "
-              f"(M buckets {sorted(set(num_queries))}) "
+              f"(M buckets {m_buckets}) "
               f"in {time.perf_counter() - t0:.1f}s")

@@ -271,15 +271,7 @@ def clip_data_dir(tmp_path_factory):
     data_dir = _load_dataset_gen().build(
         str(root), num_classes=24, images_per_class=120, mean_scale=0.62,
         text_means_fn=fake_bert.fake_pooled_embedding)
-    # export the fake-BERT class embeddings as the rebuild's offline
-    # artifact (data/inat_anim.py:_bert_artifact_path format: one row
-    # per category id, float32)
-    with open(os.path.join(data_dir, "inat_anim.json")) as f:
-        cats = json.load(f)["categories"]
-    emb = np.stack([fake_bert.fake_pooled_embedding(c["description"])
-                    for c in sorted(cats, key=lambda c: c["id"])])
-    np.save(os.path.join(data_dir, "text_embeddings_bert_description.npy"),
-            emb.astype(np.float32))
+    _export_fake_bert(data_dir)
     return data_dir
 
 

@@ -491,3 +491,16 @@ def test_zero_queries_is_request_error():
     s_im, _, s_y, _ = episode_data(np.random.RandomState(0))
     with pytest.raises(RequestError, match="no queries"):
         clf.episode_logits(s_im, s_y, np.zeros((0, D), np.float32))
+
+
+def test_zero_episodes_is_request_error():
+    """The R=0 analogue: an empty batched request must be a loud
+    RequestError (HTTP 400), not an opaque vmap shape error (500)."""
+    from fumi_tpu.serve import RequestError
+
+    clf = FewShotClassifier(base_cfg("maml"), None)
+    with pytest.raises(RequestError, match="no episodes"):
+        clf.episode_logits_batch(
+            np.zeros((0, N * K, D), np.float32),
+            np.zeros((0, N * K), np.int32),
+            np.zeros((0, 3, D), np.float32))
