@@ -33,7 +33,7 @@ STEP_SIZE = 0.01
 LR = 3e-5
 
 
-def _bench_cfg(model: str):
+def _bench_cfg(model: str, compute_dtype: str = "float32"):
     from fumi_tpu.core.config import Config
     return Config(model=model, im_emb_dim=IM_DIM, text_emb_dim=TXT_DIM,
                   im_hid_dim=IM_HID, text_hid_dim=TXT_HID, num_ways=N_WAY,
@@ -41,11 +41,12 @@ def _bench_cfg(model: str):
                   num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
                   dropout=0.25, text_encoder="precomputed",
                   step_size=STEP_SIZE, lr=LR, optim="adam",
-                  prototype_dim=512)
+                  prototype_dim=512, compute_dtype=compute_dtype)
 
 
 def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
-              model: str = "fumi") -> float:
+              model: str = "fumi",
+              compute_dtype: str = "float32") -> float:
     """episodes/sec of the chunked (scan) fused sample+train driver — the
     production training path (fumi_tpu/train/loop.py)."""
     import jax
@@ -60,14 +61,16 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     from fumi_tpu.train.steps import (build_family, make_chunked_train,
                                       make_opt)
 
-    cfg = _bench_cfg(model)
+    cfg = _bench_cfg(model, compute_dtype)
 
     cs, table, ids = synthetic_class_set(
         num_classes=64, images_per_class=64, im_dim=IM_DIM,
         text_dim=TXT_DIM, seed=0)
     spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, Q_TRAIN, IM_DIM, TXT_DIM)
-    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
-                                   cs, spec)
+    table = jnp.asarray(table)
+    if compute_dtype == "bfloat16":  # production pairing (cli/main.py)
+        table = table.astype(jnp.bfloat16)
+    sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
     chunked = make_chunked_train(family, opt, sampler, chunk)
@@ -97,7 +100,8 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     return best
 
 
-def bench_eval(episodes: int = 256, chunk: int = 64) -> float:
+def bench_eval(episodes: int = 256, chunk: int = 64,
+               compute_dtype: str = "float32") -> float:
     """episodes/sec of the chunked eval driver (100-step test adaptation)."""
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -108,7 +112,7 @@ def bench_eval(episodes: int = 256, chunk: int = 64) -> float:
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import build_family, make_chunked_eval
 
-    cfg = _bench_cfg("fumi")
+    cfg = _bench_cfg("fumi", compute_dtype)
     cs, table, ids = synthetic_class_set(
         num_classes=64, images_per_class=64, im_dim=IM_DIM,
         text_dim=TXT_DIM, seed=0)

@@ -43,6 +43,11 @@ class AM3(NamedTuple):
     im_size: int = 84
     im_channels: int = 3
     resnet12_channels: tuple = (64, 160, 320, 640)
+    # --tpu_compute_dtype bfloat16: matmul operands in bf16 with fp32
+    # accumulation (layers.linear policy). Prototype/distance math
+    # (ops/fewshot.py) stays fp32 — reductions are accuracy-sensitive
+    # and bandwidth-bound, not MXU-bound. None = pure fp32.
+    compute_dtype: Optional[type] = None
 
     def init_params(self, key: jax.Array) -> Dict:
         k_im, k_g1, k_g2, k_h1, k_h2 = jax.random.split(key, 5)
@@ -83,9 +88,11 @@ class AM3(NamedTuple):
             B, M = im.shape[:2]
             feats = net.backbone(params["image_encoder"],
                                  im.reshape((B * M,) + im.shape[2:]))
-            out = layers.linear(params["image_encoder"]["head"], feats)
+            out = layers.linear(params["image_encoder"]["head"], feats,
+                                self.compute_dtype)
             return out.reshape(B, M, -1)
-        return layers.linear(params["image_encoder"], im)
+        return layers.linear(params["image_encoder"], im,
+                             self.compute_dtype)
 
     def forward(self, params, text: jnp.ndarray, im: jnp.ndarray, *,
                 rng: jax.Array, train: bool) -> Tuple[jnp.ndarray,
@@ -123,14 +130,14 @@ class AM3(NamedTuple):
         return im_embeddings, text_embeddings, lamda
 
     def _g(self, g_params, x, rng, train):
-        h = jax.nn.relu(layers.linear(g_params[0], x))
+        h = jax.nn.relu(layers.linear(g_params[0], x, self.compute_dtype))
         h = layers.dropout(rng, h, self.dropout, train)
-        return layers.linear(g_params[1], h)
+        return layers.linear(g_params[1], h, self.compute_dtype)
 
     def _h(self, h_params, x, rng, train):
-        h = jax.nn.relu(layers.linear(h_params[0], x))
+        h = jax.nn.relu(layers.linear(h_params[0], x, self.compute_dtype))
         h = layers.dropout(rng, h, self.dropout, train)
-        return layers.linear(h_params[1], h)
+        return layers.linear(h_params[1], h, self.compute_dtype)
 
     # -- episode --------------------------------------------------------
 

@@ -19,7 +19,7 @@ this module provides the pure forward pieces.
 from __future__ import annotations
 
 import math
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,10 @@ class FUMI(NamedTuple):
     im_size: int = 84
     im_channels: int = 3
     resnet12_channels: Tuple[int, ...] = (64, 160, 320, 640)
+    # --tpu_compute_dtype bfloat16: matmul operands in bf16 with fp32
+    # accumulation (layers.linear policy); params, activations, inner-loop
+    # updates stay fp32. None = pure fp32.
+    compute_dtype: Optional[type] = None
 
     @property
     def head_in_dim(self) -> int:
@@ -102,8 +106,9 @@ class FUMI(NamedTuple):
                       ) -> jnp.ndarray:
         """Hypernetwork: (n_way, E) text → (n_way, im_hid[-1]+1) params
         (ref: fumi.py:109-113)."""
-        h = jax.nn.relu(layers.linear(hyper_params[0], text_embed))
-        out = layers.linear(hyper_params[1], h)
+        h = jax.nn.relu(layers.linear(hyper_params[0], text_embed,
+                                      self.compute_dtype))
+        out = layers.linear(hyper_params[1], h, self.compute_dtype)
         if self.norm_hypernet:
             out = jnp.tanh(out)
         return out
@@ -149,7 +154,7 @@ class FUMI(NamedTuple):
             from fumi_tpu.models import raw_image_net
             return raw_image_net(self.im_encoder_kind).backbone(im_params, x)
         for i, p in enumerate(im_params):
-            x = jax.nn.relu(layers.linear(p, x))
+            x = jax.nn.relu(layers.linear(p, x, self.compute_dtype))
             if self.dropout_rate > 0:
                 x = layers.dropout(jax.random.fold_in(rng, i), x,
                                    self.dropout_rate, train)
@@ -167,4 +172,4 @@ class FUMI(NamedTuple):
         out = self.im_base(im_params, x, rng=rng, train=train)  # (M, hid)
         w = hyper_params[:, :-1]  # (n_way, hid)
         b = hyper_params[:, -1]  # (n_way,)
-        return jnp.matmul(out, w.T, preferred_element_type=out.dtype) + b
+        return layers.matmul_f32acc(out, w.T, self.compute_dtype) + b

@@ -37,10 +37,34 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int,
     }
 
 
-def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ Wᵀ + b, with W shaped (out, in)."""
-    return jnp.matmul(x, params["w"].T,
+def linear(params: Params, x: jnp.ndarray,
+           compute_dtype=None) -> jnp.ndarray:
+    """y = x @ Wᵀ + b, with W shaped (out, in).
+
+    ``compute_dtype=jnp.bfloat16`` runs the MATMUL in bf16 with fp32
+    accumulation (``preferred_element_type``) — the ``--tpu_compute_dtype
+    bfloat16`` mixed-precision policy: params, activations between layers,
+    bias adds, losses, and every inner-loop SGD update stay fp32; only the
+    dot operands are rounded. The cast's VJP casts cotangents back, so
+    gradients leave fp32 too (bf16 backward dots, fp32 grads)."""
+    w = params["w"]
+    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
+        return jnp.matmul(
+            x.astype(compute_dtype), w.T.astype(compute_dtype),
+            preferred_element_type=jnp.float32) + params["b"]
+    return jnp.matmul(x, w.T,
                       preferred_element_type=x.dtype) + params["b"]
+
+
+def matmul_f32acc(a: jnp.ndarray, b: jnp.ndarray,
+                  compute_dtype=None) -> jnp.ndarray:
+    """``a @ b`` under the same mixed-precision policy as :func:`linear`
+    (bf16 operands, fp32 accumulation) for non-layer matmuls (FuMI's
+    generated head, CLIP similarity)."""
+    if compute_dtype is not None and a.dtype != jnp.dtype(compute_dtype):
+        return jnp.matmul(a.astype(compute_dtype), b.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(a, b, preferred_element_type=a.dtype)
 
 
 def dropout(key: jax.Array, x: jnp.ndarray, rate: float,

@@ -23,8 +23,11 @@ def init(key: jax.Array, im_embed_dim: int = 2048, n_way: int = 5,
     return layers.mlp_init(key, dims)
 
 
-def apply(params, x: jnp.ndarray) -> jnp.ndarray:
-    """Forward: ReLU between layers, raw logits out (ref: maml.py:24-33)."""
+def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Forward: ReLU between layers, raw logits out (ref: maml.py:24-33).
+
+    ``compute_dtype``: matmul operand dtype (bf16 MXU path with fp32
+    accumulation/activations — see layers.linear); None = pure fp32."""
     for p in params[:-1]:
-        x = jax.nn.relu(layers.linear(p, x))
-    return layers.linear(params[-1], x)
+        x = jax.nn.relu(layers.linear(p, x, compute_dtype))
+    return layers.linear(params[-1], x, compute_dtype)

@@ -82,6 +82,16 @@ def _make_text_encoder(cfg: Config, key, dictionary):
         pooling_strat=cfg.pooling_strat, fine_tune=cfg.fine_tune)
 
 
+def compute_dtype_of(cfg: Config):
+    """``--tpu_compute_dtype`` as a matmul operand dtype (None = fp32).
+
+    bfloat16 = the mixed-precision policy of models/layers.py:linear —
+    bf16 MXU dots with fp32 accumulation; params, inter-layer activations,
+    losses, and inner-loop SGD updates stay fp32. It also stores the
+    device sampler's HBM table in bf16 (cli/main.py:_samplers)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 def plain_full_gd_adaptation(cfg: Config) -> bool:
     """True when TEST-TIME adaptation is the plain full-parameter GD
     program the fused Pallas kernels implement. iMAML's proximal objective
@@ -133,7 +143,8 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
         apply_fn = net.apply
     else:
         params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
-        apply_fn = mlp.apply
+        apply_fn = functools.partial(mlp.apply,
+                                     compute_dtype=compute_dtype_of(cfg))
 
     adapt_mask = None
     if cfg.adapt_params == "head":  # ANIL: only the head adapts
@@ -210,7 +221,8 @@ def build_fumi_family(cfg: Config, key: jax.Array,
                          if cfg.im_encoder in ("conv4", "resnet12")
                          else "mlp"),
         im_size=cfg.im_size, im_channels=cfg.im_channels,
-        resnet12_channels=cfg.resnet12_channels)
+        resnet12_channels=cfg.resnet12_channels,
+        compute_dtype=compute_dtype_of(cfg))
     params = model.init_params(k_par)
 
     def loss_for(n_steps, train):
@@ -288,7 +300,8 @@ def build_am3_family(cfg: Config, key: jax.Array,
                          if cfg.im_encoder in ("conv4", "resnet12")
                          else "linear"),
         im_size=cfg.im_size, im_channels=cfg.im_channels,
-        resnet12_channels=cfg.resnet12_channels)
+        resnet12_channels=cfg.resnet12_channels,
+        compute_dtype=compute_dtype_of(cfg))
     params = model.init_params(k_par)
 
     def train_loss(p, episode, rng):

@@ -924,3 +924,76 @@ def test_fumi_rnn_composed_trajectory_matches_torch(fine_tune):
             np.testing.assert_array_equal(
                 np.asarray(params["text_encoder"][k]), v0)
     assert jax_losses[-1] < jax_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision (--tpu_compute_dtype bfloat16) trajectory drift bounds
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model", ["maml", "fumi", "am3"])
+def test_bf16_trajectory_drift_bounded(model):
+    """The bf16 matmul policy (bf16 operands, fp32 accumulation — params,
+    activations, losses, and inner updates fp32; models/layers.py:linear)
+    must TRACK the fp32 trajectory, not merely converge: same episode
+    stream, 60 meta-updates, per-step losses within ~1%, final params
+    within ~2% relative L2, eval accuracy within 2pp. These bounds pin the
+    policy itself — a regression that silently casts activations or the
+    optimizer to bf16 blows through them."""
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import make_steps
+
+    cfg32 = Config(
+        model=model, dataset="synthetic", im_emb_dim=64, text_emb_dim=32,
+        im_hid_dim=(32, 16), prototype_dim=16, text_hid_dim=16,
+        num_ways=3, num_shots=2, num_shots_test=5,
+        num_train_adapt_steps=2, num_test_adapt_steps=4,
+        batch_size=4, dropout=0.0, text_encoder="precomputed",
+        step_size=0.1, lr=1e-3, weight_decay=0.0,
+        prng_impl="threefry2x32", seed=0)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+
+    rng = np.random.RandomState(0)
+    episodes = []
+    for _ in range(60):
+        s_im = rng.randn(4, 3 * 2, 64).astype(np.float32)
+        s_tx = rng.randn(4, 3 * 2, 32).astype(np.float32)
+        q_im = rng.randn(4, 3 * 5, 64).astype(np.float32)
+        s_y = np.tile(np.repeat(np.arange(3), 2)[None], (4, 1))
+        q_y = np.tile(np.repeat(np.arange(3), 5)[None], (4, 1))
+        episodes.append(Episode(
+            support_im=jnp.asarray(s_im), support_text=jnp.asarray(s_tx),
+            support_text_mask=None,
+            support_ids=jnp.zeros((4, 6), jnp.int32),
+            support_y=jnp.asarray(s_y.astype(np.int32)),
+            query_im=jnp.asarray(q_im),
+            query_ids=jnp.zeros((4, 15), jnp.int32),
+            query_y=jnp.asarray(q_y.astype(np.int32))))
+
+    def train(cfg):
+        steps = make_steps(cfg, jax.random.PRNGKey(0))
+        p, s = steps.params, steps.opt.init(steps.params)
+        losses = []
+        for i, ep in enumerate(episodes):
+            p, s, m = steps.train_step(p, s, ep, jax.random.PRNGKey(100 + i))
+            losses.append(float(m["loss"]))
+        accs = [float(steps.eval_step(p, ep, jax.random.PRNGKey(7))["acc"])
+                for ep in episodes[:8]]
+        return np.array(losses), p, float(np.mean(accs))
+
+    losses32, p32, acc32 = train(cfg32)
+    losses16, p16, acc16 = train(cfg16)
+
+    # identical init: bf16 is a compute policy, not a param dtype
+    l32 = jax.tree.leaves(p32)
+    l16 = jax.tree.leaves(p16)
+    assert all(x.dtype == jnp.float32 for x in l16)
+
+    rel_loss = np.abs(losses16 - losses32) / np.maximum(
+        np.abs(losses32), 1e-3)
+    assert rel_loss.max() < 0.05, \
+        f"per-step loss drift {rel_loss.max():.4f} (step {rel_loss.argmax()})"
+    num = np.sqrt(sum(float(jnp.sum((a - b) ** 2))
+                      for a, b in zip(l16, l32)))
+    den = np.sqrt(sum(float(jnp.sum(b ** 2)) for b in l32))
+    assert num / den < 0.02, f"final-param rel drift {num / den:.5f}"
+    assert abs(acc16 - acc32) < 0.02, (acc16, acc32)
