@@ -68,12 +68,72 @@ def load_cub(data_dir: str) -> Tuple[Dict[str, ClassSet], np.ndarray,
 # Offline conversion: raw CUB_200_2011 release -> artifacts for load_cub
 # ---------------------------------------------------------------------------
 
-# meta-split fractions over the class list (the reference wires torchmeta's
-# CUB helper, which uses the Hilliard-et-al. 100/50/50 class lists, ref:
-# fumi/dataset/data.py:191-217; those exact lists are torchmeta data files,
-# so this conversion uses the same 100/50/50 PROPORTIONS over classes.txt
-# order — a documented deviation)
+# Meta-split policy. The reference wires torchmeta's CUB helper, whose
+# 100/50/50 class membership comes from the Hilliard-et-al. lists shipped
+# as torchmeta asset files (ref: fumi/dataset/data.py:191-217). Conversion
+# therefore resolves the split from, in order:
+#   1. an explicit ``split_lists`` directory holding train/val/test.json
+#      (torchmeta's asset format: a JSON list of class directory names) —
+#      byte-identical split membership to any torchmeta run;
+#   2. an installed torchmeta package's own asset files;
+#   3. the 100/50/50 PROPORTIONS over classes.txt order (the fallback when
+#      neither is available — split membership then DIFFERS from
+#      torchmeta's, so results are not comparable across the two; the
+#      chosen source is recorded in the artifact as ``split_source``).
 SPLIT_FRACTIONS = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+
+def _load_split_lists(split_lists, classes):
+    """Resolve the class meta-split. Returns (split_classes dict keyed by
+    split name with (class_id, class_name) lists, source string)."""
+    import json
+
+    name_to_pair = {name: (cid, name) for cid, name in classes}
+
+    def from_dir(d, source):
+        out = {}
+        for split in ("train", "val", "test"):
+            path = os.path.join(d, f"{split}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"split-list directory {d} has no {split}.json "
+                    "(expected torchmeta's cub asset format: a JSON list "
+                    "of class directory names)")
+            with open(path) as f:
+                names = json.load(f)
+            missing = [n for n in names if n not in name_to_pair]
+            if missing:
+                raise ValueError(
+                    f"{path} names classes absent from classes.txt: "
+                    f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+            out[split] = [name_to_pair[n] for n in names]
+        all_ids = [cid for cls in out.values() for cid, _ in cls]
+        if len(set(all_ids)) != len(all_ids):
+            raise ValueError(f"split lists under {d} overlap")
+        return out, source
+
+    if split_lists is not None:
+        return from_dir(split_lists, f"lists:{split_lists}")
+    try:  # torchmeta installed: use its exact Hilliard asset files
+        import torchmeta  # noqa: F401 — optional, never a hard dep
+        assets = os.path.join(os.path.dirname(torchmeta.__file__),
+                              "datasets", "assets", "cub")
+        if os.path.isdir(assets):
+            return from_dir(assets, "torchmeta-assets")
+    except ImportError:
+        pass
+    n_cls = len(classes)
+    n_train = int(SPLIT_FRACTIONS["train"] * n_cls)
+    n_val = int(SPLIT_FRACTIONS["val"] * n_cls)
+    print("cub: torchmeta split lists unavailable — using 100/50/50 "
+          "proportions over classes.txt order (membership differs from "
+          "torchmeta's; pass --splits <dir> with train/val/test.json "
+          "for exact identity)")
+    return {
+        "train": classes[:n_train],
+        "val": classes[n_train:n_train + n_val],
+        "test": classes[n_train + n_val:],
+    }, "proportional-classes.txt-order"
 
 
 def _read_pairs(path: str):
@@ -94,7 +154,8 @@ def pixels_embed_fn(images: "np.ndarray") -> "np.ndarray":
 
 
 def convert_cub(raw_dir: str, data_dir: str, embed_fn=None,
-                image_size: int = 84, batch_size: int = 64) -> str:
+                image_size: int = 84, batch_size: int = 64,
+                split_lists: str = None) -> str:
     """Convert a raw CUB_200_2011 directory into load_cub's artifacts.
 
     ``raw_dir`` must contain ``images.txt``, ``image_class_labels.txt``,
@@ -103,7 +164,10 @@ def convert_cub(raw_dir: str, data_dir: str, embed_fn=None,
     is the frozen encoder — pluggable so tests/custom encoders can inject
     one; default is :func:`pixels_embed_fn` (raw pixels; mirrors how
     iNat-Anim ships precomputed resnet embeddings, which here would be an
-    injected torchvision/flax encoder).
+    injected torchvision/flax encoder). ``split_lists`` points at a
+    directory with torchmeta's ``train/val/test.json`` class lists for
+    exact Hilliard split identity (see ``_load_split_lists`` for the
+    auto-resolution order; the chosen source is stored in the artifact).
 
     Returns the artifact directory ``<data_dir>/CUB``.
     """
@@ -138,15 +202,8 @@ def convert_cub(raw_dir: str, data_dir: str, embed_fn=None,
         table_chunks.append(embed_fn(np.stack(batch)))
     image_table = np.concatenate(table_chunks, axis=0).astype(np.float32)
 
-    # class meta-split: 100/50/50 proportions over classes.txt order
-    n_cls = len(classes)
-    n_train = int(SPLIT_FRACTIONS["train"] * n_cls)
-    n_val = int(SPLIT_FRACTIONS["val"] * n_cls)
-    split_classes = {
-        "train": classes[:n_train],
-        "val": classes[n_train:n_train + n_val],
-        "test": classes[n_train + n_val:],
-    }
+    split_classes, split_source = _load_split_lists(split_lists, classes)
+    print(f"cub: split source = {split_source}")
 
     out_root = os.path.join(data_dir, "CUB")
     os.makedirs(out_root, exist_ok=True)
@@ -163,6 +220,7 @@ def convert_cub(raw_dir: str, data_dir: str, embed_fn=None,
         arrays[f"{split}_counts"] = counts
         arrays[f"{split}_categories"] = np.array([cid for cid, _ in cls],
                                                  dtype=np.int32)
+    arrays["split_source"] = np.array(split_source)  # provenance
     np.save(os.path.join(out_root, "image_embeddings.npy"), image_table)
     np.savez(os.path.join(out_root, "class_image_rows.npz"), **arrays)
     return out_root

@@ -48,7 +48,8 @@ def cmd_vectors(args) -> int:
 def cmd_cub(args) -> int:
     from fumi_tpu.data.cub import convert_cub
     out = convert_cub(args.raw_dir, args.data_dir,
-                      image_size=args.image_size)
+                      image_size=args.image_size,
+                      split_lists=args.splits)
     print(f"wrote CUB artifacts under {out}")
     return 0
 
@@ -113,6 +114,11 @@ def main(argv=None) -> int:
                    help="path to the extracted CUB_200_2011 release")
     c.add_argument("--data_dir", type=str, default="./data")
     c.add_argument("--image_size", type=int, default=84)
+    c.add_argument("--splits", type=str, default=None,
+                   help="directory with torchmeta's train/val/test.json "
+                        "class lists (exact Hilliard split identity); "
+                        "default: torchmeta's own assets if installed, "
+                        "else 100/50/50 proportions over classes.txt")
     c.set_defaults(fn=cmd_cub)
 
     i = sub.add_parser("inspect", help="inspect dataset dir")

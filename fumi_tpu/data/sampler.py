@@ -292,6 +292,19 @@ class HostEpisodeSampler:
             self._native = native.load()
             if backend == "native" and self._native is None:
                 raise RuntimeError("native sampler unavailable (no g++?)")
+        elif backend == "native" and self._wraps:
+            raise RuntimeError(
+                "--tpu_sampler_backend native cannot serve classes thinner "
+                "than K+Q (the with-replacement wrap is numpy-only)")
+
+    @property
+    def backend_name(self) -> str:
+        """The index backend actually in use. ``native`` (xoshiro256**)
+        and ``numpy`` (RandomState) draw from the same POLICY but emit
+        DIFFERENT episode streams for the same seed — comparisons across
+        machines must pin ``--tpu_sampler_backend`` (auto resolves per-box
+        by whether the shared library could be built)."""
+        return "numpy" if self._native is None else "native"
 
     def _draw_indices(self, B, N, K, Q):
         """(class_idx (B,N), sel (B,N,K+Q)) by native or numpy backend."""
@@ -368,6 +381,13 @@ class HostEpisodeSampler:
             yield self.sample()
 
 
+class _WorkerError:
+    """Queue envelope carrying a prefetch-worker exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchingSampler:
     """Background-thread episode prefetcher for host samplers.
 
@@ -377,6 +397,12 @@ class PrefetchingSampler:
     device compute when wrapped: ``depth`` episodes are staged ahead by a
     daemon thread. Device-sampler runs don't need this (sampling happens
     inside the XLA program).
+
+    Failure semantics: an exception raised by the wrapped sampler inside
+    the worker thread is captured and re-raised — with its original
+    traceback — by the next ``sample()`` call, matching torch DataLoader
+    workers (which propagate worker exceptions to the iterating process)
+    rather than deadlocking the training loop on an empty queue.
     """
 
     def __init__(self, sampler: "HostEpisodeSampler", depth: int = 2):
@@ -391,16 +417,27 @@ class PrefetchingSampler:
 
     def _worker(self):
         while not self._stop.is_set():
-            ep = self.sampler.sample()
+            try:
+                item = self.sampler.sample()
+            except BaseException as e:  # noqa: BLE001 — relayed, not hidden
+                item = _WorkerError(e)
             while not self._stop.is_set():
                 try:
-                    self._q.put(ep, timeout=0.1)
+                    self._q.put(item, timeout=0.1)
                     break
                 except Exception:
                     continue
+            if isinstance(item, _WorkerError):
+                return  # the stream is broken; don't keep drawing past it
 
     def sample(self) -> Episode:
-        return self._q.get()
+        if getattr(self, "_failed", None) is not None:
+            raise self._failed  # the worker is dead; don't block forever
+        item = self._q.get()
+        if isinstance(item, _WorkerError):
+            self._failed = item.exc
+            raise item.exc
+        return item
 
     def close(self):
         self._stop.set()

@@ -144,3 +144,54 @@ def test_convert_cub_rejects_non_cub_dir(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         convert_cub(str(empty), str(tmp_path))
+
+
+def test_convert_cub_with_split_lists(raw_cub_dir, tmp_path):
+    """Exact split identity (VERDICT r3 item 5): a torchmeta-format
+    train/val/test.json directory pins class→split assignment VERBATIM
+    (membership AND order), overriding the proportional fallback; the
+    artifact records the split source."""
+    from fumi_tpu.data.cub import convert_cub
+
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    # scrambled, non-contiguous membership a proportional split can't make
+    assign = {"train": ["007.Bird_7", "002.Bird_2", "005.Bird_5"],
+              "val": ["001.Bird_1", "008.Bird_8"],
+              "test": ["004.Bird_4", "003.Bird_3", "006.Bird_6"]}
+    for split, names in assign.items():
+        (lists / f"{split}.json").write_text(json.dumps(names))
+
+    out = convert_cub(raw_cub_dir, str(tmp_path), image_size=8,
+                      split_lists=str(lists))
+    splits, table, ids = load_cub(str(tmp_path))
+    # class ids follow the LIST order, not classes.txt order
+    np.testing.assert_array_equal(splits["train"].categories, [7, 2, 5])
+    np.testing.assert_array_equal(splits["val"].categories, [1, 8])
+    np.testing.assert_array_equal(splits["test"].categories, [4, 3, 6])
+    tabs = np.load(os.path.join(out, "class_image_rows.npz"))
+    assert str(tabs["split_source"]).startswith("lists:")
+    # rows still point at the right images: class 7's images are rows 30-34
+    np.testing.assert_array_equal(
+        np.sort(splits["train"].class_image_rows[0][:5]),
+        np.arange(30, 35))
+
+
+def test_convert_cub_split_list_errors(raw_cub_dir, tmp_path):
+    from fumi_tpu.data.cub import convert_cub
+
+    lists = tmp_path / "bad"
+    lists.mkdir()
+    (lists / "train.json").write_text(json.dumps(["001.Bird_1"]))
+    with pytest.raises(FileNotFoundError, match="val.json"):
+        convert_cub(raw_cub_dir, str(tmp_path), image_size=8,
+                    split_lists=str(lists))
+    for s in ("val", "test"):
+        (lists / f"{s}.json").write_text(json.dumps(["001.Bird_1"]))
+    with pytest.raises(ValueError, match="overlap"):
+        convert_cub(raw_cub_dir, str(tmp_path), image_size=8,
+                    split_lists=str(lists))
+    (lists / "val.json").write_text(json.dumps(["999.Nope"]))
+    with pytest.raises(ValueError, match="absent"):
+        convert_cub(raw_cub_dir, str(tmp_path), image_size=8,
+                    split_lists=str(lists))

@@ -299,6 +299,41 @@ def test_prefetching_sampler(synth):
     pre.close()
 
 
+def test_prefetching_sampler_propagates_worker_exception(synth):
+    """A sampler exception inside the prefetch thread must reach the
+    caller as that exception, not a silent-forever block on an empty
+    queue (VERDICT r3 Weak #3; torch DataLoader workers propagate too)."""
+    from fumi_tpu.data.sampler import PrefetchingSampler
+    cs, table, ids = synth
+    host = HostEpisodeSampler(table, ids, cs, SPEC, seed=0)
+
+    calls = {"n": 0}
+    orig = host.sample
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("h5 volume went away")
+        return orig()
+
+    host.sample = flaky
+    pre = PrefetchingSampler(host, depth=1)
+    try:
+        good = 0
+        with pytest.raises(RuntimeError, match="h5 volume went away"):
+            for _ in range(10):
+                pre.sample()
+                good += 1
+        assert good == 2  # the episodes drawn before the failure still flow
+        # repeated polling after the failure keeps raising (worker is dead)
+        with pytest.raises(RuntimeError, match="h5 volume went away"):
+            pre.sample()
+        pre._thread.join(timeout=5.0)
+        assert not pre._thread.is_alive()
+    finally:
+        pre.close()
+
+
 def test_bf16_table_storage(synth):
     """bf16-stored tables yield fp32 episodes (values within bf16 ulp)."""
     cs, table, ids = synth

@@ -18,7 +18,7 @@ DOC_FILES = ["README.md", "docs/MIGRATION.md", "docs/PARITY.md",
 # mentioned in docs but not CLI flags of this framework
 NON_CLI = {
     "--no-build-isolation",  # pip
-    "--src", "--kind", "--raw_dir",  # data.prepare subcommand parsers
+    "--src", "--kind", "--raw_dir", "--splits",  # data.prepare subcommands
     "--x",  # prose fragment
 }
 

@@ -75,3 +75,32 @@ def test_host_sampler_native_backend(lib):
     # deterministic per (seed, counter): fresh sampler reproduces
     s2 = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="native")
     np.testing.assert_array_equal(np.asarray(s2.sample().support_ids), ids_s)
+
+
+def test_backend_streams_intentionally_distinct(lib):
+    """The documentation contract of --tpu_sampler_backend: native
+    (xoshiro256**) and numpy (RandomState) backends are POLICY-equal
+    (distributional match pinned in test_data.py) but STREAM-unequal —
+    the same seed yields different episodes, and each sampler names its
+    resolved backend so startup logs surface which one a run used.
+    Cross-machine comparisons must pin the backend; 'auto' resolves
+    per-box (by g++ availability)."""
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import HostEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+
+    cs, table, ids = synthetic_class_set(num_classes=8, images_per_class=20,
+                                         im_dim=16, text_dim=8)
+    spec = EpisodeSpec(3, 4, 2, 5, 16, 8)
+    nat = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="native")
+    np_ = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="numpy")
+    auto = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="auto")
+    assert nat.backend_name == "native" and np_.backend_name == "numpy"
+    assert auto.backend_name == "native"  # this box has the .so
+    a = np.asarray(nat.sample().support_ids)
+    b = np.asarray(np_.sample().support_ids)
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b), \
+        "streams unexpectedly identical — if the backends ever converge, " \
+        "update the --tpu_sampler_backend docs (the divergence is the " \
+        "documented contract)"
