@@ -122,10 +122,18 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
                                      use_pallas_gather=pg,
                                      allow_replacement=ar))
     ar = cfg.allow_replacement
+    be = cfg.sampler_backend
     train_host = HostEpisodeSampler(image_table, image_ids, splits["train"],
                                     train_spec, seed=cfg.seed,
-                                    allow_replacement=ar,
+                                    allow_replacement=ar, backend=be,
                                     augment_scale=0.1 if cfg.augment else 0.0)
+    # name the resolved backend at startup: "auto" picks per-box (native
+    # when libepisodic.so builds, numpy otherwise) and the two backends'
+    # episode STREAMS differ for the same seed — a cross-machine
+    # reproducibility trap unless the flag is pinned
+    print(f"host sampler backend: {train_host.backend_name} "
+          f"(--tpu_sampler_backend {be}; streams are backend-specific "
+          "per seed)")
     if cfg.num_workers > 0:
         # --num_workers: background prefetch (the reference's dataloader
         # worker concurrency, ref: utils.py:95-98)
@@ -135,10 +143,10 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     return (train_host,
             HostEpisodeSampler(image_table, image_ids, splits["val"],
                                eval_spec, seed=cfg.seed + 1,
-                               allow_replacement=ar),
+                               allow_replacement=ar, backend=be),
             HostEpisodeSampler(image_table, image_ids, splits["test"],
                                eval_spec, seed=cfg.seed + 2,
-                               allow_replacement=ar))
+                               allow_replacement=ar, backend=be))
 
 
 def _save_predictions_csv(cfg: Config, writer: MetricWriter,

@@ -107,6 +107,13 @@ class Config:
     # Device-side episodic sampling (one fused XLA program). Off = host-side
     # numpy sampler with reference-faithful semantics.
     device_sampler: bool = True
+    # Host-sampler index backend: "native" (C++ xoshiro256**), "numpy"
+    # (np.random.RandomState), or "auto" (native when the shared library
+    # is loadable, else numpy). SAME sampling policy, DIFFERENT episode
+    # streams for the same --seed — pin this flag when comparing
+    # host-sampler runs across machines (auto picks per-box by g++
+    # availability). The chosen backend is logged at startup.
+    sampler_backend: str = "auto"
     # Train steps fused per device dispatch (lax.scan length of the
     # chunked drivers). 0 = the tuned default (1000: amortizes the ~27 ms
     # tunneled-TPU dispatch cost to ~3%). scripts/autotune.py measures the
@@ -140,7 +147,15 @@ class Config:
     # request path (fumi_tpu/serve.py episode_logits) uses it by default.
     # fp reassociation: logits differ from the scan engine ~2e-3/100 steps.
     pallas_fused_eval: bool = False
-    # Compute dtype for episodic math (params stay fp32).
+    # Mixed-precision policy for episodic math. "bfloat16" runs every
+    # model matmul (inner-loop/backbone/hypernet/encoder-head dots) with
+    # bf16 operands and fp32 accumulation — params, inter-layer
+    # activations, losses, and inner-loop SGD updates stay fp32 — and
+    # stores the device sampler's HBM table in bf16 (half the gather
+    # bandwidth). Prototype/distance reductions (ops/fewshot.py) stay
+    # fp32. Trajectory drift vs fp32 is bounded in
+    # tests/test_trajectory_parity.py; throughput deltas in
+    # docs/PERFORMANCE.md.
     compute_dtype: str = "float32"
     # PRNG implementation: "rbg" is ~free on TPU where threefry costs
     # ~0.1 ms per step of the fused sampling+dropout chain; "threefry2x32"
@@ -171,6 +186,13 @@ class Config:
     # selection, and the final test run on the smoothed weights while
     # training continues on the raw ones. 0 = off (reference behavior).
     ema: float = 0.0
+    # Per-parameter distribution telemetry (the reference's
+    # ``wandb.watch(model, log="all")``, ref: utils.py:272): at every
+    # eval boundary, device-side fixed-bin histograms of every top-level
+    # component's params and of one fresh meta-batch's gradients, written
+    # through MetricWriter (train/watch.py). Off by default (the
+    # always-on equivalent is per-component grad norms).
+    watch: bool = False
     debug_nans: bool = False
     profile_dir: Optional[str] = None
     # Non-finite-update guard: >0 wraps the optimizer in
@@ -262,6 +284,14 @@ class Config:
                 raise NameError("Invalid text type used")
         if self.optim not in OPTIMIZERS:
             raise NotImplementedError(f"optimizer {self.optim!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"--tpu_compute_dtype {self.compute_dtype!r} "
+                "(float32|bfloat16)")
+        if self.sampler_backend not in ("auto", "native", "numpy"):
+            raise ValueError(
+                f"--tpu_sampler_backend {self.sampler_backend!r} "
+                "(auto|native|numpy)")
         if self.chunk < 0 or self.train_unroll < 0:
             raise ValueError("--tpu_chunk/--tpu_train_unroll must be >= 0 "
                              "(0 = auto)")
@@ -466,6 +496,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_host_sampler", action="store_true",
                    help="use host-side numpy episodic sampler instead of the "
                         "fused device sampler")
+    p.add_argument("--tpu_sampler_backend", type=str, default="auto",
+                   choices=["auto", "native", "numpy"],
+                   help="host-sampler index backend. Same policy, different "
+                        "episode streams per seed — pin it (not auto) when "
+                        "comparing host-sampler runs across machines")
     p.add_argument("--tpu_chunk", type=int, default=0,
                    help="train steps per device dispatch (0 = tuned "
                         "default 1000; see scripts/autotune.py)")
@@ -486,7 +521,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the fused Pallas eval-adaptation kernel in the "
                         "eval harness (lower latency per adaptation; the "
                         "chunked driver's scan engine has higher throughput)")
-    p.add_argument("--tpu_compute_dtype", type=str, default="float32")
+    p.add_argument("--tpu_compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: bf16 matmul operands with fp32 "
+                        "accumulation (params/updates stay fp32) + bf16 "
+                        "HBM table storage")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
     p.add_argument("--tpu_skip_nonfinite", type=int, default=0,
@@ -513,6 +552,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_ema", type=float, default=0.0,
                    help="parameter-EMA decay for eval/checkpointing "
                         "(0 = off)")
+    p.add_argument("--tpu_watch", action="store_true",
+                   help="per-parameter value+gradient histograms every "
+                        "eval_freq (wandb.watch parity; fixed sum-reducible "
+                        "bins, logged to JSONL + wandb)")
     p.add_argument("--tpu_debug_nans", action="store_true")
     p.add_argument("--tpu_profile_dir", type=str, default=None)
     p.add_argument("--tpu_auto_resume", action="store_true",
@@ -596,6 +639,7 @@ def config_from_args(argv=None) -> Config:
         mesh_dp=args.tpu_mesh_dp,
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
+        sampler_backend=args.tpu_sampler_backend,
         chunk=args.tpu_chunk,
         train_unroll=args.tpu_train_unroll,
         grad_accum=args.tpu_grad_accum,
@@ -613,6 +657,7 @@ def config_from_args(argv=None) -> Config:
         imaml_cg_iters=args.tpu_imaml_cg_iters,
         adapt_params=args.tpu_adapt_params,
         ema=args.tpu_ema,
+        watch=args.tpu_watch,
         debug_nans=args.tpu_debug_nans,
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,

@@ -23,6 +23,7 @@ Usage::
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -137,9 +138,13 @@ def _prep_batched_request(cfg, prep_text, support_im, support_y, query_im,
     if dp > 1:
         r_pad = ((r_pad + dp - 1) // dp) * dp
     # split at the BUCKET size: split(rng, n)[r] is counter-based and
-    # independent of n (verified for threefry and rbg), so episode r's
-    # key is unchanged, the padding episodes' keys come for free, and
-    # there is no per-distinct-R eager split/pad to compile
+    # independent of n, so episode r's key is unchanged, the padding
+    # episodes' keys come for free, and there is no per-distinct-R eager
+    # split/pad to compile. The n-independence holds for rbg and for
+    # threefry under jax_threefry_partitionable (this jax version's
+    # default) but NOT under legacy threefry — _check_split_n_invariance
+    # asserts it once per process rather than trusting the default.
+    _check_split_n_invariance()
     keys = jax.random.split(rng, r_pad)
     return (R, M) + _pad_episodes(r_pad, support_im, support_y,
                                   support_text, query_im) + (keys,)
@@ -160,6 +165,24 @@ def _check_support_y(cfg: Config, support_y) -> None:
             f"[0, {cfg.num_ways}) for this {cfg.num_ways}-way model "
             f"(got range [{y.min()}, {y.max()}]); remap dataset class "
             "ids to 0..N-1 per episode")
+
+
+@functools.lru_cache(maxsize=None)
+def _check_split_n_invariance() -> None:
+    """Assert ``split(k, n)[r]`` does not depend on ``n`` — the invariant
+    the bucket-size key split above relies on for reproducibility (the
+    same request must get the same episode keys whatever padding bucket
+    it lands in). True for rbg, and for threefry only under
+    ``jax_threefry_partitionable`` (the default here, but a config flip
+    or an old jax would silently change per-request randomness)."""
+    k = jax.random.PRNGKey(0)
+    a = jax.random.key_data(jax.random.split(k, 2))[0]
+    b = jax.random.key_data(jax.random.split(k, 4))[0]
+    if not np.array_equal(np.asarray(a), np.asarray(b)):
+        raise RuntimeError(
+            "jax.random.split(k, n) prefix depends on n under the active "
+            "PRNG config — serving's padding-bucket key policy needs "
+            "jax_threefry_partitionable=True (or --tpu_prng_impl rbg)")
 
 
 class RequestError(ValueError):
@@ -1032,18 +1055,25 @@ def warmup(clf, r_buckets=(1,), num_queries=16,
     s_y = np.repeat(np.arange(cfg.num_ways),
                     cfg.num_shots).astype(np.int32)
     if clf.text_is_tokens:
-        s_text = np.zeros((NK, text_len), np.int32)  # all-PAD is valid
+        # token id 1, not PAD (0): with mean pooling an all-PAD row has
+        # masked length 0, so the pooled embedding is 0/0 = NaN — warmup
+        # would still compile, but the dummy forward must stay finite
+        s_text = np.full((NK, text_len), 1, np.int32)
     elif cfg.model in ("am3", "fumi"):
         s_text = rng.randn(NK, cfg.text_emb_dim).astype(np.float32)
     else:
         s_text = None
 
+    # a re-warm on a live classifier (e.g. after a config change) must
+    # not drop an existing adapted state — stash and restore it around
+    # the dummy adapt instead of resetting to None
+    saved = (clf._state, clf._classify_fn)
     t0 = time.perf_counter()
     clf.adapt(s_im, s_text, s_y)
     for q_im in q_ims:
         np.asarray(clf.classify(q_im))  # fetch = compile + run completed
-    clf._state = None  # dummy state must not mask the 409-before-adapt
-    clf._classify_fn = None
+    # dummy state must not mask the 409-before-adapt on a fresh server
+    clf._state, clf._classify_fn = saved
     print(f"warmup: adapt+classify in {time.perf_counter() - t0:.1f}s")
 
     for R in r_buckets:

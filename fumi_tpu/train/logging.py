@@ -66,6 +66,31 @@ class MetricWriter:
             self._since_flush = 0
         self.summary.update(scalars)
 
+    def log_arrays(self, arrays: Dict, step: Optional[int] = None) -> None:
+        """Log non-scalar records (histogram count vectors, label lists):
+        JSONL rows always; ``wandb.Histogram`` for count vectors when a
+        live wandb run is attached (``--tpu_watch`` telemetry)."""
+        rec = {}
+        for k, v in arrays.items():
+            rec[k] = v.tolist() if hasattr(v, "tolist") else v
+        if self._wandb is not None:
+            wb = {}
+            for k, v in rec.items():
+                if isinstance(v, list) and v and \
+                        isinstance(v[0], (int, float)):
+                    # fixed-bin counts -> a wandb histogram over bucket
+                    # indices (wandb needs numeric edges; the signed-log
+                    # bucket labels ride in the JSONL)
+                    edges = list(range(len(v) + 1))
+                    wb[k] = self._wandb.Histogram(
+                        np_histogram=(v, edges))
+            if wb:
+                self._wandb.log(wb, step=step)
+        if step is not None:
+            rec["_step"] = step
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
     def flush(self) -> None:
         self._jsonl.flush()
         self._since_flush = 0

@@ -263,6 +263,34 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  if isinstance(train_sampler, DeviceEpisodeSampler)
                  else None)
 
+    watch_grad = None
+    if cfg.watch and steps.family is not None:
+        # --tpu_watch gradient sample: the meta-gradient of ONE fresh
+        # meta-batch at each eval boundary (the chunked drivers never
+        # materialize per-step grads on the host; a point sample is the
+        # distribution telemetry wandb.watch provides, at eval cadence)
+        _fam_loss = steps.family.train_loss
+        watch_grad = jax.jit(lambda p, ep, k: jax.grad(
+            lambda p_: _fam_loss(p_, ep, k)[0])(p))
+
+    def _log_watch_boundary(batch_idx: int) -> None:
+        if not cfg.watch:
+            return
+        from fumi_tpu.train.watch import log_watch, watch_record
+        grads = None
+        if watch_grad is not None:
+            # a stream distinct from the eval fold_in(k_val, batch_idx)
+            k_w = jax.random.fold_in(
+                jax.random.fold_in(k_val, 2 ** 31 - 1), batch_idx)
+            k_ep, k_step = jax.random.split(k_w)
+            if isinstance(train_sampler, DeviceEpisodeSampler):
+                ep = _jitted_sample(train_sampler.tables,
+                                    train_sampler.spec, k_ep)
+            else:
+                ep = train_sampler.sample()
+            grads = watch_grad(params, ep, k_step)
+        log_watch(writer, watch_record(params, grads), step=batch_idx)
+
     def next_stop(batch_idx: int) -> int:
         """The next step index after which the loop must pause: an eval
         boundary, the epochs end, or the patience trigger."""
@@ -326,6 +354,7 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                 from fumi_tpu.utils.profiling import hbm_stats
                 rec.update(hbm_stats())  # mem/* when the runtime reports
                 writer.log(rec, step=batch_idx)
+                _log_watch_boundary(batch_idx)
                 import dataclasses as _dc
                 ckpt_lib.save_checkpoint(
                     run_dir, params, opt_state, batch_idx, best_loss,

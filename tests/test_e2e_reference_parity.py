@@ -492,3 +492,104 @@ def test_our_trained_checkpoint_evaluates_identically_in_reference(
     assert abs(ref_acc - our_acc) <= 0.04, \
         (f"same weights, different eval verdicts: rebuild {our_acc:.4f} "
          f"vs reference {ref_acc:.4f}")
+
+
+# ---------------------------------------------------------------------------
+# Weight-transport e2e for the ADAPTATION families at the 5-shot flagship
+# protocol (VERDICT r3 item 1): MAML and FuMI checkpoints cross the
+# framework boundary, so the comparison is σ-free in the weights — both
+# engines evaluate the IDENTICAL trained model, and only evaluation-
+# protocol parity (inner-loop numerics + episode-stream statistics)
+# remains in the difference. The reference side's number comes from its
+# own --checkpoint/--evaluate path (main.py:61-76,98-105) on both legs,
+# which also removes the MAML quirk of reporting last-weights test acc
+# (maml.py:107 — training_run does not reload best/).
+# ---------------------------------------------------------------------------
+
+def _run_reference_eval_of(data_dir, log_dir, model, ckpt_dir, seed=1,
+                           shots=5):
+    """The reference's own --checkpoint --evaluate path on a best.pth.tar
+    sitting in ``ckpt_dir`` (fetched through the shimmed wandb.restore)."""
+    return run_reference(
+        data_dir, log_dir, model, seed, "rand",
+        extra_flags=["--num_shots", str(shots),
+                     "--checkpoint", "oracle-import", "--evaluate"],
+        extra_env={"WANDB_ORACLE_RESTORE_DIR": str(ckpt_dir)})
+
+
+@needs_reference
+@pytest.mark.parametrize("model", ["maml", "fumi"])
+def test_adaptation_family_weight_transport_ref_to_ours(
+        oracle_data_dir, tmp_path, model):
+    """reference-trained 5-shot MAML/FuMI best.pth.tar → fumi_tpu interop
+    import → OUR eval engine agrees with the REFERENCE'S OWN evaluation
+    of the same file to ~1pp (σ of a 124-task eval mean ≈ 0.5-1pp per
+    side from independent episode streams; the weights are identical)."""
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    ref_log = str(tmp_path / "ref")
+    run_reference(oracle_data_dir, ref_log, model, 1,
+                  extra_flags=["--num_shots", "5"])
+    wandb_dir = os.path.join(ref_log, "wandb_1")
+    ckpt = os.path.join(wandb_dir, "best.pth.tar")
+    assert os.path.exists(ckpt), "reference run saved no best.pth.tar"
+
+    # the reference's own eval verdict on its best weights (MAML's
+    # training-run test acc is last-weights, so re-evaluate explicitly)
+    ref_acc = _run_reference_eval_of(oracle_data_dir,
+                                     str(tmp_path / "ref_eval"), model,
+                                     wandb_dir)
+
+    kw = dict(COMMON)
+    kw["num_shots"] = 5
+    cfg = Config(
+        model=model, dataset="inat-anim", data_dir=oracle_data_dir,
+        image_embedding_model="resnet-34", im_emb_dim=512,
+        im_hid_dim=(32, 16),
+        text_encoder="rand", text_emb_dim=TEXT_DIM["rand"],
+        text_hid_dim=16,
+        log_dir=str(tmp_path / "ours"), wandb_offline=True, seed=1,
+        prng_impl="threefry2x32",
+        checkpoint=ckpt, evaluate=True,
+        **kw)
+    ours = main(cfg)
+
+    print(f"weight-transport {model} 5-shot: reference eval {ref_acc:.4f} "
+          f"vs rebuild eval {ours['test/acc']:.4f} (same weights)")
+    assert ref_acc > CHANCE + 0.2, f"{model} checkpoint failed to learn"
+    assert abs(ours["test/acc"] - ref_acc) <= 0.02, \
+        (f"{model}: same best.pth.tar, different eval verdicts: reference "
+         f"{ref_acc:.4f} vs rebuild {ours['test/acc']:.4f}")
+
+
+@needs_reference
+def test_fumi_our_trained_checkpoint_evaluates_identically_in_reference(
+        oracle_data_dir, tmp_path):
+    """fumi_tpu-trained 5-shot FuMI → export_torch → the REFERENCE's own
+    --checkpoint/--evaluate path reproduces our reported test accuracy
+    (FuMI's harness reloads best/ before testing on both sides, so the
+    reported test acc corresponds exactly to the exported weights)."""
+    import glob
+
+    from fumi_tpu.cli import export_torch
+
+    ours_log = str(tmp_path / "ours")
+    our_acc = run_ours(oracle_data_dir, ours_log, "fumi", 1, "rand",
+                       overrides=dict(num_shots=5))
+    run_dirs = sorted(glob.glob(os.path.join(ours_log, "runs", "run_*")))
+    assert run_dirs, "training left no run directory"
+    exp_dir = tmp_path / "export"
+    exp_dir.mkdir()
+    export_torch.main([run_dirs[-1], str(exp_dir / "best.pth.tar")])
+
+    ref_acc = _run_reference_eval_of(oracle_data_dir,
+                                     str(tmp_path / "ref"), "fumi",
+                                     exp_dir)
+
+    print(f"weight-transport fumi export 5-shot: rebuild {our_acc:.4f} vs "
+          f"reference eval of exported weights {ref_acc:.4f}")
+    assert our_acc > CHANCE + 0.2, "rebuild FuMI failed to learn"
+    assert abs(ref_acc - our_acc) <= 0.02, \
+        (f"fumi: same exported weights, different eval verdicts: rebuild "
+         f"{our_acc:.4f} vs reference {ref_acc:.4f}")

@@ -343,6 +343,45 @@ def test_warmup_precompiles_and_clears_state():
     assert clf._serve_fn._cache_size() == n_serve
 
 
+def test_warmup_preserves_live_adapted_state():
+    """A re-warm on a classifier that already adapted with real support
+    data (e.g. after a config change on a live server) must not drop the
+    live state: classify keeps answering, with the pre-warm answers."""
+    from fumi_tpu.serve import warmup
+
+    cfg = base_cfg("maml")
+    clf = FewShotClassifier(cfg, None)
+    rng = np.random.RandomState(7)
+    s_im, _, s_y, q_im = episode_data(rng)
+    clf.adapt(s_im, None, s_y)
+    before = np.asarray(clf.classify(q_im))
+    warmup(clf, r_buckets=(1,), num_queries=4)
+    after = np.asarray(clf.classify(q_im))  # no 409, same state
+    np.testing.assert_array_equal(before, after)
+
+
+def test_warmup_token_model_stays_finite():
+    """Token-encoder warmup must feed non-PAD dummy tokens: an all-PAD
+    row under mean pooling is 0/0 = NaN through the whole dummy
+    adapt/classify (compile would still succeed, but NaN-checking —
+    --tpu_debug_nans or any future serve-path guard — would trip)."""
+    from fumi_tpu.serve import warmup
+
+    cfg = base_cfg("am3", text_encoder="glove", num_test_adapt_steps=2)
+    clf = FewShotClassifier(cfg, None, dictionary={"<PAD>": 0, "tok": 1})
+    captured = []
+    orig = clf.adapt
+
+    def spy(s_im, s_text, s_y, **kw):
+        captured.append(np.asarray(s_text))
+        return orig(s_im, s_text, s_y, **kw)
+
+    clf.adapt = spy
+    warmup(clf, r_buckets=(1,), num_queries=4)
+    assert captured and (captured[0] != 0).all(), \
+        "warmup fed all-PAD dummy tokens"
+
+
 def test_episode_logits_fused_glue_interpret(monkeypatch):
     """The fused MAML/FuMI branches of the request path (unreachable on
     CPU by default) exercised via interpret-mode kernels: forcing the

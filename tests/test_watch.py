@@ -1,0 +1,88 @@
+"""--tpu_watch telemetry: fixed-bin histograms (wandb.watch parity,
+ref: fumi/utils/utils.py:272)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fumi_tpu.train.watch import (NUM_BUCKETS, bucket_labels,
+                                  component_histograms, watch_record)
+
+
+def test_histogram_counts_and_buckets():
+    params = {
+        "image_encoder": {"w": jnp.array([[0.0, 1.0, -1.0, 0.5]]),
+                          "b": jnp.array([1e-12, -1e3])},
+        "g": ({"w": jnp.ones((2, 3))},),
+    }
+    h = component_histograms(params)
+    assert set(h) == {"image_encoder", "g"}
+    labels = bucket_labels()
+    assert len(labels) == NUM_BUCKETS and labels[0] == "zero"
+    # every value lands in exactly one bucket
+    assert h["image_encoder"].sum() == 6
+    assert h["g"].sum() == 6
+    ie = h["image_encoder"]
+    assert ie[0] == 1  # the exact zero
+    # 1.0 and 0.5 and 1e-12 (clamped to the smallest bucket) are positive,
+    # -1.0 and -1e3 (clamped to the largest negative bucket) negative
+    neg = ie[1:1 + (NUM_BUCKETS - 1) // 2].sum()
+    pos = ie[1 + (NUM_BUCKETS - 1) // 2:].sum()
+    assert neg == 2 and pos == 3
+    # edge clamps: -1e3 folds into the largest-magnitude negative bucket
+    # (index 1), +1e-12 into the smallest positive bucket
+    assert ie[1] == 1
+    assert ie[1 + (NUM_BUCKETS - 1) // 2] == 1
+    # sum-reducible: two shards' counts add to the combined count
+    a = component_histograms({"g": ({"w": jnp.ones((2, 3))},)})["g"]
+    b = component_histograms({"g": ({"w": -jnp.ones((1, 3))},)})["g"]
+    c = component_histograms(
+        {"g": ({"w": jnp.concatenate([jnp.ones((2, 3)),
+                                      -jnp.ones((1, 3))])},)})["g"]
+    np.testing.assert_array_equal(a + b, c)
+
+
+def test_watch_record_params_and_grads():
+    p = ({"w": jnp.ones((2, 2)), "b": jnp.zeros(2)},)
+    g = ({"w": 0.1 * jnp.ones((2, 2)), "b": jnp.ones(2)},)
+    rec = watch_record(p, g)
+    assert set(rec) == {"watch/params/layer0", "watch/grads/layer0"}
+    assert rec["watch/params/layer0"].sum() == 6
+    assert rec["watch/grads/layer0"].sum() == 6
+
+
+def test_training_run_emits_watch_rows(tmp_path):
+    """End to end through the harness: --tpu_watch writes one histogram
+    row per eval boundary with param AND grad counts summing to the
+    model's parameter count."""
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    cfg = Config(
+        model="maml", dataset="synthetic", im_emb_dim=16, text_emb_dim=8,
+        im_hid_dim=(8,), num_ways=3, num_shots=1, num_shots_test=4,
+        num_train_adapt_steps=1, num_test_adapt_steps=1,
+        batch_size=2, dropout=0.0, text_encoder="precomputed",
+        epochs=6, eval_freq=3, patience=0, num_ep_test=4, lr=1e-3,
+        watch=True, wandb_offline=True, seed=0,
+        prng_impl="threefry2x32", log_dir=str(tmp_path))
+    main(cfg)
+
+    jsonl = [os.path.join(tmp_path, "results", f)
+             for f in os.listdir(tmp_path / "results")
+             if f.endswith(".metrics.jsonl")]
+    assert jsonl
+    rows = [json.loads(line) for line in open(jsonl[0])]
+    watch_rows = [r for r in rows if any(k.startswith("watch/") for k in r)]
+    assert len(watch_rows) >= 2  # one per eval boundary (steps 3 and 6)
+    row = watch_rows[0]
+    n_params = 16 * 8 + 8 + 8 * 3 + 3  # the (16,)->(8,)->(3,) MLP
+    p_counts = [v for k, v in row.items() if k.startswith("watch/params/")]
+    g_counts = [v for k, v in row.items() if k.startswith("watch/grads/")]
+    assert p_counts and g_counts
+    assert sum(sum(c) for c in p_counts) == n_params
+    assert sum(sum(c) for c in g_counts) == n_params
+    assert len(row["watch/buckets"]) == NUM_BUCKETS
