@@ -1,0 +1,97 @@
+"""Where does the bf16 matmul policy (--tpu_compute_dtype bfloat16) pay?
+
+At the flagship few-shot shapes the chunked train chain is
+dispatch/latency-bound (docs/PERFORMANCE.md MFU section): operands are
+tiny (<=185 rows), so halving operand width cannot move the MXU occupancy
+and the extra cast kernels are pure overhead. This experiment measures
+fp32 vs bf16 train throughput at the flagship dims AND at scaled-up dims
+(wide embeddings / hidden layers / bigger meta-batch, where the dots are
+large enough for operand width to matter) on the real chip.
+
+Usage: python scripts/exp_bf16_shapes.py  (prints one JSON line)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def measure(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
+            compute_dtype, num_steps=2000, chunk=500, warm=1):
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+    from fumi_tpu.train.steps import (build_family, make_chunked_train,
+                                      make_opt)
+
+    cfg = Config(model="fumi", im_emb_dim=im_dim, text_emb_dim=txt_dim,
+                 im_hid_dim=im_hid, text_hid_dim=txt_hid,
+                 num_ways=5, num_shots=1, num_shots_test=32,
+                 num_train_adapt_steps=5, batch_size=batch, dropout=0.25,
+                 text_encoder="precomputed", step_size=0.01, lr=3e-5,
+                 optim="adam", prototype_dim=proto,
+                 compute_dtype=compute_dtype)
+    cs, table, ids = synthetic_class_set(
+        num_classes=64, images_per_class=64, im_dim=im_dim,
+        text_dim=txt_dim, seed=0)
+    spec = EpisodeSpec(batch, 5, 1, 32, im_dim, txt_dim)
+    table = jnp.asarray(table)
+    if compute_dtype == "bfloat16":
+        table = table.astype(jnp.bfloat16)
+    sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+    run = make_chunked_train(family, opt, sampler, chunk)
+    p, s = family.params, opt.init(family.params)
+    k = jax.random.PRNGKey(0)
+    eps_per_chunk = chunk * batch
+    best = 0.0
+    for i in range(warm + (num_steps // chunk)):
+        t0 = time.perf_counter()
+        p, s, k, ms = run(p, s, k)
+        loss = float(np.asarray(ms["loss"])[-1])  # fetch = sync
+        dt = time.perf_counter() - t0
+        if i >= warm:
+            best = max(best, eps_per_chunk / dt)
+        assert np.isfinite(loss)
+    return best
+
+
+SHAPES = {
+    # flagship protocol dims (the bench.py config)
+    "flagship(D2048,h256/64,B4)": dict(im_dim=2048, txt_dim=768,
+                                       im_hid=(256, 64), txt_hid=256,
+                                       proto=512, batch=4),
+    # wide: 4x hidden, 8k text/proto, B=16 — dots big enough to tile MXU
+    "wide(D8192,h2048/512,B16)": dict(im_dim=8192, txt_dim=4096,
+                                      im_hid=(2048, 512), txt_hid=2048,
+                                      proto=2048, batch=16),
+}
+
+
+def main():
+    out = {}
+    for name, kw in SHAPES.items():
+        for dt in ("float32", "bfloat16"):
+            r = measure(compute_dtype=dt, **kw)
+            out[f"{name}/{dt}"] = round(r, 1)
+            print(f"{name} {dt}: {r:.1f} eps/s", flush=True)
+    for name in SHAPES:
+        out[f"{name}/bf16_speedup"] = round(
+            out[f"{name}/bfloat16"] / out[f"{name}/float32"], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
