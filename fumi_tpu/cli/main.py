@@ -134,12 +134,23 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     print(f"host sampler backend: {train_host.backend_name} "
           f"(--tpu_sampler_backend {be}; streams are backend-specific "
           "per seed)")
-    if cfg.num_workers > 0:
-        # --num_workers: background prefetch (the reference's dataloader
-        # worker concurrency, ref: utils.py:95-98)
+    if cfg.num_workers > 1 and train_host.backend_name == "native" \
+            and train_host.augment_scale == 0.0:
+        # --num_workers N: N loader PROCESSES (the reference's torch
+        # DataLoader workers, ref: utils.py:95-98) — counter-addressed
+        # native draws let workers compute disjoint episode counters, so
+        # the stream is exactly the single-process one (pinned by test)
+        from fumi_tpu.data.sampler import MultiprocessSampler
+        train_host = MultiprocessSampler(train_host,
+                                         num_workers=cfg.num_workers)
+        print(f"loader: {cfg.num_workers} worker processes")
+    elif cfg.num_workers > 0:
+        # single worker, numpy backend, or host augmentation: background
+        # prefetch thread (same overlap, sequential stream preserved)
         from fumi_tpu.data.sampler import PrefetchingSampler
         train_host = PrefetchingSampler(train_host,
                                         depth=2 * cfg.num_workers)
+        print("loader: prefetch thread")
     return (train_host,
             HostEpisodeSampler(image_table, image_ids, splits["val"],
                                eval_spec, seed=cfg.seed + 1,

@@ -329,25 +329,53 @@ class HostEpisodeSampler:
                     np.arange(K + Q) % max(cnt, 1)]
         return class_idx, sel
 
-    def sample(self) -> Episode:
+    def _indices_at(self, counter: int):
+        """Stateless native draw at an explicit episode counter — the
+        contract the multiprocess loader relies on: episode ``counter``'s
+        indices depend only on ``(seed, counter)``, so any worker can
+        compute any episode. Native backend only (the numpy backend is a
+        sequential RandomState stream)."""
+        if self._native is None:
+            raise RuntimeError("counter-addressed sampling needs the "
+                               "native backend")
+        from fumi_tpu import native
+        spec = self.spec
+        return native.sample_episodes_native(
+            self._native, self.seed, counter, self.class_set.class_counts,
+            spec.batch_size, spec.num_ways,
+            spec.num_shots + spec.num_query)
+
+    def _assemble_numpy(self, class_idx, sel) -> dict:
+        """Pure-numpy episode assembly from drawn indices (no jax, no
+        device transfers) — runs in loader worker PROCESSES, where touching
+        the jax runtime is unsafe after fork."""
         spec = self.spec
         cs = self.class_set
         B, N, K, Q = (spec.batch_size, spec.num_ways, spec.num_shots,
                       spec.num_query)
-        class_idx, sel = self._draw_indices(B, N, K, Q)
         rows = np.take_along_axis(
             cs.class_image_rows[class_idx], sel, axis=-1)  # (B, N, K+Q)
         s_rows = rows[..., :K].reshape(B, N * K)
         q_rows = rows[..., K:].reshape(B, N * Q)
-        text_idx = class_idx
-
-        text_cls = cs.text_features[text_idx]  # (B, N, E|T)
+        text_cls = cs.text_features[class_idx]  # (B, N, E|T)
         support_text = np.repeat(text_cls, K, axis=1)
         s_y = np.tile(np.repeat(np.arange(N, dtype=np.int32), K)[None],
                       (B, 1))
         q_y = np.tile(np.repeat(np.arange(N, dtype=np.int32), Q)[None],
                       (B, 1))
-        support_im = jnp.asarray(self.image_table[s_rows])
+        return dict(support_im=self.image_table[s_rows],
+                    support_text=support_text,
+                    support_ids=self.image_ids[s_rows], support_y=s_y,
+                    query_im=self.image_table[q_rows],
+                    query_ids=self.image_ids[q_rows], query_y=q_y)
+
+    def _finish(self, parts: dict) -> Episode:
+        """Device transfer + augmentation of an assembled numpy episode
+        (main process: augmentation keys come from this sampler's
+        sequential seeded stream)."""
+        spec = self.spec
+        B, N, K = spec.batch_size, spec.num_ways, spec.num_shots
+        support_im = jnp.asarray(parts["support_im"])
         if self.augment_scale > 0.0:
             # same transforms as the device path (sample_episode), with a
             # key drawn from this sampler's seeded numpy stream so host
@@ -366,15 +394,21 @@ class HostEpisodeSampler:
                 support_im = flat.reshape(B, N * K, -1)
         return Episode(
             support_im=support_im,
-            support_text=jnp.asarray(support_text),
+            support_text=jnp.asarray(parts["support_text"]),
             # encoders re-derive the padding mask from PAD tokens
             support_text_mask=None,
-            support_ids=jnp.asarray(self.image_ids[s_rows]),
-            support_y=jnp.asarray(s_y),
-            query_im=jnp.asarray(self.image_table[q_rows]),
-            query_ids=jnp.asarray(self.image_ids[q_rows]),
-            query_y=jnp.asarray(q_y),
+            support_ids=jnp.asarray(parts["support_ids"]),
+            support_y=jnp.asarray(parts["support_y"]),
+            query_im=jnp.asarray(parts["query_im"]),
+            query_ids=jnp.asarray(parts["query_ids"]),
+            query_y=jnp.asarray(parts["query_y"]),
         )
+
+    def sample(self) -> Episode:
+        spec = self.spec
+        class_idx, sel = self._draw_indices(
+            spec.batch_size, spec.num_ways, spec.num_shots, spec.num_query)
+        return self._finish(self._assemble_numpy(class_idx, sel))
 
     def __iter__(self):
         while True:
@@ -446,6 +480,141 @@ class PrefetchingSampler:
                 self._q.get_nowait()
         except Exception:
             pass
+
+
+def _mp_worker(sampler: "HostEpisodeSampler", w: int, num_workers: int,
+               base: int, q, stop) -> None:
+    """Loader worker process ``w``: computes episodes at counters
+    ``base+w, base+w+num_workers, ...`` (counter-addressed native draws +
+    pure-numpy assembly — NO jax calls: the forked child inherits the
+    parent's jax runtime, which is not fork-safe) and streams the numpy
+    parts to the consumer. Exceptions ride the queue like the thread
+    prefetcher's; un-picklable ones are re-wrapped with their traceback."""
+    import pickle
+    import traceback
+
+    c = base + w
+    while not stop.is_set():
+        try:
+            class_idx, sel = sampler._indices_at(c)
+            item = (c, sampler._assemble_numpy(class_idx, sel))
+        except BaseException as e:  # noqa: BLE001 — relayed, not hidden
+            try:
+                pickle.dumps(e)
+            except Exception:
+                e = RuntimeError(
+                    f"loader worker {w} died:\n"
+                    + "".join(traceback.format_exception(
+                        type(e), e, e.__traceback__)))
+            item = _WorkerError(e)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                break
+            except Exception:
+                continue
+        if isinstance(item, _WorkerError):
+            return  # the stream is broken; don't keep drawing past it
+        c += num_workers
+
+
+class MultiprocessSampler:
+    """Multi-process episode loader — the reference's ``--num_workers``
+    as worker PROCESSES (torch DataLoader semantics, ref: utils.py:95-98),
+    not a thread.
+
+    Exploits the native backend's counter-addressed determinism: episode
+    ``c``'s indices depend only on ``(seed, c)``, so worker ``w`` computes
+    counters ``w, w+W, w+2W, ...`` independently and the consumer
+    round-robins the per-worker queues — the episode STREAM is exactly the
+    single-process native stream (pinned by test), with assembly
+    parallelized and overlapped with device compute. Workers are forked
+    (the episode tables are shared copy-on-write, never pickled) and do
+    numpy-only work; device transfer happens in the consumer.
+
+    Constraints (explicit, not silent): needs the native backend (the
+    numpy backend is a sequential stream only its owner can advance) and
+    no host-side augmentation (augment keys come from the sampler's
+    sequential stream). The CLI falls back to the prefetch thread for
+    those configs.
+
+    Failure semantics: a worker exception re-raises in ``sample()`` with
+    the episodes before it intact (counter order preserved); a worker
+    killed outright (no envelope) raises instead of hanging.
+    """
+
+    def __init__(self, sampler: "HostEpisodeSampler", num_workers: int,
+                 depth: int = 2):
+        import multiprocessing as mp
+        if sampler._native is None:
+            raise ValueError(
+                "MultiprocessSampler needs the native (counter-addressed) "
+                "sampler backend; the numpy backend is a sequential stream")
+        if sampler.augment_scale > 0.0:
+            raise ValueError(
+                "MultiprocessSampler does not support host-side "
+                "augmentation (sequential key stream); use the prefetch "
+                "thread or the device sampler")
+        if num_workers < 1:
+            raise ValueError("num_workers must be >= 1")
+        self.sampler = sampler
+        self.spec = sampler.spec
+        self.num_workers = num_workers
+        ctx = mp.get_context("fork")  # tables shared COW, ctypes lib kept
+        self._stop = ctx.Event()
+        self._base = sampler._counter
+        self._next = self._base
+        self._queues = [ctx.Queue(maxsize=max(1, depth))
+                        for _ in range(num_workers)]
+        self._failed: Optional[BaseException] = None
+        self._procs = [
+            ctx.Process(target=_mp_worker,
+                        args=(sampler, w, num_workers, self._base,
+                              self._queues[w], self._stop),
+                        daemon=True)
+            for w in range(num_workers)]
+        for p in self._procs:
+            p.start()
+
+    def sample(self) -> Episode:
+        import queue as _queue
+        if self._failed is not None:
+            raise self._failed  # the stream is broken; keep raising
+        w = (self._next - self._base) % self.num_workers
+        while True:
+            try:
+                item = self._queues[w].get(timeout=1.0)
+                break
+            except _queue.Empty:
+                if not self._procs[w].is_alive():
+                    self._failed = RuntimeError(
+                        f"loader worker {w} died without reporting "
+                        f"(exit code {self._procs[w].exitcode})")
+                    raise self._failed
+        if isinstance(item, _WorkerError):
+            self._failed = item.exc
+            raise item.exc
+        c, parts = item
+        assert c == self._next, (c, self._next)
+        self._next += 1
+        return self.sampler._finish(parts)
+
+    def __iter__(self):
+        while True:
+            yield self.sample()
+
+    def close(self):
+        self._stop.set()
+        for q in self._queues:
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
 
     def __iter__(self):
         while True:

@@ -403,27 +403,34 @@ def test_prefetching_sampler_close_stops_thread(synth):
     assert not pre._thread.is_alive()
 
 
-def test_cli_num_workers_prefetch_path(tmp_path):
-    """--num_workers>0 host path: liveness + determinism-free ordering
-    assertions (ref worker concurrency, utils.py:95-98), and the CLI must
-    close the prefetch thread on exit."""
-    import threading
-
-    from fumi_tpu.cli.main import main
+def _num_workers_cfg(tmp_path, **kw):
     from fumi_tpu.core.config import Config
-
-    before = {t.ident for t in threading.enumerate()}
-    cfg = Config(
+    base = dict(
         model="maml", dataset="synthetic", im_emb_dim=32, text_emb_dim=16,
         im_hid_dim=(16,), num_ways=3, num_shots=2, num_shots_test=4,
         num_train_adapt_steps=1, num_test_adapt_steps=1,
         batch_size=4, epochs=6, eval_freq=3, patience=0, num_ep_test=2,
         lr=1e-2, optim="adam", dropout=0.0, text_encoder="precomputed",
         step_size=0.1, log_dir=str(tmp_path), wandb_offline=True, seed=0,
-        device_sampler=False, num_workers=2,
+        device_sampler=False,
         prng_impl="threefry2x32",
     )
-    out = main(cfg)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_cli_num_workers_prefetch_path(tmp_path):
+    """--num_workers>0 host path, THREAD prefetcher (numpy backend pins
+    it): liveness + determinism-free ordering assertions (ref worker
+    concurrency, utils.py:95-98), and the CLI must close the prefetch
+    thread on exit."""
+    import threading
+
+    from fumi_tpu.cli.main import main
+
+    before = {t.ident for t in threading.enumerate()}
+    out = main(_num_workers_cfg(tmp_path, num_workers=2,
+                                sampler_backend="numpy"))
     assert np.isfinite(out["test/loss"])
     # no leaked prefetch worker threads
     leaked = [t for t in threading.enumerate()
@@ -432,6 +439,32 @@ def test_cli_num_workers_prefetch_path(tmp_path):
     for t in leaked:
         t.join(timeout=5.0)
     assert not any(t.is_alive() for t in leaked)
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning")
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
+def test_cli_num_workers_multiprocess_path(tmp_path):
+    """--num_workers>1 on the native backend takes the multiprocess
+    loader (the reference's worker PROCESSES): the trained outcome is
+    BITWISE the single-process run's (counter-addressed stream identity),
+    and the CLI reaps the worker processes on exit."""
+    import multiprocessing as mp_lib
+
+    from fumi_tpu import native
+    from fumi_tpu.cli.main import main
+
+    if native.load() is None:
+        pytest.skip("g++ unavailable; native sampler not built")
+    solo = main(_num_workers_cfg(tmp_path / "solo", num_workers=0,
+                                 sampler_backend="native"))
+    multi = main(_num_workers_cfg(tmp_path / "multi", num_workers=2,
+                                  sampler_backend="native"))
+    assert multi["test/loss"] == solo["test/loss"]
+    assert multi["test/acc"] == solo["test/acc"]
+    live = [p for p in mp_lib.active_children() if p.is_alive()]
+    for p in live:
+        p.join(timeout=5.0)
+    assert not any(p.is_alive() for p in live)
 
 
 def test_augment_raw_images():

@@ -104,3 +104,117 @@ def test_backend_streams_intentionally_distinct(lib):
         "streams unexpectedly identical — if the backends ever converge, " \
         "update the --tpu_sampler_backend docs (the divergence is the " \
         "documented contract)"
+
+
+# ---------------------------------------------------------------------------
+# Multiprocess loader (--num_workers N as worker PROCESSES)
+# ---------------------------------------------------------------------------
+
+def _mp_fixtures():
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import HostEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+
+    cs, table, ids = synthetic_class_set(num_classes=8, images_per_class=20,
+                                         im_dim=16, text_dim=8)
+    spec = EpisodeSpec(3, 4, 2, 5, 16, 8)
+    return table, ids, cs, spec
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
+                            "ignore::DeprecationWarning")
+def test_multiprocess_sampler_stream_parity(lib):
+    """num_workers=3 worker processes reproduce EXACTLY the
+    single-process native episode stream (counter-addressed draws make
+    episode c independent of who computes it) — the reference's
+    --num_workers semantics without torch's worker-seed stream change."""
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    solo = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    ref = [solo.sample() for _ in range(7)]
+
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    mp = MultiprocessSampler(base, num_workers=3)
+    try:
+        got = [mp.sample() for _ in range(7)]
+    finally:
+        mp.close()
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r.support_ids),
+                                      np.asarray(g.support_ids))
+        np.testing.assert_array_equal(np.asarray(r.query_ids),
+                                      np.asarray(g.query_ids))
+        np.testing.assert_array_equal(np.asarray(r.support_im),
+                                      np.asarray(g.support_im))
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
+                            "ignore::DeprecationWarning")
+def test_multiprocess_sampler_propagates_worker_exception(lib):
+    """A worker exception surfaces in sample() at its counter position —
+    earlier episodes flow, later calls keep raising (torch DataLoader
+    failure semantics, without the silent hang)."""
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    orig = base._indices_at
+
+    def poisoned(c):
+        if c == 4:
+            raise RuntimeError("h5 volume went away")
+        return orig(c)
+
+    base._indices_at = poisoned  # inherited by the forked workers
+    mp = MultiprocessSampler(base, num_workers=2)
+    try:
+        good = 0
+        with pytest.raises(RuntimeError, match="h5 volume went away"):
+            for _ in range(10):
+                mp.sample()
+                good += 1
+        assert good == 4  # counters 0..3 flowed before the poison at 4
+        with pytest.raises(RuntimeError, match="h5 volume went away"):
+            mp.sample()
+    finally:
+        mp.close()
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
+                            "ignore::DeprecationWarning")
+def test_multiprocess_sampler_dead_worker_raises(lib):
+    """A worker killed outright (no exception envelope possible) raises
+    instead of blocking forever on its queue."""
+    import os
+    import signal
+    import time
+
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    mp = MultiprocessSampler(base, num_workers=2, depth=1)
+    try:
+        mp.sample()
+        os.kill(mp._procs[0].pid, signal.SIGKILL)
+        time.sleep(0.2)
+        with pytest.raises(RuntimeError, match="died without reporting"):
+            for _ in range(8):  # drain whatever worker 0 prefetched
+                mp.sample()
+    finally:
+        mp.close()
+
+
+def test_multiprocess_sampler_rejects_unsupported_configs(lib):
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    np_sampler = HostEpisodeSampler(table, ids, cs, spec, seed=0,
+                                    backend="numpy")
+    with pytest.raises(ValueError, match="native"):
+        MultiprocessSampler(np_sampler, num_workers=2)
+    aug = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="native",
+                             augment_scale=0.1)
+    with pytest.raises(ValueError, match="augmentation"):
+        MultiprocessSampler(aug, num_workers=2)
