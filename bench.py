@@ -118,8 +118,10 @@ def bench_eval(episodes: int = 256, chunk: int = 64,
         text_dim=TXT_DIM, seed=0)
     spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, cfg.num_query_eval,
                        IM_DIM, TXT_DIM)
-    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
-                                   cs, spec)
+    table = jnp.asarray(table)
+    if compute_dtype == "bfloat16":  # production pairing (cli/main.py)
+        table = table.astype(jnp.bfloat16)
+    sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     run = make_chunked_eval(family, sampler)
     _, ms = run(family.params, jax.random.PRNGKey(1), chunk)
@@ -262,6 +264,11 @@ def main():
                     help="bench all families + eval; write bench_all.json")
     ap.add_argument("--no-wait", action="store_true",
                     help="skip the tunnel-wedge probe loop")
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="--tpu_compute_dtype under the bench (bf16 "
+                         "matmuls + bf16 table; measured numbers in "
+                         "docs/PERFORMANCE.md)")
     args = ap.parse_args()
 
     if not args.no_wait:
@@ -271,9 +278,10 @@ def main():
         side = {}
         for model in ("fumi", "maml", "am3", "protonet", "matchingnet"):
             side[f"{model}_train_eps_per_sec"] = round(
-                bench_tpu(args.steps, model=model), 2)
+                bench_tpu(args.steps, model=model,
+                          compute_dtype=args.compute_dtype), 2)
         side["eval_fumi_100step_eps_per_sec"] = round(
-            bench_eval(chunk=32), 2)
+            bench_eval(chunk=32, compute_dtype=args.compute_dtype), 2)
         # lockstep multi-seed sweep at the measured sweet spot S=4
         # (docs/PERFORMANCE.md sweep-scaling table)
         import sys as _sys
@@ -290,12 +298,12 @@ def main():
     # INTERNAL errors (see docs/PERFORMANCE.md platform caveats); one retry
     # keeps unattended driver runs from recording nothing
     try:
-        value = bench_tpu(args.steps)
+        value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     except Exception as e:
         print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(60)
-        value = bench_tpu(args.steps)
+        value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     baseline = get_baseline(args.refresh_baseline)
     print(json.dumps({
         "metric": "fumi_5way5shot_train_episodes_per_sec",

@@ -148,13 +148,16 @@ class Config:
     # fp reassociation: logits differ from the scan engine ~2e-3/100 steps.
     pallas_fused_eval: bool = False
     # Mixed-precision policy for episodic math. "bfloat16" runs every
-    # model matmul (inner-loop/backbone/hypernet/encoder-head dots) with
-    # bf16 operands and fp32 accumulation — params, inter-layer
-    # activations, losses, and inner-loop SGD updates stay fp32 — and
-    # stores the device sampler's HBM table in bf16 (half the gather
-    # bandwidth). Prototype/distance reductions (ops/fewshot.py) stay
-    # fp32. Trajectory drift vs fp32 is bounded in
-    # tests/test_trajectory_parity.py; throughput deltas in
+    # model matmul/conv (inner-loop + conv4/resnet12 backbone + hypernet
+    # + projection-head dots, all families) with bf16 operands and fp32
+    # accumulation — params, inter-layer activations, losses, and
+    # inner-loop SGD updates stay fp32 — and stores the device sampler's
+    # HBM table in bf16 (half the gather bandwidth). Two deliberate fp32
+    # holdouts: prototype/distance reductions (ops/fewshot.py;
+    # accuracy-sensitive, bandwidth- not MXU-bound) and the recurrent
+    # token text encoders (LSTM gate recurrences are precision-sensitive
+    # and a small fraction of episode FLOPs). Trajectory drift vs fp32 is
+    # bounded in tests/test_trajectory_parity.py; throughput deltas in
     # docs/PERFORMANCE.md.
     compute_dtype: str = "float32"
     # PRNG implementation: "rbg" is ~free on TPU where threefry costs

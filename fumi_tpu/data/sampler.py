@@ -277,6 +277,8 @@ class HostEpisodeSampler:
             raise ValueError("split contains classes with zero images")
         need = spec.num_shots + spec.num_query
         self._wraps = bool(np.any(class_set.class_counts < need))
+        self.allow_replacement = allow_replacement
+        self._backend_arg = backend
         self.spec = spec
         self.image_table = np.asarray(image_table)
         self.image_ids = np.asarray(image_ids, dtype=np.int32)
@@ -410,6 +412,17 @@ class HostEpisodeSampler:
             spec.batch_size, spec.num_ways, spec.num_shots, spec.num_query)
         return self._finish(self._assemble_numpy(class_idx, sel))
 
+    def watch_clone(self) -> "HostEpisodeSampler":
+        """An INDEPENDENT sampler over the same tables with a derived
+        seed — consumers that need side-channel episodes (``--tpu_watch``
+        gradient samples) draw from this instead of the training stream,
+        which must stay bit-identical whether telemetry is on or off."""
+        return HostEpisodeSampler(
+            self.image_table, self.image_ids, self.class_set, self.spec,
+            seed=self.seed + 0x5EED, backend=self._backend_arg,
+            allow_replacement=self.allow_replacement,
+            augment_scale=self.augment_scale)
+
     def __iter__(self):
         while True:
             yield self.sample()
@@ -472,6 +485,10 @@ class PrefetchingSampler:
             self._failed = item.exc
             raise item.exc
         return item
+
+    def __iter__(self):
+        while True:
+            yield self.sample()
 
     def close(self):
         self._stop.set()
@@ -615,7 +632,3 @@ class MultiprocessSampler:
             p.join(timeout=2.0)
             if p.is_alive():
                 p.terminate()
-
-    def __iter__(self):
-        while True:
-            yield self.sample()

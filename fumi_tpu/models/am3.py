@@ -87,7 +87,8 @@ class AM3(NamedTuple):
             net = raw_image_net(self.im_encoder_kind)
             B, M = im.shape[:2]
             feats = net.backbone(params["image_encoder"],
-                                 im.reshape((B * M,) + im.shape[2:]))
+                                 im.reshape((B * M,) + im.shape[2:]),
+                                 self.compute_dtype)
             out = layers.linear(params["image_encoder"]["head"], feats,
                                 self.compute_dtype)
             return out.reshape(B, M, -1)

@@ -23,6 +23,9 @@ class CLIP(NamedTuple):
     text_input_dim: int
     image_input_dim: int
     latent_dim: int
+    # --tpu_compute_dtype bfloat16: matmul operands in bf16 with fp32
+    # accumulation (layers.linear policy); params/normalization stay fp32.
+    compute_dtype: type = None
 
     def init_params(self, key: jax.Array) -> Dict:
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -40,15 +43,20 @@ class CLIP(NamedTuple):
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         """(Nt, E_t) -> (Nt, latent) L2-normalized text embedding (the
         text projection head of ref clip.py:26-40)."""
-        t = layers.linear(params["text_fc2"],
-                          jax.nn.relu(layers.linear(params["text_fc"], text)))
+        t = layers.linear(
+            params["text_fc2"],
+            jax.nn.relu(layers.linear(params["text_fc"], text,
+                                      self.compute_dtype)),
+            self.compute_dtype)
         return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
 
     def encode_image(self, params, image: jnp.ndarray) -> jnp.ndarray:
         """(Ni, E_i) -> (Ni, latent) L2-normalized image embedding."""
-        i = layers.linear(params["image_fc2"],
-                          jax.nn.relu(layers.linear(params["image_fc"],
-                                                    image)))
+        i = layers.linear(
+            params["image_fc2"],
+            jax.nn.relu(layers.linear(params["image_fc"], image,
+                                      self.compute_dtype)),
+            self.compute_dtype)
         return i / jnp.linalg.norm(i, axis=-1, keepdims=True)
 
     def forward(self, params, text: jnp.ndarray,
@@ -59,7 +67,7 @@ class CLIP(NamedTuple):
         two paths cannot drift."""
         t = self.encode_text(params, text)
         i = self.encode_image(params, image)
-        return jnp.matmul(t, i.T, preferred_element_type=t.dtype)
+        return layers.matmul_f32acc(t, i.T, self.compute_dtype)
 
     def symmetric_ce_loss(self, params, text: jnp.ndarray,
                           image: jnp.ndarray) -> jnp.ndarray:

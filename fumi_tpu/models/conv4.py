@@ -42,13 +42,32 @@ def conv_init(key: jax.Array, in_ch: int, out_ch: int,
     }
 
 
-def conv_block(params: Dict[str, jnp.ndarray],
-               x: jnp.ndarray) -> jnp.ndarray:
-    """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC."""
+def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+               compute_dtype=None) -> jnp.ndarray:
+    """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC.
+
+    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
+    accumulation (the ``--tpu_compute_dtype`` policy of layers.linear);
+    norm/activations stay fp32."""
+    w = params["w"]
+    cast_back = False
+    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
+        # bf16 operands AND bf16 conv output (the MXU still accumulates
+        # f32 internally; an f32 preferred_element_type here would break
+        # the conv's VJP — the transpose conv would see an f32 cotangent
+        # against bf16 operands). The result is cast straight back to
+        # f32, so everything downstream (norm, activations, grads via the
+        # casts' VJPs) stays f32.
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        cast_back = True
     y = jax.lax.conv_general_dilated(
-        x, params["w"], window_strides=(1, 1), padding="SAME",
+        x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype) + params["b"]
+        preferred_element_type=x.dtype)
+    if cast_back:
+        y = y.astype(jnp.float32)
+    y = y + params["b"]
     # batch statistics over (N, H, W) per channel
     mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
     var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
@@ -87,14 +106,15 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
     return {"convs": tuple(convs), "head": head}
 
 
-def backbone(params, x: jnp.ndarray) -> jnp.ndarray:
+def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) images → (M, F) flat features."""
     for p in params["convs"]:
-        x = conv_block(p, x)
+        x = conv_block(p, x, compute_dtype)
     return x.reshape(x.shape[0], -1)
 
 
-def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
     from fumi_tpu.models import layers
-    return layers.linear(params["head"], backbone(params, x))
+    return layers.linear(params["head"], backbone(params, x, compute_dtype),
+                         compute_dtype)

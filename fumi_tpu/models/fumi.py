@@ -152,7 +152,8 @@ class FUMI(NamedTuple):
         (ref: fumi.py:88-100), or a raw-image backbone (extension)."""
         if self.im_encoder_kind in ("conv4", "resnet12"):
             from fumi_tpu.models import raw_image_net
-            return raw_image_net(self.im_encoder_kind).backbone(im_params, x)
+            return raw_image_net(self.im_encoder_kind).backbone(
+                im_params, x, self.compute_dtype)
         for i, p in enumerate(im_params):
             x = jax.nn.relu(layers.linear(p, x, self.compute_dtype))
             if self.dropout_rate > 0:

@@ -29,12 +29,28 @@ CHANNELS: Tuple[int, ...] = (64, 160, 320, 640)
 LEAK = 0.1
 
 
-def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """conv (SAME) → batch-stat norm, NHWC. Kernel size from the params."""
+def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+             compute_dtype=None) -> jnp.ndarray:
+    """conv (SAME) → batch-stat norm, NHWC. Kernel size from the params.
+
+    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
+    accumulation (the ``--tpu_compute_dtype`` policy); norm stays fp32."""
+    w = params["w"]
+    cast_back = False
+    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
+        # bf16 operands and bf16 conv output, cast back to f32 at the
+        # boundary (see conv4.conv_block: an f32 preferred_element_type
+        # would break the conv's VJP against bf16 operands)
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        cast_back = True
     y = jax.lax.conv_general_dilated(
-        x, params["w"], window_strides=(1, 1), padding="SAME",
+        x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype) + params["b"]
+        preferred_element_type=x.dtype)
+    if cast_back:
+        y = y.astype(jnp.float32)
+    y = y + params["b"]
     mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
     var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + EPS)
@@ -54,12 +70,13 @@ def block_init(key: jax.Array, in_ch: int, out_ch: int) -> Dict:
     }
 
 
-def res_block(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def res_block(params: Dict, x: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
     """3×[conv-norm(-leaky)] + projected shortcut → leaky → maxpool 2×2."""
-    y = jax.nn.leaky_relu(_conv_bn(params["c1"], x), LEAK)
-    y = jax.nn.leaky_relu(_conv_bn(params["c2"], y), LEAK)
-    y = _conv_bn(params["c3"], y)
-    sc = _conv_bn(params["sc"], x)
+    y = jax.nn.leaky_relu(_conv_bn(params["c1"], x, compute_dtype), LEAK)
+    y = jax.nn.leaky_relu(_conv_bn(params["c2"], y, compute_dtype), LEAK)
+    y = _conv_bn(params["c3"], y, compute_dtype)
+    sc = _conv_bn(params["sc"], x, compute_dtype)
     y = jax.nn.leaky_relu(y + sc, LEAK)
     return jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
@@ -93,14 +110,15 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
     return {"blocks": tuple(blocks), "head": head}
 
 
-def backbone(params, x: jnp.ndarray) -> jnp.ndarray:
+def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) images → (M, channels[-1]) globally-pooled features."""
     for p in params["blocks"]:
-        x = res_block(p, x)
+        x = res_block(p, x, compute_dtype)
     return jnp.mean(x, axis=(1, 2))
 
 
-def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
     from fumi_tpu.models import layers
-    return layers.linear(params["head"], backbone(params, x))
+    return layers.linear(params["head"], backbone(params, x, compute_dtype),
+                         compute_dtype)

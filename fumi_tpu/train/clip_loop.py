@@ -34,9 +34,11 @@ NEG_INF = -1e9
 
 
 def make_clip(cfg: Config, key: jax.Array):
+    from fumi_tpu.train.steps import compute_dtype_of
     model = CLIP(text_input_dim=cfg.text_emb_dim,
                  image_input_dim=cfg.im_emb_dim,
-                 latent_dim=cfg.clip_latent_dim)
+                 latent_dim=cfg.clip_latent_dim,
+                 compute_dtype=compute_dtype_of(cfg))
     return model, model.init_params(key)
 
 

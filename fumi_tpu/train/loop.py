@@ -273,6 +273,8 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
         watch_grad = jax.jit(lambda p, ep, k: jax.grad(
             lambda p_: _fam_loss(p_, ep, k)[0])(p))
 
+    watch_sampler_box = []  # lazily built side-channel sampler (host path)
+
     def _log_watch_boundary(batch_idx: int) -> None:
         if not cfg.watch:
             return
@@ -287,7 +289,14 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                 ep = _jitted_sample(train_sampler.tables,
                                     train_sampler.spec, k_ep)
             else:
-                ep = train_sampler.sample()
+                # host path: NEVER draw from the live training stream —
+                # telemetry must not shift the episodes a watch-off run
+                # would train on. A derived-seed clone of the underlying
+                # host sampler supplies the side-channel episodes.
+                if not watch_sampler_box:
+                    base = getattr(train_sampler, "sampler", train_sampler)
+                    watch_sampler_box.append(base.watch_clone())
+                ep = watch_sampler_box[0].sample()
             grads = watch_grad(params, ep, k_step)
         log_watch(writer, watch_record(params, grads), step=batch_idx)
 

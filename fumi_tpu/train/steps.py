@@ -140,7 +140,8 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
               if cfg.im_encoder == "resnet12" else {})
         params = net.init(key, cfg.im_size, cfg.im_channels,
                           n_way=cfg.num_ways, **kw)
-        apply_fn = net.apply
+        apply_fn = functools.partial(net.apply,
+                                     compute_dtype=compute_dtype_of(cfg))
     else:
         params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
         apply_fn = functools.partial(mlp.apply,
@@ -369,15 +370,15 @@ def build_protonet_family(cfg: Config, key: jax.Array,
         params = {**bb, "head": layers.linear_init(k_head, fdim,
                                                    cfg.prototype_dim)}
 
-        def embed(p, x):
+        def embed(p, x, cd=compute_dtype_of(cfg)):
             B, M = x.shape[:2]
-            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]))
-            return layers.linear(p["head"], feats).reshape(B, M, -1)
+            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]), cd)
+            return layers.linear(p["head"], feats, cd).reshape(B, M, -1)
     else:
         params = layers.linear_init(key, cfg.im_emb_dim, cfg.prototype_dim)
 
-        def embed(p, x):
-            return layers.linear(p, x)
+        def embed(p, x, cd=compute_dtype_of(cfg)):
+            return layers.linear(p, x, cd)
 
     N = cfg.num_ways
 
@@ -429,15 +430,15 @@ def build_matchingnet_family(cfg: Config, key: jax.Array,
         params = {**bb, "head": layers.linear_init(k_head, fdim,
                                                    cfg.prototype_dim)}
 
-        def embed(p, x):
+        def embed(p, x, cd=compute_dtype_of(cfg)):
             B, M = x.shape[:2]
-            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]))
-            return layers.linear(p["head"], feats).reshape(B, M, -1)
+            feats = net.backbone(p, x.reshape((B * M,) + x.shape[2:]), cd)
+            return layers.linear(p["head"], feats, cd).reshape(B, M, -1)
     else:
         params = layers.linear_init(key, cfg.im_emb_dim, cfg.prototype_dim)
 
-        def embed(p, x):
-            return layers.linear(p, x)
+        def embed(p, x, cd=compute_dtype_of(cfg)):
+            return layers.linear(p, x, cd)
 
     N = cfg.num_ways
 

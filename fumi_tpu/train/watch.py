@@ -37,37 +37,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Bucket layout: index 0 counts exact zeros; buckets 1.. count
-# |x| in [1e-10, 1e2) by half-decades, negatives first then positives.
-# Anything below 1e-10 folds into the smallest bucket, above 1e2 into the
-# largest — parameters/gradients outside that span are pathological and
-# still visible as mass at the edges.
+# Bucket layout: index 0 counts exact zeros; buckets 1..2*_N_MAG count
+# finite |x| in [1e-10, 1e2) by half-decades, negatives first then
+# positives (finite values below 1e-10 fold into the smallest bucket,
+# above 1e2 into the largest — out-of-span mass stays visible at the
+# edges); the LAST bucket counts nonfinite values (NaN/±Inf) — the
+# pathology this telemetry exists to expose must never be miscounted
+# into a benign finite bin.
 _LOG_LO, _LOG_HI, _PER_DECADE = -10.0, 2.0, 2
 _N_MAG = int((_LOG_HI - _LOG_LO) * _PER_DECADE)  # magnitude buckets/sign
-NUM_BUCKETS = 1 + 2 * _N_MAG  # zero + negative + positive
+NUM_BUCKETS = 2 + 2 * _N_MAG  # zero + negative + positive + nonfinite
 
 
 def bucket_labels():
     """Human-readable bucket edges for the JSONL consumer (stable order:
     ``zero``, then negatives from most-negative magnitude down, then
-    positives up)."""
+    positives up, then ``nonfinite``)."""
     mags = [f"1e{_LOG_LO + i / _PER_DECADE:+.1f}" for i in range(_N_MAG)]
     return (["zero"]
             + [f"-{m}" for m in reversed(mags)]
-            + [f"+{m}" for m in mags])
+            + [f"+{m}" for m in mags]
+            + ["nonfinite"])
 
 
 def _bucketize(x: jnp.ndarray) -> jnp.ndarray:
     """(NUM_BUCKETS,) int32 counts of ``x``'s values in the fixed bins."""
     x = x.reshape(-1)
+    ax = jnp.where(jnp.isfinite(x), jnp.abs(x), 1.0)  # keep log10 finite
     mag = jnp.clip(
-        jnp.floor((jnp.log10(jnp.maximum(jnp.abs(x), 1e-30)) - _LOG_LO)
+        jnp.floor((jnp.log10(jnp.maximum(ax, 1e-30)) - _LOG_LO)
                   * _PER_DECADE),
         0, _N_MAG - 1).astype(jnp.int32)
     # negatives: bucket 1.._N_MAG with LARGE magnitudes first (so the
     # full axis reads monotonically from -1e2 to +1e2)
     idx = jnp.where(x < 0, _N_MAG - mag, 1 + _N_MAG + mag)
     idx = jnp.where(x == 0, 0, idx)
+    idx = jnp.where(jnp.isfinite(x), idx, NUM_BUCKETS - 1)
     return jnp.zeros(NUM_BUCKETS, jnp.int32).at[idx].add(1)
 
 
@@ -117,7 +122,10 @@ def watch_record(params, grads=None) -> Dict[str, np.ndarray]:
 def log_watch(writer, rec: Dict[str, np.ndarray],
               step: Optional[int] = None) -> None:
     """Write histogram counts through the MetricWriter: JSONL rows with
-    the count vectors (+ the bucket labels once per run), and
-    ``wandb.Histogram`` objects on a live wandb run."""
-    writer.log_arrays(dict(rec, **{"watch/buckets": bucket_labels()}),
-                      step=step)
+    the count vectors, plus the bucket labels ONCE per writer (they are
+    constants; re-emitting them every boundary would bloat the JSONL),
+    and ``wandb.Histogram`` objects on a live wandb run."""
+    if not getattr(writer, "_watch_buckets_logged", False):
+        rec = dict(rec, **{"watch/buckets": bucket_labels()})
+        writer._watch_buckets_logged = True
+    writer.log_arrays(rec, step=step)

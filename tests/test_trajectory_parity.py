@@ -997,3 +997,78 @@ def test_bf16_trajectory_drift_bounded(model):
     den = np.sqrt(sum(float(jnp.sum(b ** 2)) for b in l32))
     assert num / den < 0.02, f"final-param rel drift {num / den:.5f}"
     assert abs(acc16 - acc32) < 0.02, (acc16, acc32)
+
+
+@pytest.mark.parametrize("model,encoder",
+                         [("maml", "conv4"), ("protonet", "mlp"),
+                          ("matchingnet", "mlp")])
+def test_bf16_covers_extension_families(model, encoder):
+    """The bf16 policy reaches the conv backbones and the forward-only
+    families too (round-4 review finding: it was a silent no-op there):
+    same init, one train step + one eval under each dtype — outputs must
+    be close-but-not-identical (identical logits would mean the flag did
+    nothing; far-apart would mean more than operand rounding changed)."""
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import make_steps
+
+    kw = dict(
+        model=model, dataset="synthetic", text_emb_dim=8, text_hid_dim=8,
+        num_ways=3, num_shots=2, num_shots_test=4,
+        num_train_adapt_steps=1, num_test_adapt_steps=2,
+        batch_size=2, dropout=0.0, text_encoder="precomputed",
+        step_size=0.1, lr=1e-3, weight_decay=0.0,
+        prng_impl="threefry2x32", seed=0)
+    if encoder == "conv4":
+        kw.update(im_encoder="conv4", im_size=16, im_channels=3,
+                  im_emb_dim=16, im_hid_dim=(8,))
+        im_shape = (16, 16, 3)
+    else:
+        kw.update(im_emb_dim=32, im_hid_dim=(16,), prototype_dim=8)
+        im_shape = (32,)
+
+    rng = np.random.RandomState(0)
+    ep = Episode(
+        support_im=jnp.asarray(rng.randn(2, 6, *im_shape), jnp.float32),
+        support_text=jnp.asarray(rng.randn(2, 6, 8), jnp.float32),
+        support_text_mask=None,
+        support_ids=jnp.zeros((2, 6), jnp.int32),
+        support_y=jnp.asarray(np.tile(np.repeat(np.arange(3), 2)[None],
+                                      (2, 1)).astype(np.int32)),
+        query_im=jnp.asarray(rng.randn(2, 12, *im_shape), jnp.float32),
+        query_ids=jnp.zeros((2, 12), jnp.int32),
+        query_y=jnp.asarray(np.tile(np.repeat(np.arange(3), 4)[None],
+                                    (2, 1)).astype(np.int32)))
+
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        steps = make_steps(Config(compute_dtype=dt, **kw),
+                           jax.random.PRNGKey(0))
+        p, s = steps.params, steps.opt.init(steps.params)
+        p, s, m = steps.train_step(p, s, ep, jax.random.PRNGKey(3))
+        e = steps.eval_step(p, ep, jax.random.PRNGKey(4))
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(p))
+        outs[dt] = (float(m["loss"]), float(e["loss"]))
+
+    l32, e32 = outs["float32"]
+    l16, e16 = outs["bfloat16"]
+    assert np.isfinite([l16, e16]).all()
+    assert l16 != l32, "bf16 flag was a silent no-op for this family"
+    assert abs(l16 - l32) / max(abs(l32), 1e-3) < 0.05
+    assert abs(e16 - e32) / max(abs(e32), 1e-3) < 0.05
+
+
+def test_bf16_covers_clip():
+    """CLIP's projection heads + similarity matmul honor the bf16 policy."""
+    from fumi_tpu.models.clip import CLIP
+
+    rng = np.random.RandomState(1)
+    text = jnp.asarray(rng.randn(6, 32), jnp.float32)
+    image = jnp.asarray(rng.randn(6, 48), jnp.float32)
+    m32 = CLIP(text_input_dim=32, image_input_dim=48, latent_dim=16)
+    m16 = m32._replace(compute_dtype=jnp.bfloat16)
+    p = m32.init_params(jax.random.PRNGKey(0))
+    s32 = np.asarray(m32.forward(p, text, image))
+    s16 = np.asarray(m16.forward(p, text, image))
+    assert s16.dtype == np.float32
+    assert not np.array_equal(s16, s32), "bf16 was a no-op for CLIP"
+    assert np.abs(s16 - s32).max() < 0.05

@@ -22,6 +22,8 @@ def test_histogram_counts_and_buckets():
     assert set(h) == {"image_encoder", "g"}
     labels = bucket_labels()
     assert len(labels) == NUM_BUCKETS and labels[0] == "zero"
+    assert labels[-1] == "nonfinite"
+    n_mag = (NUM_BUCKETS - 2) // 2  # magnitude buckets per sign
     # every value lands in exactly one bucket
     assert h["image_encoder"].sum() == 6
     assert h["g"].sum() == 6
@@ -29,13 +31,25 @@ def test_histogram_counts_and_buckets():
     assert ie[0] == 1  # the exact zero
     # 1.0 and 0.5 and 1e-12 (clamped to the smallest bucket) are positive,
     # -1.0 and -1e3 (clamped to the largest negative bucket) negative
-    neg = ie[1:1 + (NUM_BUCKETS - 1) // 2].sum()
-    pos = ie[1 + (NUM_BUCKETS - 1) // 2:].sum()
+    neg = ie[1:1 + n_mag].sum()
+    pos = ie[1 + n_mag:1 + 2 * n_mag].sum()
     assert neg == 2 and pos == 3
     # edge clamps: -1e3 folds into the largest-magnitude negative bucket
     # (index 1), +1e-12 into the smallest positive bucket
     assert ie[1] == 1
-    assert ie[1 + (NUM_BUCKETS - 1) // 2] == 1
+    assert ie[1 + n_mag] == 1
+
+
+def test_histogram_nonfinite_bucket():
+    """NaN/±Inf — the pathology watch telemetry exists to expose — land
+    in the dedicated nonfinite bucket, never in a benign finite bin."""
+    h = component_histograms(
+        {"g": ({"w": jnp.array([np.nan, np.inf, -np.inf, 1.0, 0.0])},)})["g"]
+    assert h.sum() == 5
+    assert h[-1] == 3  # nan, +inf, -inf
+    assert h[0] == 1  # the zero
+    n_mag = (NUM_BUCKETS - 2) // 2
+    assert h[1 + n_mag:1 + 2 * n_mag].sum() == 1  # the finite 1.0
     # sum-reducible: two shards' counts add to the combined count
     a = component_histograms({"g": ({"w": jnp.ones((2, 3))},)})["g"]
     b = component_histograms({"g": ({"w": -jnp.ones((1, 3))},)})["g"]
@@ -85,4 +99,6 @@ def test_training_run_emits_watch_rows(tmp_path):
     assert p_counts and g_counts
     assert sum(sum(c) for c in p_counts) == n_params
     assert sum(sum(c) for c in g_counts) == n_params
+    # bucket labels are constants: emitted once per run, not every row
     assert len(row["watch/buckets"]) == NUM_BUCKETS
+    assert not any("watch/buckets" in r for r in watch_rows[1:])
