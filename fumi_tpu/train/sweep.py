@@ -540,6 +540,14 @@ def sweep_main(cfg: Config, dictionary, samplers, writer: MetricWriter,
     aggregate report (mean +/- 95% CI over seeds — the paper's headline
     shape), one prediction CSV per seed."""
     train_s, val_s, test_s = samplers
+    if cfg.watch:
+        # loud, not silent: histogram telemetry samples one meta-gradient
+        # per boundary on ONE param set; the lockstep sweep carries S
+        # stacked replicas — per-seed watch is not wired (grad norms
+        # still ride the sweep's per-step metrics)
+        print("--tpu_watch is not supported with --tpu_seed_sweep; "
+              "skipping histogram telemetry (per-seed grad norms still "
+              "logged)")
     seeds = sweep_seeds(cfg)
     family = build_sweep_family(cfg, dictionary)
     opt = make_opt(cfg)

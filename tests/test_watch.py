@@ -102,3 +102,35 @@ def test_training_run_emits_watch_rows(tmp_path):
     # bucket labels are constants: emitted once per run, not every row
     assert len(row["watch/buckets"]) == NUM_BUCKETS
     assert not any("watch/buckets" in r for r in watch_rows[1:])
+
+
+def test_watch_does_not_shift_host_sampler_stream(tmp_path):
+    """--tpu_watch must be a pure OBSERVER (round-4 review finding: the
+    gradient sample used to eat an episode from the live training stream
+    on host-sampler runs): same config with watch on/off trains to the
+    BITWISE same test verdict; the side-channel episodes come from a
+    derived-seed clone."""
+    from fumi_tpu import native
+    from fumi_tpu.cli.main import main
+    from fumi_tpu.core.config import Config
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("g++ unavailable; native sampler not built")
+
+    def run(sub, watch):
+        cfg = Config(
+            model="maml", dataset="synthetic", im_emb_dim=16,
+            text_emb_dim=8, im_hid_dim=(8,), num_ways=3, num_shots=1,
+            num_shots_test=4, num_train_adapt_steps=1,
+            num_test_adapt_steps=1, batch_size=2, dropout=0.0,
+            text_encoder="precomputed", epochs=6, eval_freq=3, patience=0,
+            num_ep_test=4, lr=1e-3, watch=watch, wandb_offline=True,
+            seed=0, prng_impl="threefry2x32", device_sampler=False,
+            log_dir=str(tmp_path / sub))
+        return main(cfg)
+
+    off = run("off", False)
+    on = run("on", True)
+    assert on["test/loss"] == off["test/loss"]
+    assert on["test/acc"] == off["test/acc"]
