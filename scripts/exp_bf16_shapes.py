@@ -80,6 +80,64 @@ SHAPES = {
 }
 
 
+def flops_per_episode(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
+                      compute_dtype="float32"):
+    """Marginal XLA-counted FLOPs of one fused sample+train step / batch
+    (the scripts/mfu.py differencing method: scan bodies are counted once
+    by HloCostAnalysis, so two python-unrolled programs are differenced)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.synthetic import synthetic_class_set
+    from fumi_tpu.train.steps import build_family, make_opt
+
+    cfg = Config(model="fumi", im_emb_dim=im_dim, text_emb_dim=txt_dim,
+                 im_hid_dim=im_hid, text_hid_dim=txt_hid,
+                 num_ways=5, num_shots=1, num_shots_test=32,
+                 num_train_adapt_steps=5, batch_size=batch, dropout=0.25,
+                 text_encoder="precomputed", step_size=0.01, lr=3e-5,
+                 optim="adam", prototype_dim=proto,
+                 compute_dtype=compute_dtype)
+    cs, table, ids = synthetic_class_set(
+        num_classes=64, images_per_class=64, im_dim=im_dim,
+        text_dim=txt_dim, seed=0)
+    spec = EpisodeSpec(batch, 5, 1, 32, im_dim, txt_dim)
+    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
+                                   cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+
+    def unrolled(n):
+        def run(params, opt_state, key, tables):
+            loss = None
+            for _ in range(n):
+                key, k_s, k_step = jax.random.split(key, 3)
+                episode = sampler.sample(k_s, tables)
+                (loss, _aux), grads = jax.value_and_grad(
+                    family.train_loss, has_aux=True)(params, episode,
+                                                     k_step)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            return params, opt_state, key, loss
+
+        compiled = jax.jit(run).lower(
+            family.params, opt.init(family.params), jax.random.PRNGKey(1),
+            sampler.tables).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+
+    return (unrolled(4) - unrolled(2)) / 2 / batch
+
+
+V5E_BF16_PEAK = 197e12  # TFLOP/s, same row as docs/PERFORMANCE.md
+
+
 def main():
     out = {}
     for name, kw in SHAPES.items():
@@ -87,9 +145,15 @@ def main():
             r = measure(compute_dtype=dt, **kw)
             out[f"{name}/{dt}"] = round(r, 1)
             print(f"{name} {dt}: {r:.1f} eps/s", flush=True)
-    for name in SHAPES:
+    for name, kw in SHAPES.items():
         out[f"{name}/bf16_speedup"] = round(
             out[f"{name}/bfloat16"] / out[f"{name}/float32"], 3)
+        fpe = flops_per_episode(**kw)
+        out[f"{name}/flops_per_episode"] = fpe
+        for dt in ("float32", "bfloat16"):
+            mfu = out[f"{name}/{dt}"] * fpe / V5E_BF16_PEAK
+            out[f"{name}/mfu_{dt}"] = round(mfu, 4)
+            print(f"{name} {dt}: MFU {100 * mfu:.1f}%", flush=True)
     print(json.dumps(out))
 
 
