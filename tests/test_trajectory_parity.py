@@ -1072,3 +1072,38 @@ def test_bf16_covers_clip():
     assert s16.dtype == np.float32
     assert not np.array_equal(s16, s32), "bf16 was a no-op for CLIP"
     assert np.abs(s16 - s32).max() < 0.05
+
+
+def test_bf16_resnet12_grad_path():
+    """resnet12 shares conv4's bf16 VJP pitfall (f32 cotangent vs bf16
+    conv operands breaks the transpose conv); pin that forward AND
+    gradient work under the policy. Bounds reflect the depth: forward
+    drift stays small (~2%), but per-gradient MAGNITUDE drift compounds
+    through 12 conv + batch-stat-norm layers at random init (measured
+    ~28% rel L2, cosine 0.96) — so the pinned contract is direction
+    (cosine), fp32 dtype, finiteness, and small forward drift, the
+    quantities SGD actually depends on."""
+    from fumi_tpu.models import resnet12
+
+    p = resnet12.init(jax.random.PRNGKey(0), im_size=16, in_channels=3,
+                      n_way=3, channels=(4, 6, 8, 12))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3),
+                    jnp.float32)
+
+    def loss(pp, cd):
+        out = resnet12.apply(pp, x, cd)
+        return -jnp.mean(jax.nn.log_softmax(out)[:, 0])
+
+    f32 = resnet12.apply(p, x, None)
+    f16 = resnet12.apply(p, x, jnp.bfloat16)
+    fwd_rel = float(jnp.linalg.norm(f16 - f32) / jnp.linalg.norm(f32))
+    assert 0 < fwd_rel < 0.05, fwd_rel  # changed, but only by rounding
+
+    g32 = jax.grad(lambda pp: loss(pp, None))(p)
+    g16 = jax.grad(lambda pp: loss(pp, jnp.bfloat16))(p)
+    assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(g16))
+    a = jnp.concatenate([g.ravel() for g in jax.tree.leaves(g16)])
+    b = jnp.concatenate([g.ravel() for g in jax.tree.leaves(g32)])
+    assert bool(jnp.isfinite(a).all())
+    cos = float(jnp.vdot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    assert cos > 0.9, cos
