@@ -558,7 +558,9 @@ def test_adaptation_family_weight_transport_ref_to_ours(
     print(f"weight-transport {model} 5-shot: reference eval {ref_acc:.4f} "
           f"vs rebuild eval {ours['test/acc']:.4f} (same weights)")
     assert ref_acc > CHANCE + 0.2, f"{model} checkpoint failed to learn"
-    assert abs(ours["test/acc"] - ref_acc) <= 0.02, \
+    # measured deltas (deterministic runs): maml 0.05pp, fumi 0.45pp —
+    # the 1pp bound enforces the BASELINE accuracy target with margin
+    assert abs(ours["test/acc"] - ref_acc) <= 0.01, \
         (f"{model}: same best.pth.tar, different eval verdicts: reference "
          f"{ref_acc:.4f} vs rebuild {ours['test/acc']:.4f}")
 
@@ -590,6 +592,7 @@ def test_fumi_our_trained_checkpoint_evaluates_identically_in_reference(
     print(f"weight-transport fumi export 5-shot: rebuild {our_acc:.4f} vs "
           f"reference eval of exported weights {ref_acc:.4f}")
     assert our_acc > CHANCE + 0.2, "rebuild FuMI failed to learn"
-    assert abs(ref_acc - our_acc) <= 0.02, \
+    # measured delta (deterministic runs): 0.35pp
+    assert abs(ref_acc - our_acc) <= 0.01, \
         (f"fumi: same exported weights, different eval verdicts: rebuild "
          f"{our_acc:.4f} vs reference {ref_acc:.4f}")
