@@ -157,6 +157,13 @@ def run_reference(data_dir, log_dir, model, seed, text_encoder="rand",
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # pure-torch subprocess
     env["WANDB_ORACLE_DIR"] = os.path.join(log_dir, f"wandb_{seed}")
+    # single-threaded BLAS: multi-threaded MKL/OMP reductions reassociate
+    # differently under machine load, making torch-side trained weights
+    # load-DEPENDENT — one slow-tier run failed the CLIP quality bound
+    # only when the box was contended, and passed in isolation. Pinning
+    # makes the oracle deterministic regardless of concurrent work.
+    env.setdefault("OMP_NUM_THREADS", "1")
+    env.setdefault("MKL_NUM_THREADS", "1")
     env.update(extra_env or {})
     cmd = [sys.executable, os.path.join(ORACLE, "run_reference.py"),
            "--json-out", out_json, "--"] + flags
