@@ -56,7 +56,8 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     # ~0.1 ms/step on TPU; rbg is hardware-speed
     import jax.numpy as jnp
     from fumi_tpu.core.episode import EpisodeSpec
-    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.sampler import (DeviceEpisodeSampler,
+                                       table_storage)
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import (build_family, make_chunked_train,
                                       make_opt)
@@ -67,9 +68,7 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
         num_classes=64, images_per_class=64, im_dim=IM_DIM,
         text_dim=TXT_DIM, seed=0)
     spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, Q_TRAIN, IM_DIM, TXT_DIM)
-    table = jnp.asarray(table)
-    if compute_dtype == "bfloat16":  # production pairing (cli/main.py)
-        table = table.astype(jnp.bfloat16)
+    table = table_storage(jnp.asarray(table), compute_dtype)
     sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
@@ -108,7 +107,8 @@ def bench_eval(episodes: int = 256, chunk: int = 64,
     import jax.numpy as jnp
     import numpy as _np
     from fumi_tpu.core.episode import EpisodeSpec
-    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.sampler import (DeviceEpisodeSampler,
+                                       table_storage)
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import build_family, make_chunked_eval
 
@@ -118,9 +118,7 @@ def bench_eval(episodes: int = 256, chunk: int = 64,
         text_dim=TXT_DIM, seed=0)
     spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, cfg.num_query_eval,
                        IM_DIM, TXT_DIM)
-    table = jnp.asarray(table)
-    if compute_dtype == "bfloat16":  # production pairing (cli/main.py)
-        table = table.astype(jnp.bfloat16)
+    table = table_storage(jnp.asarray(table), compute_dtype)
     sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     run = make_chunked_eval(family, sampler)

@@ -101,11 +101,8 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     tokens = cs.text_is_tokens
     train_spec, eval_spec = _specs(cfg, text_dim, tokens)
     if cfg.device_sampler:
-        table = jnp.asarray(image_table)
-        if cfg.compute_dtype == "bfloat16":
-            # store the HBM table in bf16 (half the memory/bandwidth);
-            # episodes are cast back to fp32 at gather time
-            table = table.astype(jnp.bfloat16)
+        from fumi_tpu.data.sampler import table_storage
+        table = table_storage(jnp.asarray(image_table), cfg.compute_dtype)
         ids = jnp.asarray(image_ids)
         # --augment: embedding-space jitter on the TRAIN support set only
         aug = 0.1 if cfg.augment else 0.0
@@ -141,9 +138,11 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
         # native draws let workers compute disjoint episode counters, so
         # the stream is exactly the single-process one (pinned by test)
         from fumi_tpu.data.sampler import MultiprocessSampler
-        train_host = MultiprocessSampler(train_host,
-                                         num_workers=cfg.num_workers)
-        print(f"loader: {cfg.num_workers} worker processes")
+        train_host = MultiprocessSampler(
+            train_host, num_workers=cfg.num_workers,
+            mp_context=cfg.loader_mp_context)
+        print(f"loader: {cfg.num_workers} worker processes "
+              f"({cfg.loader_mp_context})")
     elif cfg.num_workers > 0:
         # single worker, numpy backend, or host augmentation: background
         # prefetch thread (same overlap, sequential stream preserved)

@@ -114,6 +114,12 @@ class Config:
     # host-sampler runs across machines (auto picks per-box by g++
     # availability). The chosen backend is logged at startup.
     sampler_backend: str = "auto"
+    # Start method for --num_workers loader processes. "fork" (default)
+    # shares tables copy-on-write; "spawn" pays a per-worker table copy +
+    # interpreter start but never forks a process whose JAX runtime
+    # threads hold locks. Identical episode streams either way
+    # (counter-addressed draws).
+    loader_mp_context: str = "fork"
     # Train steps fused per device dispatch (lax.scan length of the
     # chunked drivers). 0 = the tuned default (1000: amortizes the ~27 ms
     # tunneled-TPU dispatch cost to ~3%). scripts/autotune.py measures the
@@ -295,6 +301,10 @@ class Config:
             raise ValueError(
                 f"--tpu_sampler_backend {self.sampler_backend!r} "
                 "(auto|native|numpy)")
+        if self.loader_mp_context not in ("fork", "spawn"):
+            raise ValueError(
+                f"--tpu_loader_mp_context {self.loader_mp_context!r} "
+                "(fork|spawn)")
         if self.chunk < 0 or self.train_unroll < 0:
             raise ValueError("--tpu_chunk/--tpu_train_unroll must be >= 0 "
                              "(0 = auto)")
@@ -504,6 +514,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-sampler index backend. Same policy, different "
                         "episode streams per seed — pin it (not auto) when "
                         "comparing host-sampler runs across machines")
+    p.add_argument("--tpu_loader_mp_context", type=str, default="fork",
+                   choices=["fork", "spawn"],
+                   help="start method for --num_workers loader processes: "
+                        "fork shares tables copy-on-write; spawn avoids "
+                        "fork-after-JAX-init entirely (pays a one-time "
+                        "table copy per worker). Same episode stream")
     p.add_argument("--tpu_chunk", type=int, default=0,
                    help="train steps per device dispatch (0 = tuned "
                         "default 1000; see scripts/autotune.py)")
@@ -643,6 +659,7 @@ def config_from_args(argv=None) -> Config:
         mesh_mp=args.tpu_mesh_mp,
         device_sampler=not args.tpu_host_sampler,
         sampler_backend=args.tpu_sampler_backend,
+        loader_mp_context=args.tpu_loader_mp_context,
         chunk=args.tpu_chunk,
         train_unroll=args.tpu_train_unroll,
         grad_accum=args.tpu_grad_accum,

@@ -48,6 +48,16 @@ class SamplerTables(NamedTuple):
     text_features: jnp.ndarray  # (C, E|T)
 
 
+def table_storage(table: jnp.ndarray, compute_dtype: str) -> jnp.ndarray:
+    """HBM storage dtype of the episodic image table under
+    ``--tpu_compute_dtype``: ``bfloat16`` halves table memory and gather
+    bandwidth; episodes are cast back to fp32 at gather time (the
+    production pairing used by the CLI and bench)."""
+    if compute_dtype == "bfloat16":
+        return table.astype(jnp.bfloat16)
+    return table
+
+
 def augment_raw_images(key: jax.Array, images: jnp.ndarray,
                        pad: int = 4) -> jnp.ndarray:
     """Random horizontal flip + pad-``pad``-and-random-crop, per image.
@@ -299,6 +309,24 @@ class HostEpisodeSampler:
                 "--tpu_sampler_backend native cannot serve classes thinner "
                 "than K+Q (the with-replacement wrap is numpy-only)")
 
+    def __getstate__(self):
+        """Picklable state for spawn-context loader workers: the ctypes
+        handle can't cross process boundaries; it is re-loaded in
+        ``__setstate__`` (the compiled .so is mtime-cached, so the child
+        pays a dlopen, not a rebuild)."""
+        state = self.__dict__.copy()
+        state["_native"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self._backend_arg in ("auto", "native") and not self._wraps:
+            from fumi_tpu import native
+            self._native = native.load()
+            if self._backend_arg == "native" and self._native is None:
+                raise RuntimeError(
+                    "native sampler unavailable after unpickling")
+
     @property
     def backend_name(self) -> str:
         """The index backend actually in use. ``native`` (xoshiro256**)
@@ -530,6 +558,11 @@ def _mp_worker(sampler: "HostEpisodeSampler", w: int, num_workers: int,
                 break
             except Exception:
                 continue
+        if stop.is_set():
+            # shutdown: nobody drains the queue anymore — drop buffered
+            # data instead of blocking process exit on the feeder flush
+            q.cancel_join_thread()
+            return
         if isinstance(item, _WorkerError):
             return  # the stream is broken; don't keep drawing past it
         c += num_workers
@@ -555,14 +588,32 @@ class MultiprocessSampler:
     sequential stream). The CLI falls back to the prefetch thread for
     those configs.
 
+    Start method (``mp_context``): ``fork`` (default) shares the episode
+    tables copy-on-write and inherits the loaded ctypes lib — zero-copy,
+    but forking a process whose JAX/TPU runtime threads hold locks is
+    formally unsafe (mitigated here by workers doing numpy-only work and
+    never touching jax; the hazard window is the fork instant itself).
+    ``spawn`` sidesteps fork-after-threads entirely at the cost of
+    pickling the sampler (tables copied once per worker) and a fresh
+    interpreter+import per worker. Both produce the identical episode
+    stream (indices are pure functions of ``(seed, counter)``).
+
     Failure semantics: a worker exception re-raises in ``sample()`` with
     the episodes before it intact (counter order preserved); a worker
-    killed outright (no envelope) raises instead of hanging.
+    killed outright (no envelope) raises instead of hanging — including
+    a worker killed MID-WRITE: the consumer never blocks on a pipe read
+    directly (a partial multi-part message would block ``recv`` past any
+    ``Queue.get`` timeout); per-worker reader THREADS do the blocking
+    reads and forward complete items to bounded thread queues, so
+    ``sample()``'s timeout is end-to-end and the dead-worker check always
+    runs.
     """
 
     def __init__(self, sampler: "HostEpisodeSampler", num_workers: int,
-                 depth: int = 2):
+                 depth: int = 2, mp_context: str = "fork"):
         import multiprocessing as mp
+        import queue as _tq
+        import threading
         if sampler._native is None:
             raise ValueError(
                 "MultiprocessSampler needs the native (counter-addressed) "
@@ -574,15 +625,23 @@ class MultiprocessSampler:
                 "thread or the device sampler")
         if num_workers < 1:
             raise ValueError("num_workers must be >= 1")
+        if mp_context not in ("fork", "spawn"):
+            raise ValueError(f"mp_context must be fork|spawn, got "
+                             f"{mp_context!r}")
         self.sampler = sampler
         self.spec = sampler.spec
         self.num_workers = num_workers
-        ctx = mp.get_context("fork")  # tables shared COW, ctypes lib kept
+        ctx = mp.get_context(mp_context)
         self._stop = ctx.Event()
+        self._tstop = threading.Event()
         self._base = sampler._counter
         self._next = self._base
         self._queues = [ctx.Queue(maxsize=max(1, depth))
                         for _ in range(num_workers)]
+        # Reader-thread bridges: the only place that blocks on the mp
+        # queues' pipe reads. Bounded at 1 so backpressure still reaches
+        # the workers through the mp queues' maxsize.
+        self._out = [_tq.Queue(maxsize=1) for _ in range(num_workers)]
         self._failed: Optional[BaseException] = None
         self._procs = [
             ctx.Process(target=_mp_worker,
@@ -592,18 +651,51 @@ class MultiprocessSampler:
             for w in range(num_workers)]
         for p in self._procs:
             p.start()
+        self._readers = [
+            threading.Thread(target=self._reader_loop, args=(w,),
+                             daemon=True)
+            for w in range(num_workers)]
+        for t in self._readers:
+            t.start()
+
+    def _reader_loop(self, w: int) -> None:
+        import queue as _tq
+        import queue as _queue
+        while not self._tstop.is_set():
+            try:
+                item = self._queues[w].get(timeout=0.2)
+            except _queue.Empty:
+                continue
+            except (EOFError, OSError) as e:
+                item = _WorkerError(RuntimeError(
+                    f"loader worker {w} queue broke: {e!r}"))
+            while not self._tstop.is_set():
+                try:
+                    self._out[w].put(item, timeout=0.2)
+                    break
+                except _tq.Full:
+                    continue
+            if isinstance(item, _WorkerError):
+                return
 
     def sample(self) -> Episode:
-        import queue as _queue
+        import queue as _tq
         if self._failed is not None:
             raise self._failed  # the stream is broken; keep raising
         w = (self._next - self._base) % self.num_workers
         while True:
             try:
-                item = self._queues[w].get(timeout=1.0)
+                item = self._out[w].get(timeout=1.0)
                 break
-            except _queue.Empty:
+            except _tq.Empty:
                 if not self._procs[w].is_alive():
+                    # one grace read: the reader may still be forwarding
+                    # an item the worker completed before dying
+                    try:
+                        item = self._out[w].get(timeout=0.5)
+                        break
+                    except _tq.Empty:
+                        pass
                     self._failed = RuntimeError(
                         f"loader worker {w} died without reporting "
                         f"(exit code {self._procs[w].exitcode})")
@@ -621,14 +713,19 @@ class MultiprocessSampler:
             yield self.sample()
 
     def close(self):
+        # Never drain the mp queues from this thread: get_nowait() on a
+        # partially-written message blocks in recv past any timeout. The
+        # workers exit via the stop event (their put() loop polls it),
+        # and cancel_join_thread() lets queues drop buffered data.
         self._stop.set()
-        for q in self._queues:
-            try:
-                while True:
-                    q.get_nowait()
-            except Exception:
-                pass
+        self._tstop.set()
         for p in self._procs:
             p.join(timeout=2.0)
             if p.is_alive():
                 p.terminate()
+        for q in self._queues:
+            try:
+                q.cancel_join_thread()
+                q.close()
+            except Exception:
+                pass

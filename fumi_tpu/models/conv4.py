@@ -23,6 +23,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from fumi_tpu.models import layers
+
 EPS = 1e-5
 
 
@@ -47,26 +49,10 @@ def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC.
 
     ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
-    accumulation (the ``--tpu_compute_dtype`` policy of layers.linear);
-    norm/activations stay fp32."""
-    w = params["w"]
-    cast_back = False
-    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
-        # bf16 operands AND bf16 conv output (the MXU still accumulates
-        # f32 internally; an f32 preferred_element_type here would break
-        # the conv's VJP — the transpose conv would see an f32 cotangent
-        # against bf16 operands). The result is cast straight back to
-        # f32, so everything downstream (norm, activations, grads via the
-        # casts' VJPs) stays f32.
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-        cast_back = True
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    if cast_back:
-        y = y.astype(jnp.float32)
+    accumulation (the ``--tpu_compute_dtype`` policy of layers.linear,
+    cast mechanics in layers.conv2d_f32acc); norm/activations stay
+    fp32."""
+    y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
     y = y + params["b"]
     # batch statistics over (N, H, W) per channel
     mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
@@ -90,7 +76,6 @@ def feature_dim(im_size: int, hidden: int = 64, blocks: int = 4) -> int:
 def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
          hidden: int = 64, n_way: int = 5, blocks: int = 4):
     """Params: `blocks` conv blocks + linear head to n_way logits."""
-    from fumi_tpu.models import layers
     if feature_dim(im_size, hidden, blocks) <= 0:
         raise ValueError(
             f"im_size={im_size} collapses to zero spatial extent after "
@@ -115,6 +100,5 @@ def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
 
 def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
-    from fumi_tpu.models import layers
     return layers.linear(params["head"], backbone(params, x, compute_dtype),
                          compute_dtype)

@@ -67,6 +67,29 @@ def matmul_f32acc(a: jnp.ndarray, b: jnp.ndarray,
     return jnp.matmul(a, b, preferred_element_type=a.dtype)
 
 
+def conv2d_f32acc(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None, *,
+                  window_strides=(1, 1), padding="SAME") -> jnp.ndarray:
+    """NHWC/HWIO conv under the mixed-precision policy of :func:`linear`,
+    shared by the conv4 and resnet12 backbones.
+
+    bf16 path: operands AND conv output in bf16 (the MXU still
+    accumulates f32 internally; an f32 ``preferred_element_type`` against
+    bf16 operands breaks the conv's VJP — the transposed conv would see
+    an f32 cotangent against bf16 operands), then cast straight back to
+    f32 at the boundary so everything downstream (bias, norm,
+    activations, grads via the casts' VJPs) stays f32."""
+    cast_back = False
+    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        cast_back = True
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=window_strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y.astype(jnp.float32) if cast_back else y
+
+
 def dropout(key: jax.Array, x: jnp.ndarray, rate: float,
             train: bool) -> jnp.ndarray:
     """Inverted dropout, torch semantics (identity in eval mode)."""

@@ -23,6 +23,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from fumi_tpu.models import layers
 from fumi_tpu.models.conv4 import EPS, conv_init
 
 CHANNELS: Tuple[int, ...] = (64, 160, 320, 640)
@@ -34,22 +35,9 @@ def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     """conv (SAME) → batch-stat norm, NHWC. Kernel size from the params.
 
     ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
-    accumulation (the ``--tpu_compute_dtype`` policy); norm stays fp32."""
-    w = params["w"]
-    cast_back = False
-    if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
-        # bf16 operands and bf16 conv output, cast back to f32 at the
-        # boundary (see conv4.conv_block: an f32 preferred_element_type
-        # would break the conv's VJP against bf16 operands)
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-        cast_back = True
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    if cast_back:
-        y = y.astype(jnp.float32)
+    accumulation (the ``--tpu_compute_dtype`` policy; cast mechanics in
+    layers.conv2d_f32acc); norm stays fp32."""
+    y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
     y = y + params["b"]
     mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
     var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
@@ -98,7 +86,6 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
          n_way: int = 5, channels: Tuple[int, ...] = CHANNELS):
     """Params: one residual stage per entry of ``channels`` + linear head
     (head omitted by FuMI-style headless consumers via params["blocks"])."""
-    from fumi_tpu.models import layers
     feature_dim(im_size, channels)  # validates the spatial budget
     keys = jax.random.split(key, len(channels) + 1)
     blocks = []

@@ -286,8 +286,14 @@ class FewShotClassifier:
     # hazards of the tunneled TPU runtime — see docs/PERFORMANCE.md).
 
     def _build_adapt_fns(self):
+        from fumi_tpu.train.steps import compute_dtype_of
         cfg = self.cfg
         n_steps, step = cfg.num_test_adapt_steps, cfg.step_size
+        # --tpu_compute_dtype applies to the serving programs too: fumi/am3
+        # inherit it through family.model, but maml/protonet/matchingnet
+        # build their own apply/embed here and must thread it explicitly
+        # (served logits match the bf16 eval engine's)
+        cd = compute_dtype_of(cfg)
 
         if cfg.model == "maml":
             from fumi_tpu.models import RAW_IMAGE_ENCODERS, raw_image_net
@@ -295,7 +301,9 @@ class FewShotClassifier:
                 net = raw_image_net(cfg.im_encoder)
             else:
                 from fumi_tpu.models import mlp as net
-            apply_fn = net.apply
+
+            def apply_fn(p, x, _net_apply=net.apply):
+                return _net_apply(p, x, cd)
 
             if cfg.meta_grad == "imaml":
                 # serve with the SAME adaptation semantics the model was
@@ -408,10 +416,11 @@ class FewShotClassifier:
                 net = raw_image_net(cfg.im_encoder)
 
                 def embed(p, x):
-                    return layers.linear(p["head"], net.backbone(p, x))
+                    return layers.linear(p["head"],
+                                         net.backbone(p, x, cd), cd)
             else:
                 def embed(p, x):
-                    return layers.linear(p, x)
+                    return layers.linear(p, x, cd)
 
             num_ways = cfg.num_ways
 
@@ -438,10 +447,11 @@ class FewShotClassifier:
                 net = raw_image_net(cfg.im_encoder)
 
                 def embed(p, x):
-                    return layers.linear(p["head"], net.backbone(p, x))
+                    return layers.linear(p["head"],
+                                         net.backbone(p, x, cd), cd)
             else:
                 def embed(p, x):
-                    return layers.linear(p, x)
+                    return layers.linear(p, x, cd)
 
             @jax.jit
             def adapt_fn(p, s_im, s_text, s_y, rng):
@@ -569,6 +579,10 @@ class FewShotClassifier:
         # partitionable across the episode axis)
         fused_ok = (not force_vmap
                     and self.mesh is None
+                    # the fused kernels compute fp32 only — a bf16 config
+                    # must serve through the vmap engine so served logits
+                    # keep matching the bf16 eval engine's
+                    and cfg.compute_dtype == "float32"
                     and plain_full_gd_adaptation(cfg)
                     and fused_adapt_applicable(
                         cfg.model, cfg.im_encoder, cfg.im_hid_dim,

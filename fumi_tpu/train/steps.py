@@ -575,22 +575,31 @@ def steps_from_family(family: Family, opt: optax.GradientTransformation
                        eval_step=eval_step, family=family)
 
 
+def component_partition(tree) -> Dict[str, object]:
+    """Top-level component partition of a params/grads pytree — THE
+    naming contract shared by ``grad_norm/<k>`` scalars (below) and
+    ``watch/{params,grads}/<k>`` histograms (train/watch.py): dashboards
+    join the two streams on the component name, so both must partition
+    identically. A tree that is neither dict nor list/tuple is a single
+    ``params`` component; empty subtrees are dropped."""
+    if isinstance(tree, dict):
+        items = list(tree.items())
+    elif isinstance(tree, (list, tuple)):
+        items = [(f"layer{i}", g) for i, g in enumerate(tree)]
+    else:
+        items = [("params", tree)]
+    return {k: v for k, v in items if jax.tree_util.tree_leaves(v)}
+
+
 def per_layer_grad_norms(grads) -> Dict[str, jnp.ndarray]:
     """Per-top-level-component gradient norms — the observability role of
     the reference's ``wandb.watch(model, log="all")`` per-parameter
     histograms (ref: utils.py:272). Scalars, so they stack through the
     chunked drivers' ``lax.scan`` like every other per-step metric."""
-    if isinstance(grads, dict):
-        items = list(grads.items())
-    elif isinstance(grads, (list, tuple)):
-        items = [(f"layer{i}", g) for i, g in enumerate(grads)]
-    else:
+    if not isinstance(grads, (dict, list, tuple)):
         return {}
-    out = {}
-    for k, g in items:
-        if jax.tree_util.tree_leaves(g):  # skip empty subtrees
-            out[f"grad_norm/{k}"] = optax.global_norm(g)
-    return out
+    return {f"grad_norm/{k}": optax.global_norm(g)
+            for k, g in component_partition(grads).items()}
 
 
 def _train_metrics(family: Family, loss, aux, episode,

@@ -77,15 +77,11 @@ def _bucketize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _components(tree) -> Dict[str, object]:
-    """Top-level component partition — same naming as
-    train/steps.py:per_layer_grad_norms so norms and histograms line up."""
-    if isinstance(tree, dict):
-        items = list(tree.items())
-    elif isinstance(tree, (list, tuple)):
-        items = [(f"layer{i}", g) for i, g in enumerate(tree)]
-    else:
-        items = [("params", tree)]
-    return {k: v for k, v in items if jax.tree_util.tree_leaves(v)}
+    """Top-level component partition — the SHARED naming of
+    train/steps.py (grad_norm/<k> scalars), so norms and histograms
+    line up by construction."""
+    from fumi_tpu.train.steps import component_partition
+    return component_partition(tree)
 
 
 @functools.partial(jax.jit, static_argnames=("names",))

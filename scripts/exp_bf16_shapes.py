@@ -30,7 +30,8 @@ def measure(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
 
     from fumi_tpu.core.config import Config
     from fumi_tpu.core.episode import EpisodeSpec
-    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.sampler import (DeviceEpisodeSampler,
+                                       table_storage)
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import (build_family, make_chunked_train,
                                       make_opt)
@@ -46,9 +47,7 @@ def measure(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
         num_classes=64, images_per_class=64, im_dim=im_dim,
         text_dim=txt_dim, seed=0)
     spec = EpisodeSpec(batch, 5, 1, 32, im_dim, txt_dim)
-    table = jnp.asarray(table)
-    if compute_dtype == "bfloat16":
-        table = table.astype(jnp.bfloat16)
+    table = table_storage(jnp.asarray(table), compute_dtype)
     sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
@@ -91,7 +90,8 @@ def flops_per_episode(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
 
     from fumi_tpu.core.config import Config
     from fumi_tpu.core.episode import EpisodeSpec
-    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.sampler import (DeviceEpisodeSampler,
+                                       table_storage)
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import build_family, make_opt
 

@@ -40,7 +40,12 @@ def main():
     os.environ.setdefault("OMP_NUM_THREADS", "2")
 
     import torch
-    torch.set_num_threads(max(1, os.cpu_count() or 1))
+    # honor the caller's thread pin: set_num_threads OVERRIDES the OMP
+    # env var, so defaulting to cpu_count here would silently re-enable
+    # the load-dependent multi-threaded reductions the parity harness
+    # pins away (it exports OMP_NUM_THREADS=1 for determinism)
+    torch.set_num_threads(
+        int(os.environ.get("OMP_NUM_THREADS", max(1, os.cpu_count() or 1))))
 
     # torch-1.8-compatibility accommodation (recorded in docs/PARITY.md):
     # FuMI's inner loop updates the hypernet output IN-PLACE

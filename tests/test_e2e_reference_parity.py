@@ -162,8 +162,8 @@ def run_reference(data_dir, log_dir, model, seed, text_encoder="rand",
     # load-DEPENDENT — one slow-tier run failed the CLIP quality bound
     # only when the box was contended, and passed in isolation. Pinning
     # makes the oracle deterministic regardless of concurrent work.
-    env.setdefault("OMP_NUM_THREADS", "1")
-    env.setdefault("MKL_NUM_THREADS", "1")
+    env["OMP_NUM_THREADS"] = "1"  # assignment, not setdefault: a host
+    env["MKL_NUM_THREADS"] = "1"  # exporting its own value must not unpin
     env.update(extra_env or {})
     cmd = [sys.executable, os.path.join(ORACLE, "run_reference.py"),
            "--json-out", out_json, "--"] + flags

@@ -218,3 +218,72 @@ def test_multiprocess_sampler_rejects_unsupported_configs(lib):
                              augment_scale=0.1)
     with pytest.raises(ValueError, match="augmentation"):
         MultiprocessSampler(aug, num_workers=2)
+    ok = HostEpisodeSampler(table, ids, cs, spec, seed=0, backend="native")
+    with pytest.raises(ValueError, match="mp_context"):
+        MultiprocessSampler(ok, num_workers=2, mp_context="forkserver")
+
+
+@pytest.mark.slow
+def test_multiprocess_sampler_spawn_stream_parity(lib):
+    """mp_context='spawn' (no fork-after-JAX hazard) reproduces the exact
+    single-process stream too: the sampler pickles (ctypes handle dropped
+    and re-loaded in the child), and counter-addressed draws are start-
+    method-independent."""
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    solo = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    ref = [solo.sample() for _ in range(5)]
+
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    mp = MultiprocessSampler(base, num_workers=2, mp_context="spawn")
+    try:
+        got = [mp.sample() for _ in range(5)]
+    finally:
+        mp.close()
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r.support_ids),
+                                      np.asarray(g.support_ids))
+        np.testing.assert_array_equal(np.asarray(r.support_im),
+                                      np.asarray(g.support_im))
+
+
+class _BlockingGet:
+    """Stands in for an mp queue whose pipe holds a PARTIAL message: get()
+    blocks far past its timeout (recv_bytes has no deadline)."""
+
+    def get(self, timeout=None):
+        import threading
+        threading.Event().wait(60.0)
+        raise AssertionError("unreachable")
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
+                            "ignore::DeprecationWarning")
+def test_multiprocess_sampler_mid_write_kill_raises_not_hangs(lib):
+    """A worker killed MID-WRITE leaves a partial message that blocks the
+    pipe read indefinitely; sample() must still raise within its own
+    timeout (the reader thread absorbs the unbounded recv, the consumer
+    times out on the thread queue and runs the dead-worker check)."""
+    import os
+    import signal
+    import time
+
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    mp = MultiprocessSampler(base, num_workers=2, depth=1)
+    try:
+        # emulate the partial write: worker 0's queue read now blocks
+        # forever, and the worker itself is dead
+        mp._queues[0] = _BlockingGet()
+        os.kill(mp._procs[0].pid, signal.SIGKILL)
+        time.sleep(0.2)
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="died without reporting"):
+            for _ in range(8):  # drain anything already bridged pre-swap
+                mp.sample()
+        assert time.monotonic() - t0 < 30.0
+    finally:
+        mp.close()

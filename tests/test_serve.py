@@ -360,6 +360,39 @@ def test_warmup_preserves_live_adapted_state():
     np.testing.assert_array_equal(before, after)
 
 
+def test_bf16_config_reaches_serving_programs(rng_np):
+    """--tpu_compute_dtype bfloat16 is not a serving no-op for the
+    families that build their own apply/embed (maml/protonet/
+    matchingnet): served logits move off the fp32 ones and, for maml,
+    match the bf16 eval engine exactly."""
+    s_im, s_tx, s_y, q_im = episode_data(rng_np)
+
+    for model in ("maml", "protonet", "matchingnet"):
+        f32 = FewShotClassifier(base_cfg(model), None)
+        bf16 = FewShotClassifier(
+            base_cfg(model, compute_dtype="bfloat16"), f32.params)
+        f32.adapt(s_im, support_y=s_y, support_text=s_tx)
+        bf16.adapt(s_im, support_y=s_y, support_text=s_tx)
+        lf = np.asarray(f32.classify(q_im, return_probs=True))
+        lb = np.asarray(bf16.classify(q_im, return_probs=True))
+        assert not np.array_equal(lf, lb), \
+            f"{model}: bf16 config served identical logits to fp32 — " \
+            "the dtype never reached the serving program"
+
+    # maml: the bf16 serving program IS the bf16 eval engine's math
+    cfg = base_cfg("maml", compute_dtype="bfloat16")
+    clf = FewShotClassifier(cfg, None)
+    clf.adapt(s_im, support_y=s_y)
+    labels = np.asarray(clf.classify(q_im))
+    from fumi_tpu.models import mlp
+    _, aux = maml_episode_loss(
+        lambda p, x: mlp.apply(p, x, jnp.bfloat16), clf.params,
+        as_episode(s_im, s_tx, s_y, q_im),
+        n_steps=cfg.num_test_adapt_steps, step_size=cfg.step_size,
+        first_order=True)
+    np.testing.assert_array_equal(labels, np.asarray(aux["preds"][0]))
+
+
 def test_warmup_token_model_stays_finite():
     """Token-encoder warmup must feed non-PAD dummy tokens: an all-PAD
     row under mean pooling is 0/0 = NaN through the whole dummy
