@@ -49,7 +49,12 @@ def _load_data(cfg: Config):
             cfg.data_dir, text_encoder=cfg.text_encoder,
             text_type=cfg.text_type,
             remove_stop_words=cfg.remove_stop_words,
-            image_embedding_model=cfg.image_embedding_model)
+            image_embedding_model=cfg.image_embedding_model,
+            # conv backbones consume the Zenodo low-res-images.hdf5
+            # raw-pixel table instead of precomputed embeddings (the
+            # reference's raw-encoder TODO, ref: am3.py:44-46)
+            raw_images=(cfg.im_encoder in ("conv4", "resnet12")
+                        and cfg.dataset == "inat-anim"))
         dictionary = (data.dictionary.token2id
                       if data.dictionary is not None else {})
         if cfg.dataset == "inat-anim" and \
@@ -216,6 +221,19 @@ def main(cfg: Config) -> dict:
                           job_type="eval" if cfg.evaluate else "train"))
 
     splits, image_table, image_ids, dictionary = _load_data(cfg)
+    if cfg.im_encoder in ("conv4", "resnet12") and image_table.ndim == 4:
+        # adopt the raw table's stored geometry: a real dataset's image
+        # size is a property of the artifact, not a flag the user should
+        # have to know (--tpu_im_size still sizes synthetic tables)
+        _, h, w, c = image_table.shape
+        if h != w:
+            raise ValueError(
+                f"raw image table is {h}x{w}; conv backbones assume "
+                "square images")
+        if (h, c) != (cfg.im_size, cfg.im_channels):
+            import dataclasses as _dc0
+            cfg = _dc0.replace(cfg, im_size=h, im_channels=c)
+            print(f"raw images: adopting stored geometry {h}x{w}x{c}")
     run_dir = os.path.join(cfg.log_dir, "runs", writer.run_name)
     os.makedirs(run_dir, exist_ok=True)
     # record the full config with the run (the reference uploads it to

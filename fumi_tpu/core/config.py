@@ -254,8 +254,12 @@ class Config:
         """Argument validation matching fumi/main.py:34-44.
 
         The resnet↔embedding-dim coupling only binds for the iNat datasets
-        (synthetic smoke runs may use any dims)."""
-        if "inat" in self.dataset:
+        (synthetic smoke runs may use any dims) and only when the image
+        encoder consumes precomputed embeddings — raw-image backbones
+        (conv4/resnet12) read low-res-images.hdf5 instead and ignore the
+        embedding model entirely."""
+        if "inat" in self.dataset and \
+                self.im_encoder not in ("conv4", "resnet12"):
             if self.image_embedding_model not in ("resnet-152", "resnet-34"):
                 raise ValueError(
                     "Image embedding model must be one of resnet-152 "

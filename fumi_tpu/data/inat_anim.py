@@ -147,26 +147,68 @@ def bert_tokenize(descriptions: List[str]) -> Tuple[np.ndarray, np.ndarray]:
             np.asarray(toks["attention_mask"], dtype=np.int32))
 
 
+RAW_IMAGES_FILE = "low-res-images.hdf5"
+
+
+def load_raw_image_table(root: str,
+                         file_name: str = RAW_IMAGES_FILE) -> np.ndarray:
+    """The Zenodo raw-image table (``low-res-images.hdf5``, key
+    ``images``, row index = image id — the same ordering as the
+    embeddings file; see notebooks/DatasetDemo.ipynb in the reference,
+    which browses ``h5_file['images'][image_index]``).
+
+    Kept in its stored integer dtype (uint8 NHWC): the samplers gather
+    raw rows from HBM and normalize to fp32 [0,1] at gather time
+    (``sampler.pixels_to_float``), so the table costs a quarter of fp32.
+    Grayscale ``(M, H, W)`` tables gain a trailing channel axis.
+    """
+    import h5py
+    path = os.path.join(root, file_name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"raw-image mode (--im_encoder conv4|resnet12) needs {path} — "
+            "the Zenodo artifact the reference's dataset notebook "
+            "downloads (record 6703088, low-res-images.hdf5)")
+    with h5py.File(path, "r") as f:
+        table = np.asarray(f["images"])
+    if table.ndim == 3:
+        table = table[..., None]
+    if table.ndim != 4:
+        raise ValueError(
+            f"{path}: expected (num_images, H, W[, C]) images, got shape "
+            f"{table.shape}")
+    return table
+
+
 def load_inat_anim(data_dir: str,
                    json_name: str = "inat_anim.json",
                    text_encoder: str = "BERT",
                    text_type: Sequence[str] = ("description",),
                    remove_stop_words: bool = False,
                    image_embedding_model: str = "resnet-152",
-                   image_dtype=np.float32) -> InatAnimData:
-    """Build all three splits. One pass; returns dense tables."""
+                   image_dtype=np.float32,
+                   raw_images: bool = False) -> InatAnimData:
+    """Build all three splits. One pass; returns dense tables.
+
+    ``raw_images=True`` loads the raw low-res image table instead of the
+    precomputed-embedding table — the data side of the reference's
+    raw-encoder TODO (ref: am3.py:44-46), feeding the conv4/resnet12
+    backbones."""
     root = dataset_root(data_dir)
     json_path = os.path.join(root, json_name)
     with open(json_path) as f:
         annotations = json.load(f)
     num_categories = len(annotations["categories"])
 
-    # image table (ref: data.py:420-430)
-    import h5py
-    h5_path = os.path.join(
-        root, f"image_embeddings_{image_embedding_model}.hdf5")
-    with h5py.File(h5_path, "r") as f:
-        image_table = np.asarray(f["images"], dtype=image_dtype)
+    if raw_images:
+        image_table = load_raw_image_table(root)
+    else:
+        # image-embedding table (ref: data.py:420-430)
+        import h5py
+        h5_path = os.path.join(
+            root, f"image_embeddings_{image_embedding_model}.hdf5")
+        with h5py.File(h5_path, "r") as f:
+            image_table = np.asarray(f["images"], dtype=image_dtype)
     image_ids = np.arange(image_table.shape[0], dtype=np.int32)
 
     # dictionary over ALL folds for standard tokenisation (ref: data.py:461-466)

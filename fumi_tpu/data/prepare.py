@@ -80,7 +80,7 @@ def cmd_inspect(args) -> int:
               f"max={counts.max()}")
     for f in sorted(os.listdir(root)):
         if f.startswith("text_embeddings") or f.startswith(
-                "image_embeddings"):
+                "image_embeddings") or f == "low-res-images.hdf5":
             print(f"  artifact: {f}")
     return 0
 

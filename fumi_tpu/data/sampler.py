@@ -52,10 +52,27 @@ def table_storage(table: jnp.ndarray, compute_dtype: str) -> jnp.ndarray:
     """HBM storage dtype of the episodic image table under
     ``--tpu_compute_dtype``: ``bfloat16`` halves table memory and gather
     bandwidth; episodes are cast back to fp32 at gather time (the
-    production pairing used by the CLI and bench)."""
-    if compute_dtype == "bfloat16":
+    production pairing used by the CLI and bench).
+
+    Integer tables (uint8 raw-pixel images, e.g. the Zenodo
+    ``low-res-images.hdf5``) are left untouched — uint8 is already half
+    of bf16, and the [0,1] normalization happens at gather time."""
+    if compute_dtype == "bfloat16" and \
+            jnp.issubdtype(table.dtype, jnp.floating):
         return table.astype(jnp.bfloat16)
     return table
+
+
+def pixels_to_float(im: jnp.ndarray) -> jnp.ndarray:
+    """Gather-time dtype policy for episode image leaves: integer tables
+    are raw pixels → fp32 in [0,1]; non-fp32 floats (bf16-stored
+    embedding tables) → fp32; fp32 passes through. Works on jnp and np
+    arrays (the multiprocess loader assembles episodes in numpy)."""
+    if jnp.issubdtype(im.dtype, jnp.integer):
+        return im.astype(jnp.float32) * (1.0 / 255.0)
+    if im.dtype != jnp.float32:
+        return im.astype(jnp.float32)
+    return im
 
 
 def augment_raw_images(key: jax.Array, images: jnp.ndarray,
@@ -128,9 +145,11 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
     if use_pallas_gather:
         from fumi_tpu.ops.pallas_kernels import (gather_rows,
                                                  gather_rows_supported)
-        # compiled pallas gather only supports tile-aligned row widths;
-        # fall back to the XLA gather otherwise
-        if not gather_rows_supported(int(tables.image_table.shape[-1])):
+        # compiled pallas gather only supports tile-aligned row widths on
+        # flat 2-D embedding tables; raw NHWC image tables and other
+        # widths fall back to the XLA gather
+        if tables.image_table.ndim != 2 or \
+                not gather_rows_supported(int(tables.image_table.shape[-1])):
             use_pallas_gather = False
 
     if use_pallas_gather:
@@ -145,11 +164,11 @@ def sample_episode(tables: SamplerTables, spec: EpisodeSpec,
         support_im = tables.image_table[s_rows]  # (B, N*K, D)
         query_im = tables.image_table[q_rows]  # (B, N*Q, D)
 
-    # tables may be stored bf16 to halve HBM + gather bandwidth; episodic
-    # math stays fp32 (params and inner-loop numerics are unaffected)
-    if support_im.dtype != jnp.float32:
-        support_im = support_im.astype(jnp.float32)
-        query_im = query_im.astype(jnp.float32)
+    # tables may be stored bf16 (halved HBM + gather bandwidth) or uint8
+    # (raw pixels, normalized to [0,1] here); episodic math stays fp32
+    # (params and inner-loop numerics are unaffected)
+    support_im = pixels_to_float(support_im)
+    query_im = pixels_to_float(query_im)
 
     if augment_scale > 0.0:
         if support_im.ndim == 5:
@@ -405,7 +424,10 @@ class HostEpisodeSampler:
         sequential seeded stream)."""
         spec = self.spec
         B, N, K = spec.batch_size, spec.num_ways, spec.num_shots
-        support_im = jnp.asarray(parts["support_im"])
+        # same gather-time dtype policy as the device path: uint8 pixel
+        # tables → fp32 [0,1], bf16 embedding tables → fp32
+        support_im = pixels_to_float(jnp.asarray(parts["support_im"]))
+        query_im = pixels_to_float(jnp.asarray(parts["query_im"]))
         if self.augment_scale > 0.0:
             # same transforms as the device path (sample_episode), with a
             # key drawn from this sampler's seeded numpy stream so host
@@ -429,7 +451,7 @@ class HostEpisodeSampler:
             support_text_mask=None,
             support_ids=jnp.asarray(parts["support_ids"]),
             support_y=jnp.asarray(parts["support_y"]),
-            query_im=jnp.asarray(parts["query_im"]),
+            query_im=query_im,
             query_ids=jnp.asarray(parts["query_ids"]),
             query_y=jnp.asarray(parts["query_y"]),
         )

@@ -36,7 +36,8 @@ _HABITATS = ["montane forest", "coastal wetland", "arid scrubland",
 
 
 def build(root, num_classes=30, images_per_class=40, seed=7,
-          mean_scale=0.45, noise_scale=1.0, text_means_fn=None):
+          mean_scale=0.45, noise_scale=1.0, text_means_fn=None,
+          raw_image_size=None):
     """Write the dataset under ``<root>/iNat-Anim`` and return that path.
 
     ``text_means_fn`` (optional): callable ``description str -> (H,)
@@ -92,5 +93,25 @@ def build(root, num_classes=30, images_per_class=40, seed=7,
     with h5py.File(os.path.join(data_dir,
                                 "image_embeddings_resnet-34.hdf5"), "w") as f:
         f.create_dataset("images", data=emb)
+
+    if raw_image_size is not None:
+        # low-res-images.hdf5 (the Zenodo raw-image artifact, uint8 HWC,
+        # row index = image id): class-specific smooth blob patterns +
+        # pixel noise so conv backbones can learn above chance
+        S = raw_image_size
+        base = rng.rand(num_classes, S, S, 3)
+        k = np.ones(3) / 3.0
+        base = np.apply_along_axis(
+            lambda v: np.convolve(v, k, "same"), 1, base)
+        base = np.apply_along_axis(
+            lambda v: np.convolve(v, k, "same"), 2, base)
+        raw = np.empty((n_images, S, S, 3), dtype=np.uint8)
+        for i in range(n_images):
+            c = i % num_classes
+            px = base[c] + 0.25 * rng.randn(S, S, 3)
+            raw[i] = np.clip(px * 255.0, 0, 255).astype(np.uint8)
+        with h5py.File(os.path.join(data_dir, "low-res-images.hdf5"),
+                       "w") as f:
+            f.create_dataset("images", data=raw)
 
     return data_dir
