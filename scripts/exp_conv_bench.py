@@ -1,0 +1,154 @@
+"""Conv-backbone raw-image training: throughput + MFU on the real chip.
+
+The flagship FuMI/MAML configs run tiny MLP matmuls over precomputed
+embeddings and are DISPATCH-bound (docs/PERFORMANCE.md "Mixed precision":
+bf16 is ~0.96x there). The raw-image conv path (--im_encoder
+conv4|resnet12) is the opposite regime — image-sized convolutions lower
+onto the MXU and the FLOPs are real. This experiment measures episodes/sec
+and MFU for conv4/resnet12 MAML episodes at standard few-shot geometry
+(84x84x3, 5-way 5-shot), fp32 vs bf16, mirroring production exactly:
+uint8 raw table in HBM, fp32 [0,1] at gather time, fused
+sample+train chunked driver.
+
+FLOPs/step via the marginal-unroll method of scripts/mfu.py (XLA cost
+analysis of n=1 vs n=2 unrolled fused steps; lax.scan bodies are counted
+once, so the production scan program cannot be used directly).
+
+Run on the TPU:
+  python scripts/exp_conv_bench.py --encoder conv4 --dtype float32
+  python scripts/exp_conv_bench.py --encoder conv4 --dtype bfloat16
+
+Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.mfu import find_peak  # noqa: E402
+
+N_WAY, K_SHOT, Q_TRAIN = 5, 5, 15
+BATCH = 4
+INNER_STEPS = 5
+
+
+def build_pieces(encoder: str, im_size: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.core.episode import EpisodeSpec
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler, table_storage
+    from fumi_tpu.data.synthetic import synthetic_raw_image_set
+    from fumi_tpu.train.steps import build_family, make_opt
+
+    cfg = Config(model="maml", im_encoder=encoder, im_size=im_size,
+                 im_emb_dim=im_size * im_size * 3, text_emb_dim=32,
+                 num_ways=N_WAY, num_shots=K_SHOT, num_shots_test=Q_TRAIN,
+                 num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
+                 dropout=0.0, text_encoder="precomputed", step_size=0.01,
+                 lr=1e-3, optim="adam", compute_dtype=dtype)
+    cs, table, ids = synthetic_raw_image_set(
+        num_classes=32, images_per_class=40, im_size=im_size, text_dim=32,
+        seed=0)
+    # production storage: uint8 pixels in HBM, fp32 [0,1] at gather time
+    table_u8 = np.clip((table - table.min()) /
+                       (np.ptp(table) + 1e-9) * 255.0, 0, 255).astype(np.uint8)
+    spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, Q_TRAIN,
+                       im_size * im_size * 3, 32)
+    sampler = DeviceEpisodeSampler(
+        table_storage(jnp.asarray(table_u8), dtype), jnp.asarray(ids),
+        cs, spec)
+    family = build_family(cfg, jax.random.PRNGKey(0))
+    opt = make_opt(cfg)
+    return family, opt, sampler
+
+
+def flops_of_unrolled(family, opt, sampler, n: int) -> float:
+    import jax
+    import optax
+
+    def run(params, opt_state, key, tables):
+        loss = None
+        for _ in range(n):
+            key, k_s, k_step = jax.random.split(key, 3)
+            episode = sampler.sample(k_s, tables)
+            (loss, _aux), grads = jax.value_and_grad(
+                family.train_loss, has_aux=True)(params, episode, k_step)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    params = family.params
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    compiled = jax.jit(run).lower(params, opt_state, key,
+                                  sampler.tables).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoder", default="conv4",
+                    choices=("conv4", "resnet12"))
+    ap.add_argument("--im_size", type=int, default=84)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--skip_mfu", action="store_true",
+                    help="skip the unrolled cost-analysis compiles")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from fumi_tpu.core.runtime import setup_cache
+    setup_cache()
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    family, opt, sampler = build_pieces(args.encoder, args.im_size,
+                                        args.dtype)
+
+    flops_step = None
+    if not args.skip_mfu:
+        f1 = flops_of_unrolled(family, opt, sampler, 1)
+        f2 = flops_of_unrolled(family, opt, sampler, 2)
+        flops_step = f2 - f1
+
+    from fumi_tpu.train.steps import make_chunked_train
+    chunked = make_chunked_train(family, opt, sampler, args.chunk)
+    p, s = family.params, opt.init(family.params)
+    key = jax.random.PRNGKey(2)
+    p, s, key, ms = chunked(p, s, key, args.chunk)
+    _ = float(np.asarray(ms["loss"])[-1])  # sync fetch (tunnel-safe)
+    best = 0.0
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        p, s, key, ms = chunked(p, s, key, args.chunk)
+        _ = float(np.asarray(ms["loss"])[-1])
+        best = max(best, args.chunk * BATCH / (time.perf_counter() - t0))
+
+    out = {"encoder": args.encoder, "im_size": args.im_size,
+           "dtype": args.dtype, "eps_per_sec": round(best, 1)}
+    if flops_step is not None:
+        steps_per_sec = best / BATCH
+        achieved = flops_step * steps_per_sec
+        peak = find_peak(jax.devices()[0].device_kind)
+        out.update(flops_per_step=flops_step,
+                   achieved_tflops=round(achieved / 1e12, 2),
+                   mfu_pct=(round(100 * achieved / peak, 1)
+                            if peak else None))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
