@@ -156,9 +156,14 @@ class Config:
     # Mixed-precision policy for episodic math. "bfloat16" runs every
     # model matmul/conv (inner-loop + conv4/resnet12 backbone + hypernet
     # + projection-head dots, all families) with bf16 operands and fp32
-    # accumulation — params, inter-layer activations, losses, and
+    # accumulation — params, MLP inter-layer activations, losses, and
     # inner-loop SGD updates stay fp32 — and stores the device sampler's
-    # HBM table in bf16 (half the gather bandwidth). Two deliberate fp32
+    # HBM table in bf16 (half the gather bandwidth). The conv backbones
+    # additionally store block-to-block activations bf16 (the raw-image
+    # path is HBM-bound on that traffic; statistics/elementwise math
+    # still run f32 in-kernel, features leave the backbone f32 —
+    # measured 1.6x, PERFORMANCE.md "Raw-image conv path").
+    # Two deliberate fp32
     # holdouts: prototype/distance reductions (ops/fewshot.py;
     # accuracy-sensitive, bandwidth- not MXU-bound) and the recurrent
     # token text encoders (LSTM gate recurrences are precision-sensitive
@@ -191,6 +196,14 @@ class Config:
     # reference's semantics) or "head" (ANIL — only the final layer adapts;
     # body inner-gradients are dead code XLA eliminates).
     adapt_params: str = "all"
+    # Inner-loop rematerialization policy (explicit meta-grad engines):
+    # "auto" remats long horizons (>= inner_loop.REMAT_THRESHOLD steps)
+    # on the embedding MLPs — where storing beats recompute (~13%
+    # measured) — and EVERY horizon on the raw-image backbones, whose
+    # per-step activation footprint is ~100x an MLP step's (without it,
+    # second-order resnet12 at 84x84 wants 18.6G HBM and OOMs a 16G
+    # chip). "on"/"off" force it either way.
+    remat: str = "auto"
     # Parameter EMA decay (>0 enables): evaluation, best-checkpoint
     # selection, and the final test run on the smoothed weights while
     # training continues on the raw ones. 0 = off (reference behavior).
@@ -344,6 +357,8 @@ class Config:
         if self.adapt_params not in ("all", "head"):
             raise ValueError(
                 f"adapt_params {self.adapt_params!r} (all|head)")
+        if self.remat not in ("auto", "on", "off"):
+            raise ValueError(f"--tpu_remat {self.remat!r} (auto|on|off)")
         if self.meta_grad != "explicit" and self.adapt_params == "head":
             # iMAML: the implicit solve is derived over the full adapted
             # vector (the head-restricted variant needs the mixed
@@ -548,7 +563,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="bfloat16: bf16 matmul operands with fp32 "
                         "accumulation (params/updates stay fp32) + bf16 "
-                        "HBM table storage")
+                        "HBM table storage; conv backbones additionally "
+                        "store block-to-block activations bf16 (HBM-bound "
+                        "path; math stays f32 in-kernel)")
     p.add_argument("--tpu_prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
     p.add_argument("--tpu_skip_nonfinite", type=int, default=0,
@@ -572,6 +589,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["all", "head"],
                    help="inner-loop adaptation scope: all params, or "
                         "head-only (ANIL)")
+    p.add_argument("--tpu_remat", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="inner-loop rematerialization: auto = long "
+                        "horizons on MLPs, always on raw-image backbones "
+                        "(second-order conv activations OOM otherwise)")
     p.add_argument("--tpu_ema", type=float, default=0.0,
                    help="parameter-EMA decay for eval/checkpointing "
                         "(0 = off)")
@@ -680,6 +702,7 @@ def config_from_args(argv=None) -> Config:
         imaml_lambda=args.tpu_imaml_lambda,
         imaml_cg_iters=args.tpu_imaml_cg_iters,
         adapt_params=args.tpu_adapt_params,
+        remat=args.tpu_remat,
         ema=args.tpu_ema,
         watch=args.tpu_watch,
         debug_nans=args.tpu_debug_nans,

@@ -12,7 +12,11 @@ Normalization uses current-batch statistics at train AND eval (the standard
 MAML convention — no running stats; equivalent to torch BatchNorm2d in
 training mode), which keeps the function pure.
 
-Layout is NHWC (TPU-native); convs lower onto the MXU.
+Layout is NHWC (TPU-native); convs lower onto the MXU. Under
+``compute_dtype=bfloat16`` the blocks store their HBM-resident
+activations in bf16 (the path is HBM-bandwidth bound — docs/PERFORMANCE.md
+"Raw-image conv path") while all elementwise/statistics math runs f32
+inside the fused kernels; features leave the backbone f32.
 """
 
 from __future__ import annotations
@@ -44,22 +48,47 @@ def conv_init(key: jax.Array, in_ch: int, out_ch: int,
     }
 
 
+def _is_low_precision(compute_dtype) -> bool:
+    return (compute_dtype is not None
+            and jnp.dtype(compute_dtype) != jnp.float32)
+
+
 def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                compute_dtype=None) -> jnp.ndarray:
     """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC.
 
-    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
-    accumulation (the ``--tpu_compute_dtype`` policy of layers.linear,
-    cast mechanics in layers.conv2d_f32acc); norm/activations stay
-    fp32."""
-    y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
-    y = y + params["b"]
-    # batch statistics over (N, H, W) per channel
-    mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + EPS)
-    y = y * params["gamma"] + params["beta"]
-    y = jax.nn.relu(y)
+    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 AND the
+    block's HBM-resident activations (conv output, normalized output,
+    pooled output) stored bf16 — the raw-image path is HBM-bandwidth
+    bound on exactly this traffic (docs/PERFORMANCE.md "Raw-image conv
+    path"). Every elementwise/statistics computation still runs in f32
+    INSIDE the fused kernels (the upcast fuses into each consumer), so
+    only storage rounding differs from the fp32 path; norm statistics
+    accumulate f32. Gradients re-enter fp32 at the param boundaries via
+    the casts' VJPs."""
+    if not _is_low_precision(compute_dtype):
+        y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
+        y = y + params["b"]
+        # batch statistics over (N, H, W) per channel
+        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + EPS)
+        y = y * params["gamma"] + params["beta"]
+        y = jax.nn.relu(y)
+    else:
+        y = layers.conv2d_f32acc(x, params["w"], compute_dtype,
+                                 keep_dtype=True)
+        yb = y.astype(jnp.float32) + params["b"]
+        # E[x²]−E[x]² form: both reductions read yb independently, so XLA
+        # fuses them into ONE pass over the bf16 conv output (the two-pass
+        # (x−mean)² form serializes var behind mean). f32 accumulation;
+        # clamp guards the subtraction's rounding.
+        mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
+        m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+        yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
+        y = jax.nn.relu(yn * params["gamma"] + params["beta"])
+        y = y.astype(compute_dtype)
     return jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1), padding="VALID")
@@ -92,10 +121,12 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
 
 
 def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """(M, H, W, C) images → (M, F) flat features."""
+    """(M, H, W, C) images → (M, F) flat features (always f32 — the bf16
+    activation-storage policy ends at the backbone boundary, so heads,
+    prototypes, and losses see fp32 features)."""
     for p in params["convs"]:
         x = conv_block(p, x, compute_dtype)
-    return x.reshape(x.shape[0], -1)
+    return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:

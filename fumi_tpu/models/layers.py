@@ -68,7 +68,8 @@ def matmul_f32acc(a: jnp.ndarray, b: jnp.ndarray,
 
 
 def conv2d_f32acc(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None, *,
-                  window_strides=(1, 1), padding="SAME") -> jnp.ndarray:
+                  window_strides=(1, 1), padding="SAME",
+                  keep_dtype: bool = False) -> jnp.ndarray:
     """NHWC/HWIO conv under the mixed-precision policy of :func:`linear`,
     shared by the conv4 and resnet12 backbones.
 
@@ -77,12 +78,19 @@ def conv2d_f32acc(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None, *,
     bf16 operands breaks the conv's VJP — the transposed conv would see
     an f32 cotangent against bf16 operands), then cast straight back to
     f32 at the boundary so everything downstream (bias, norm,
-    activations, grads via the casts' VJPs) stays f32."""
+    activations, grads via the casts' VJPs) stays f32.
+
+    ``keep_dtype=True`` skips that cast-back and returns the bf16 conv
+    output — the conv backbones' activation-storage policy: at raw-image
+    geometry the path is HBM-bound on activation traffic (measured 2.8%
+    MFU, docs/PERFORMANCE.md "Raw-image conv path"), so block-to-block
+    tensors stay bf16 in HBM while every elementwise/norm computation
+    still runs f32 inside the fused kernels that consume them."""
     cast_back = False
     if compute_dtype is not None and w.dtype != jnp.dtype(compute_dtype):
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-        cast_back = True
+        cast_back = not keep_dtype
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=window_strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -34,15 +34,27 @@ def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
              compute_dtype=None) -> jnp.ndarray:
     """conv (SAME) → batch-stat norm, NHWC. Kernel size from the params.
 
-    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 with fp32
-    accumulation (the ``--tpu_compute_dtype`` policy; cast mechanics in
-    layers.conv2d_f32acc); norm stays fp32."""
-    y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
-    y = y + params["b"]
-    mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + EPS)
-    return y * params["gamma"] + params["beta"]
+    ``compute_dtype=jnp.bfloat16``: conv operands in bf16 and the unit's
+    HBM-resident activations stored bf16 (same activation-storage policy
+    as conv4.conv_block — the raw-image path is HBM-bound on this
+    traffic); statistics and all elementwise math still run f32 inside
+    the fused kernels, so only storage rounding differs."""
+    from fumi_tpu.models.conv4 import _is_low_precision
+    if not _is_low_precision(compute_dtype):
+        y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
+        y = y + params["b"]
+        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + EPS)
+        return y * params["gamma"] + params["beta"]
+    y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=True)
+    yb = y.astype(jnp.float32) + params["b"]
+    # one-pass statistics, as in conv4.conv_block (measured +5% there)
+    mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
+    m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
+    return (yn * params["gamma"] + params["beta"]).astype(compute_dtype)
 
 
 def block_init(key: jax.Array, in_ch: int, out_ch: int) -> Dict:
@@ -98,10 +110,12 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
 
 
 def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """(M, H, W, C) images → (M, channels[-1]) globally-pooled features."""
+    """(M, H, W, C) images → (M, channels[-1]) globally-pooled features
+    (always f32 — the bf16 activation-storage policy ends here; the
+    global-average reduction accumulates f32)."""
     for p in params["blocks"]:
         x = res_block(p, x, compute_dtype)
-    return jnp.mean(x, axis=(1, 2))
+    return jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
 
 
 def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:

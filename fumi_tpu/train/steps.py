@@ -86,10 +86,29 @@ def compute_dtype_of(cfg: Config):
     """``--tpu_compute_dtype`` as a matmul operand dtype (None = fp32).
 
     bfloat16 = the mixed-precision policy of models/layers.py:linear —
-    bf16 MXU dots with fp32 accumulation; params, inter-layer activations,
-    losses, and inner-loop SGD updates stay fp32. It also stores the
-    device sampler's HBM table in bf16 (cli/main.py:_samplers)."""
+    bf16 MXU dots with fp32 accumulation; params, MLP inter-layer
+    activations, losses, and inner-loop SGD updates stay fp32 (conv
+    backbones store block-to-block activations bf16 — conv4.conv_block).
+    It also stores the device sampler's HBM table in bf16
+    (cli/main.py:_samplers)."""
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
+def remat_of(cfg: Config):
+    """``--tpu_remat`` as the inner-loop ``remat`` argument.
+
+    "auto" (None downstream) keeps inner_loop's horizon threshold for the
+    embedding MLPs and conv4 — storing beats recompute at short horizons
+    (~13% measured on MLPs; conv4's 5-step second-order graph fits at
+    default geometry) — but forces remat at EVERY horizon for resnet12:
+    its 13-conv second-order step graph holds 18.6G of activations at
+    84x84 B=4 and OOMs a 16G chip without it. "on" is the escape hatch
+    when bigger batches/images push conv4 over the edge too."""
+    if cfg.remat == "on":
+        return True
+    if cfg.remat == "off":
+        return False
+    return True if cfg.im_encoder == "resnet12" else None
 
 
 def plain_full_gd_adaptation(cfg: Config) -> bool:
@@ -176,7 +195,7 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
             return maml_episode_loss(
                 apply_fn, p, episode, n_steps=n_steps,
                 step_size=cfg.step_size, first_order=cfg.first_order,
-                adapt_mask=adapt_mask)
+                adapt_mask=adapt_mask, remat=remat_of(cfg))
         return loss_fn
 
     eval_loss = loss_for(cfg.num_test_adapt_steps)
@@ -240,7 +259,8 @@ def build_fumi_family(cfg: Config, key: jax.Array,
         def loss_fn(p, episode, rng):
             return fumi_episode_loss(
                 model, p, episode, n_steps=n_steps,
-                step_size=cfg.step_size, rng=rng, train=train)
+                step_size=cfg.step_size, rng=rng, train=train,
+                remat=remat_of(cfg))
         return loss_fn
 
     eval_loss = loss_for(cfg.num_test_adapt_steps, False)

@@ -103,3 +103,28 @@ def test_am3_resnet12_encoder():
     out = model.encode_image(params, x)
     assert out.shape == (2, 6, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_policy():
+    """--tpu_remat auto forces inner-loop rematerialization for resnet12
+    at every horizon (its unrolled second-order graph OOMs a 16G chip at
+    production geometry, docs/PERFORMANCE.md "Raw-image conv path") but
+    leaves MLPs/conv4 on the horizon threshold; on/off override both."""
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.train.steps import remat_of
+
+    base = dict(
+        model="maml", dataset="synthetic", im_emb_dim=16, im_hid_dim=(8,),
+        text_emb_dim=8, num_ways=3, num_shots=2, num_shots_test=3,
+        num_train_adapt_steps=1, num_test_adapt_steps=1, batch_size=2,
+        lr=1e-3, dropout=0.0, text_encoder="precomputed", step_size=0.1,
+        seed=0)
+    assert remat_of(Config(**base)) is None
+    assert remat_of(Config(**base, im_encoder="conv4", im_size=16)) is None
+    assert remat_of(Config(**base, im_encoder="resnet12",
+                           im_size=16)) is True
+    assert remat_of(Config(**base, remat="on")) is True
+    assert remat_of(Config(**base, im_encoder="resnet12", im_size=16,
+                           remat="off")) is False
+    with pytest.raises(ValueError, match="tpu_remat"):
+        Config(**base, remat="maybe").validate()

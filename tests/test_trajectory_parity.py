@@ -1074,6 +1074,30 @@ def test_bf16_covers_clip():
     assert np.abs(s16 - s32).max() < 0.05
 
 
+def test_bf16_conv_activation_storage_contract():
+    """Under the bf16 policy the conv backbones store block-to-block
+    activations bf16 (the HBM-bound raw-image path's bandwidth lever,
+    PERFORMANCE.md "Raw-image conv path") but features leave the
+    backbone f32 — heads/prototypes/losses never see bf16. fp32 mode is
+    byte-for-byte the old path (no storage change)."""
+    from fumi_tpu.models import conv4, resnet12
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3),
+                    jnp.float32)
+    p4 = conv4.init(jax.random.PRNGKey(0), im_size=16, n_way=3)
+    assert conv4.conv_block(p4["convs"][0], x, None).dtype == jnp.float32
+    assert (conv4.conv_block(p4["convs"][0], x, jnp.bfloat16).dtype
+            == jnp.bfloat16)
+    assert conv4.backbone(p4, x, jnp.bfloat16).dtype == jnp.float32
+
+    pr = resnet12.init(jax.random.PRNGKey(0), im_size=16, n_way=3,
+                       channels=(4, 6, 8, 12))
+    assert resnet12.res_block(pr["blocks"][0], x, None).dtype == jnp.float32
+    assert (resnet12.res_block(pr["blocks"][0], x, jnp.bfloat16).dtype
+            == jnp.bfloat16)
+    assert resnet12.backbone(pr, x, jnp.bfloat16).dtype == jnp.float32
+
+
 def test_bf16_resnet12_grad_path():
     """resnet12 shares conv4's bf16 VJP pitfall (f32 cotangent vs bf16
     conv operands breaks the transpose conv); pin that forward AND
