@@ -53,6 +53,45 @@ def _is_low_precision(compute_dtype) -> bool:
             and jnp.dtype(compute_dtype) != jnp.float32)
 
 
+# MaxPool2×2 implementation: "reshape" (default) and "slices" express the
+# pool as an elementwise maximum over four views, which XLA fuses with the
+# preceding normalize/affine/relu chain into ONE pass over the conv output
+# — the reduce_window form materializes the full-size normalized tensor to
+# HBM first, a full write + read the HBM-bound raw-image path pays for
+# nothing (measured +19%: 28.1 → 33.4 eps/s conv4-bf16, which lands the
+# path AT the HBM roofline — docs/PERFORMANCE.md "Raw-image conv path").
+# "reduce_window" kept for A/B (scripts/exp_conv_bench.py --pool).
+# "slices" (strided views instead of reshape) computes the same thing and
+# wins identically in isolation, but deterministically CRASHES the TPU
+# worker ("kernel fault") when its backward pass sits inside the chunked
+# driver's outer lax.scan on this stack — kept only as the measured-fault
+# record + CPU-parity pin (test_maxpool_impls_agree); do not default it.
+# Tie-breaking note: reduce_window routes the gradient of a tied window to
+# one element (torch convention); reshape/slices split it among the tied
+# elements — both are valid subgradients, exact ties are rare off the
+# relu-zero plateau, and the backbones are extensions (no torch twin).
+POOL_IMPL = "reshape"
+
+
+def maxpool2x2(y: jnp.ndarray) -> jnp.ndarray:
+    """2×2/stride-2 VALID max-pool on NHWC (odd trailing row/col dropped,
+    matching reduce_window VALID)."""
+    if POOL_IMPL == "slices":
+        h2, w2 = y.shape[1] // 2, y.shape[2] // 2
+        y = y[:, : h2 * 2, : w2 * 2]
+        a = jnp.maximum(y[:, 0::2, 0::2], y[:, 0::2, 1::2])
+        b = jnp.maximum(y[:, 1::2, 0::2], y[:, 1::2, 1::2])
+        return jnp.maximum(a, b)
+    if POOL_IMPL == "reshape":
+        n, h, w, c = y.shape
+        h2, w2 = h // 2, w // 2
+        y = y[:, : h2 * 2, : w2 * 2].reshape(n, h2, 2, w2, 2, c)
+        return jnp.max(y, axis=(2, 4))
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
 def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                compute_dtype=None) -> jnp.ndarray:
     """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC.
@@ -89,9 +128,7 @@ def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
         yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
         y = jax.nn.relu(yn * params["gamma"] + params["beta"])
         y = y.astype(compute_dtype)
-    return jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1), padding="VALID")
+    return maxpool2x2(y)
 
 
 def feature_dim(im_size: int, hidden: int = 64, blocks: int = 4) -> int:

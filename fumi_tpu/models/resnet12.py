@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from fumi_tpu.models import layers
-from fumi_tpu.models.conv4 import EPS, conv_init
+from fumi_tpu.models.conv4 import EPS, conv_init, maxpool2x2
 
 CHANNELS: Tuple[int, ...] = (64, 160, 320, 640)
 LEAK = 0.1
@@ -78,9 +78,7 @@ def res_block(params: Dict, x: jnp.ndarray,
     y = _conv_bn(params["c3"], y, compute_dtype)
     sc = _conv_bn(params["sc"], x, compute_dtype)
     y = jax.nn.leaky_relu(y + sc, LEAK)
-    return jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1), padding="VALID")
+    return maxpool2x2(y)
 
 
 def feature_dim(im_size: int = 84,

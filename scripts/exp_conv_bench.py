@@ -93,7 +93,8 @@ def flops_of_unrolled(family, opt, sampler, n: int) -> float:
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
-    return float(cost.get("flops", float("nan")))
+    return (float(cost.get("flops", float("nan"))),
+            float(cost.get("bytes accessed", float("nan"))))
 
 
 def main():
@@ -107,7 +108,16 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--skip_mfu", action="store_true",
                     help="skip the unrolled cost-analysis compiles")
+    ap.add_argument("--pool", default=None,
+                    choices=("reduce_window", "slices", "reshape"),
+                    help="override conv4.POOL_IMPL (A/B the max-pool "
+                         "formulation; 'slices' fuses with the norm/relu "
+                         "epilogue, see conv4.maxpool2x2)")
     args = ap.parse_args()
+
+    if args.pool is not None:
+        from fumi_tpu.models import conv4
+        conv4.POOL_IMPL = args.pool
 
     import jax
     import numpy as np
@@ -118,11 +128,11 @@ def main():
     family, opt, sampler = build_pieces(args.encoder, args.im_size,
                                         args.dtype)
 
-    flops_step = None
+    flops_step = bytes_step = None
     if not args.skip_mfu:
-        f1 = flops_of_unrolled(family, opt, sampler, 1)
-        f2 = flops_of_unrolled(family, opt, sampler, 2)
-        flops_step = f2 - f1
+        f1, b1 = flops_of_unrolled(family, opt, sampler, 1)
+        f2, b2 = flops_of_unrolled(family, opt, sampler, 2)
+        flops_step, bytes_step = f2 - f1, b2 - b1
 
     from fumi_tpu.train.steps import make_chunked_train
     chunked = make_chunked_train(family, opt, sampler, args.chunk)
@@ -142,11 +152,23 @@ def main():
     if flops_step is not None:
         steps_per_sec = best / BATCH
         achieved = flops_step * steps_per_sec
-        peak = find_peak(jax.devices()[0].device_kind)
+        kind = jax.devices()[0].device_kind
+        peak = find_peak(kind)
         out.update(flops_per_step=flops_step,
                    achieved_tflops=round(achieved / 1e12, 2),
                    mfu_pct=(round(100 * achieved / peak, 1)
                             if peak else None))
+        # HBM roofline: XLA's "bytes accessed" is the fusion-aware HBM
+        # traffic of one marginal step; traffic/BW is the bandwidth-bound
+        # step-time floor, and achieved/peak the bandwidth utilization
+        # (the dual of MFU for an HBM-bound path).
+        from scripts.mfu import PEAK_HBM_BW
+        bw = find_peak(kind, PEAK_HBM_BW)
+        if bw and bytes_step == bytes_step:  # not NaN
+            out.update(
+                hbm_gb_per_step=round(bytes_step / 1e9, 2),
+                hbm_util_pct=round(100 * bytes_step * steps_per_sec / bw, 1),
+                roofline_eps_per_sec=round(BATCH * bw / bytes_step, 1))
     print(json.dumps(out))
 
 

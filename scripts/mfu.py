@@ -46,11 +46,24 @@ PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+# peak HBM bandwidth per JAX DEVICE, bytes/s (public spec-sheet numbers;
+# v2/v3 split the chip's HBM between the two core-devices)
+PEAK_HBM_BW = {
+    "TPU v2": 350e9,
+    "TPU v3": 450e9,
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
 
-def find_peak(device_kind: str):
+
+def find_peak(device_kind: str, table=None):
     # longest-prefix match so "TPU v5 lite" does not hit "TPU v5p"'s key
     best = None
-    for k, v in PEAK_FLOPS.items():
+    for k, v in (PEAK_FLOPS if table is None else table).items():
         if device_kind.lower().startswith(k.lower()):
             if best is None or len(k) > len(best[0]):
                 best = (k, v)

@@ -49,6 +49,31 @@ def test_conv_block_matches_torch(rng_np):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_maxpool_impls_agree(rng_np):
+    """All maxpool2x2 formulations (reduce_window default, the fusable
+    'reshape' used by the conv bench ladder, the 'slices' form kept as the
+    measured-fault record — docs/PERFORMANCE.md) are bitwise equal, values
+    AND gradients, odd dims included."""
+    for shape in ((3, 12, 12, 8), (2, 13, 11, 4)):
+        x = jnp.asarray(rng_np.randn(*shape).astype(np.float32))
+
+        def pooled_sum(x_, impl):
+            old = conv4.POOL_IMPL
+            conv4.POOL_IMPL = impl
+            try:
+                return jnp.sum(conv4.maxpool2x2(x_) * 1.7)
+            finally:
+                conv4.POOL_IMPL = old
+
+        v0 = g0 = None
+        for impl in ("reduce_window", "reshape", "slices"):
+            v, g = jax.value_and_grad(pooled_sum)(x, impl)
+            if v0 is None:
+                v0, g0 = v, g
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v))
+            np.testing.assert_array_equal(np.asarray(g0), np.asarray(g))
+
+
 def test_conv4_shapes():
     params = conv4.init(jax.random.PRNGKey(0), im_size=28, in_channels=3,
                         n_way=5)
@@ -87,7 +112,9 @@ def test_maml_conv4_learns():
                                                 jax.random.PRNGKey(1000 + i))
     after = steps.eval_step(params, ep0, jax.random.PRNGKey(5))
     assert np.isfinite(float(after["loss"]))
-    assert float(after["acc"]) >= float(before["acc"])
+    # tolerance: the two means can land on the same accuracy (e.g. 0.45)
+    # with different fp summation rounding
+    assert float(after["acc"]) >= float(before["acc"]) - 1e-6
     assert float(after["loss"]) < float(before["loss"]), \
         (float(before["loss"]), float(after["loss"]))
 
