@@ -92,8 +92,9 @@ def build_pieces():
     return family, opt, sampler, BATCH
 
 
-def flops_of_unrolled(family, opt, sampler, n: int) -> float:
-    """XLA-counted FLOPs of n python-unrolled fused sample+train steps."""
+def flops_of_unrolled(family, opt, sampler, n: int):
+    """XLA-counted (FLOPs, HBM bytes accessed) of n python-unrolled fused
+    sample+train steps."""
     import jax
     import optax
 
@@ -116,7 +117,8 @@ def flops_of_unrolled(family, opt, sampler, n: int) -> float:
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
-    return float(cost.get("flops", float("nan")))
+    return (float(cost.get("flops", float("nan"))),
+            float(cost.get("bytes accessed", float("nan"))))
 
 
 def main():
@@ -134,9 +136,10 @@ def main():
 
     family, opt, sampler, batch = build_pieces()
     n1, n2 = 2, 6
-    f1 = flops_of_unrolled(family, opt, sampler, n1)
-    f2 = flops_of_unrolled(family, opt, sampler, n2)
+    f1, b1 = flops_of_unrolled(family, opt, sampler, n1)
+    f2, b2 = flops_of_unrolled(family, opt, sampler, n2)
     flops_step = (f2 - f1) / (n2 - n1)
+    bytes_step = (b2 - b1) / (n2 - n1)
     flops_episode = flops_step / batch
 
     eps = args.eps
@@ -169,6 +172,22 @@ def main():
         "peak_flops_per_sec": peak,
         "mfu": (achieved / peak) if peak else None,
     }
+    # HBM roofline (the dual statistic for bandwidth-bound programs):
+    # marginal bytes-accessed × steps/s vs the chip's BW spec. XLA's
+    # "bytes accessed" counts every fusion's operand+result bytes, an
+    # UPPER bound on real HBM traffic — operands that stay VMEM-resident
+    # across uses are still counted, so hbm_util_ub can exceed 1 (the
+    # flagship FuMI step reports ~2.3). Correspondingly
+    # roofline_eps_per_sec_lb is a LOWER bound on the bandwidth ceiling:
+    # useful when measured eps/s sits near/below it (bandwidth-bound,
+    # e.g. the conv4 raw-image path), vacuous when measured eps/s is
+    # far above it (compute/latency-bound with VMEM-resident weights).
+    bw = find_peak(kind, PEAK_HBM_BW)
+    if bw and bytes_step == bytes_step:  # not NaN
+        out.update(
+            hbm_bytes_per_step_ub=bytes_step,
+            hbm_util_ub=bytes_step * steps_per_sec / bw,
+            roofline_eps_per_sec_lb=round(batch * bw / bytes_step, 1))
     print(json.dumps(out))
 
 
