@@ -157,12 +157,24 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
     return {"convs": tuple(convs), "head": head}
 
 
+# Block-level rematerialization: wrap each conv_block in jax.checkpoint so
+# reverse-mode saves only the block INPUTS (4× smaller than the conv
+# outputs after each pool) and recomputes the block forward inside the
+# backward. On the HBM-bound raw-image path this trades near-free MXU
+# FLOPs (single-digit MFU) for residual traffic — A/B'd by
+# scripts/exp_conv_bench.py --block_remat; measured numbers in
+# docs/PERFORMANCE.md "Raw-image conv path".
+BLOCK_REMAT = False
+
+
 def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(M, H, W, C) images → (M, F) flat features (always f32 — the bf16
     activation-storage policy ends at the backbone boundary, so heads,
     prototypes, and losses see fp32 features)."""
+    block = (jax.checkpoint(conv_block, static_argnums=(2,)) if BLOCK_REMAT
+             else conv_block)
     for p in params["convs"]:
-        x = conv_block(p, x, compute_dtype)
+        x = block(p, x, compute_dtype)
     return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 

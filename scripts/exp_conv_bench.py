@@ -38,7 +38,8 @@ BATCH = 4
 INNER_STEPS = 5
 
 
-def build_pieces(encoder: str, im_size: int, dtype: str):
+def build_pieces(encoder: str, im_size: int, dtype: str,
+                 remat: str = "auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,7 +54,7 @@ def build_pieces(encoder: str, im_size: int, dtype: str):
                  num_ways=N_WAY, num_shots=K_SHOT, num_shots_test=Q_TRAIN,
                  num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
                  dropout=0.0, text_encoder="precomputed", step_size=0.01,
-                 lr=1e-3, optim="adam", compute_dtype=dtype)
+                 lr=1e-3, optim="adam", compute_dtype=dtype, remat=remat)
     cs, table, ids = synthetic_raw_image_set(
         num_classes=32, images_per_class=40, im_size=im_size, text_dim=32,
         seed=0)
@@ -113,11 +114,21 @@ def main():
                     help="override conv4.POOL_IMPL (A/B the max-pool "
                          "formulation; 'slices' fuses with the norm/relu "
                          "epilogue, see conv4.maxpool2x2)")
+    ap.add_argument("--remat", default="auto", choices=("auto", "on", "off"),
+                    help="--tpu_remat inner-loop policy (step-level "
+                         "jax.checkpoint)")
+    ap.add_argument("--block_remat", action="store_true",
+                    help="checkpoint each conv block: save block inputs, "
+                         "recompute conv/norm/relu/pool in backward "
+                         "(conv4.BLOCK_REMAT)")
     args = ap.parse_args()
 
     if args.pool is not None:
         from fumi_tpu.models import conv4
         conv4.POOL_IMPL = args.pool
+    if args.block_remat:
+        from fumi_tpu.models import conv4
+        conv4.BLOCK_REMAT = True
 
     import jax
     import numpy as np
@@ -126,7 +137,7 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
 
     family, opt, sampler = build_pieces(args.encoder, args.im_size,
-                                        args.dtype)
+                                        args.dtype, args.remat)
 
     flops_step = bytes_step = None
     if not args.skip_mfu:
@@ -148,7 +159,8 @@ def main():
         best = max(best, args.chunk * BATCH / (time.perf_counter() - t0))
 
     out = {"encoder": args.encoder, "im_size": args.im_size,
-           "dtype": args.dtype, "eps_per_sec": round(best, 1)}
+           "dtype": args.dtype, "remat": args.remat,
+           "block_remat": args.block_remat, "eps_per_sec": round(best, 1)}
     if flops_step is not None:
         steps_per_sec = best / BATCH
         achieved = flops_step * steps_per_sec
