@@ -295,8 +295,17 @@ def main(cfg: Config) -> dict:
         # standalone --seed runs
         from fumi_tpu.train.sweep import sweep_main
         samplers = _samplers(cfg, splits, image_table, image_ids)
-        return sweep_main(cfg, dictionary, samplers, writer, run_dir,
-                          results_path)
+        try:
+            return sweep_main(cfg, dictionary, samplers, writer, run_dir,
+                              results_path)
+        finally:
+            # reap loader workers/threads like the non-sweep path does
+            # (otherwise --num_workers processes idle until interpreter
+            # exit)
+            for s in samplers:
+                close = getattr(s, "close", None)
+                if close is not None:
+                    close()
 
     # decide the mesh BEFORE building steps (each engine constructs its own
     # family; building the serial one first would just be discarded work)

@@ -198,11 +198,13 @@ class Config:
     adapt_params: str = "all"
     # Inner-loop rematerialization policy (explicit meta-grad engines):
     # "auto" remats long horizons (>= inner_loop.REMAT_THRESHOLD steps)
-    # on the embedding MLPs — where storing beats recompute (~13%
-    # measured) — and EVERY horizon on the raw-image backbones, whose
-    # per-step activation footprint is ~100x an MLP step's (without it,
-    # second-order resnet12 at 84x84 wants 18.6G HBM and OOMs a 16G
-    # chip). "on"/"off" force it either way.
+    # on the embedding MLPs and conv4 — where storing beats recompute
+    # (~13% measured on MLPs; conv4's 5-step second-order graph fits at
+    # default geometry) — and EVERY horizon on resnet12, whose 13-conv
+    # second-order step graph wants 18.6G HBM at 84x84 B=4 and OOMs a
+    # 16G chip without it (steps.py:remat_of). "on" is the escape hatch
+    # when bigger batches/images push conv4 over the edge too; "off"
+    # forces storing everywhere.
     remat: str = "auto"
     # Parameter EMA decay (>0 enables): evaluation, best-checkpoint
     # selection, and the final test run on the smoothed weights while
@@ -592,8 +594,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu_remat", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="inner-loop rematerialization: auto = long "
-                        "horizons on MLPs, always on raw-image backbones "
-                        "(second-order conv activations OOM otherwise)")
+                        "horizons on MLPs/conv4, always on resnet12 "
+                        "(its second-order conv activations OOM "
+                        "otherwise); pass 'on' if a big conv4 geometry "
+                        "OOMs too")
     p.add_argument("--tpu_ema", type=float, default=0.0,
                    help="parameter-EMA decay for eval/checkpointing "
                         "(0 = off)")

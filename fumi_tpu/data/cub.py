@@ -119,7 +119,17 @@ def _load_split_lists(split_lists, classes):
         assets = os.path.join(os.path.dirname(torchmeta.__file__),
                               "datasets", "assets", "cub")
         if os.path.isdir(assets):
-            return from_dir(assets, "torchmeta-assets")
+            try:
+                return from_dir(assets, "torchmeta-assets")
+            except FileNotFoundError as e:
+                # partial/pruned torchmeta install: the assets dir exists
+                # but lacks a split file — that is "unavailable", so fall
+                # through to the documented proportional fallback loudly
+                # (a ValueError — overlap or classes absent from
+                # classes.txt — still raises: torchmeta's real lists
+                # disagreeing with the user's data is a data problem)
+                print(f"cub: torchmeta assets incomplete ({e}); "
+                      "falling back")
     except ImportError:
         pass
     n_cls = len(classes)

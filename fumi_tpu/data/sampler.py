@@ -682,11 +682,10 @@ class MultiprocessSampler:
 
     def _reader_loop(self, w: int) -> None:
         import queue as _tq
-        import queue as _queue
         while not self._tstop.is_set():
             try:
                 item = self._queues[w].get(timeout=0.2)
-            except _queue.Empty:
+            except _tq.Empty:
                 continue
             except (EOFError, OSError) as e:
                 item = _WorkerError(RuntimeError(

@@ -123,9 +123,14 @@ def plain_full_gd_adaptation(cfg: Config) -> bool:
 def _use_fused_eval(cfg: Config) -> bool:
     """Gate for the fused Pallas eval-adaptation kernel in the eval
     harness: opt-in (--tpu_pallas_fused_eval) AND covered by the kernel
-    (fused_adapt_applicable; numbers in docs/PERFORMANCE.md)."""
+    (fused_adapt_applicable; numbers in docs/PERFORMANCE.md). Like
+    serve.py's fused_ok: the fused kernels compute fp32 only, so a bf16
+    config evaluates through the engine — otherwise best-checkpoint
+    selection and test metrics would run numerics that match neither
+    training nor the bf16 serving engine."""
     from fumi_tpu.ops.pallas_kernels import fused_adapt_applicable
     return (cfg.pallas_fused_eval and plain_full_gd_adaptation(cfg)
+            and cfg.compute_dtype == "float32"
             and fused_adapt_applicable(
                 cfg.model, cfg.im_encoder, cfg.im_hid_dim,
                 cfg.num_test_adapt_steps))

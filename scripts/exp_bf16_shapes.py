@@ -82,12 +82,12 @@ SHAPES = {
 def flops_per_episode(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
                       compute_dtype="float32"):
     """Marginal XLA-counted FLOPs of one fused sample+train step / batch
-    (the scripts/mfu.py differencing method: scan bodies are counted once
-    by HloCostAnalysis, so two python-unrolled programs are differenced)."""
+    (scripts/mfu.py `marginal_cost` — scan bodies are counted once by
+    HloCostAnalysis, so two python-unrolled programs are differenced)."""
     import jax
     import jax.numpy as jnp
-    import optax
 
+    from scripts.mfu import marginal_cost
     from fumi_tpu.core.config import Config
     from fumi_tpu.core.episode import EpisodeSpec
     from fumi_tpu.data.sampler import (DeviceEpisodeSampler,
@@ -111,28 +111,8 @@ def flops_per_episode(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
 
-    def unrolled(n):
-        def run(params, opt_state, key, tables):
-            loss = None
-            for _ in range(n):
-                key, k_s, k_step = jax.random.split(key, 3)
-                episode = sampler.sample(k_s, tables)
-                (loss, _aux), grads = jax.value_and_grad(
-                    family.train_loss, has_aux=True)(params, episode,
-                                                     k_step)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-            return params, opt_state, key, loss
-
-        compiled = jax.jit(run).lower(
-            family.params, opt.init(family.params), jax.random.PRNGKey(1),
-            sampler.tables).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", float("nan")))
-
-    return (unrolled(4) - unrolled(2)) / 2 / batch
+    flops_step, _ = marginal_cost(family, opt, sampler, 2, 4)
+    return flops_step / batch
 
 
 V5E_BF16_PEAK = 197e12  # TFLOP/s, same row as docs/PERFORMANCE.md

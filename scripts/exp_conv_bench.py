@@ -31,7 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.mfu import find_peak  # noqa: E402
+from scripts.mfu import find_peak, marginal_cost  # noqa: E402
 
 N_WAY, K_SHOT, Q_TRAIN = 5, 5, 15
 BATCH = 4
@@ -69,33 +69,6 @@ def build_pieces(encoder: str, im_size: int, dtype: str,
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
     return family, opt, sampler
-
-
-def flops_of_unrolled(family, opt, sampler, n: int) -> float:
-    import jax
-    import optax
-
-    def run(params, opt_state, key, tables):
-        loss = None
-        for _ in range(n):
-            key, k_s, k_step = jax.random.split(key, 3)
-            episode = sampler.sample(k_s, tables)
-            (loss, _aux), grads = jax.value_and_grad(
-                family.train_loss, has_aux=True)(params, episode, k_step)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-        return params, opt_state, key, loss
-
-    params = family.params
-    opt_state = opt.init(params)
-    key = jax.random.PRNGKey(1)
-    compiled = jax.jit(run).lower(params, opt_state, key,
-                                  sampler.tables).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    return (float(cost.get("flops", float("nan"))),
-            float(cost.get("bytes accessed", float("nan"))))
 
 
 def main():
@@ -141,9 +114,7 @@ def main():
 
     flops_step = bytes_step = None
     if not args.skip_mfu:
-        f1, b1 = flops_of_unrolled(family, opt, sampler, 1)
-        f2, b2 = flops_of_unrolled(family, opt, sampler, 2)
-        flops_step, bytes_step = f2 - f1, b2 - b1
+        flops_step, bytes_step = marginal_cost(family, opt, sampler, 1, 2)
 
     from fumi_tpu.train.steps import make_chunked_train
     chunked = make_chunked_train(family, opt, sampler, args.chunk)

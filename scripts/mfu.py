@@ -121,6 +121,16 @@ def flops_of_unrolled(family, opt, sampler, n: int):
             float(cost.get("bytes accessed", float("nan"))))
 
 
+def marginal_cost(family, opt, sampler, n1: int = 1, n2: int = 2):
+    """Marginal (FLOPs, HBM bytes accessed) of ONE fused sample+train step
+    by the differencing method (module docstring): two unrolled programs,
+    `(cost(n2) - cost(n1)) / (n2 - n1)`. The one shared implementation for
+    this and the experiment scripts."""
+    f1, b1 = flops_of_unrolled(family, opt, sampler, n1)
+    f2, b2 = flops_of_unrolled(family, opt, sampler, n2)
+    return (f2 - f1) / (n2 - n1), (b2 - b1) / (n2 - n1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--eps", type=float, default=None,
@@ -135,11 +145,7 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
 
     family, opt, sampler, batch = build_pieces()
-    n1, n2 = 2, 6
-    f1, b1 = flops_of_unrolled(family, opt, sampler, n1)
-    f2, b2 = flops_of_unrolled(family, opt, sampler, n2)
-    flops_step = (f2 - f1) / (n2 - n1)
-    bytes_step = (b2 - b1) / (n2 - n1)
+    flops_step, bytes_step = marginal_cost(family, opt, sampler, 2, 6)
     flops_episode = flops_step / batch
 
     eps = args.eps

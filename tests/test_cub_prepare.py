@@ -195,3 +195,32 @@ def test_convert_cub_split_list_errors(raw_cub_dir, tmp_path):
     with pytest.raises(ValueError, match="absent"):
         convert_cub(raw_cub_dir, str(tmp_path), image_size=8,
                     split_lists=str(lists))
+
+
+def test_incomplete_torchmeta_assets_fall_back(tmp_path, monkeypatch,
+                                               capsys):
+    """A torchmeta install whose cub assets dir exists but lacks a split
+    file counts as "unavailable": _load_split_lists falls back to the
+    proportional split loudly instead of aborting prepare (only an
+    explicit --splits dir hard-fails on a missing file)."""
+    import sys
+    import types
+
+    from fumi_tpu.data.cub import _load_split_lists
+
+    fake_root = tmp_path / "torchmeta_pkg"
+    assets = fake_root / "datasets" / "assets" / "cub"
+    assets.mkdir(parents=True)
+    (assets / "train.json").write_text(json.dumps(["001.Bird_1"]))
+    # no val.json/test.json — a pruned package
+    fake = types.ModuleType("torchmeta")
+    fake.__file__ = str(fake_root / "__init__.py")
+    monkeypatch.setitem(sys.modules, "torchmeta", fake)
+
+    classes = [(1, "001.Bird_1"), (2, "002.Bird_2"), (3, "003.Bird_3"),
+               (4, "004.Bird_4")]
+    split_classes, source = _load_split_lists(None, classes)
+    assert source == "proportional-classes.txt-order"
+    assert sum(len(v) for v in split_classes.values()) == len(classes)
+    out = capsys.readouterr().out
+    assert "torchmeta assets incomplete" in out

@@ -209,3 +209,29 @@ def test_fused_adapt_batched_matches_per_task(rng_np):
                                  step_size=0.1, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_fused_eval_gate_requires_fp32(monkeypatch):
+    """--tpu_pallas_fused_eval only swaps the fused kernels in for fp32
+    configs: the kernels compute fp32 only, so under --tpu_compute_dtype
+    bfloat16 the eval harness must stay on the engine — otherwise
+    best-checkpoint selection and test metrics would run numerics that
+    match neither the bf16 training step nor the bf16 serving engine
+    (mirrors serve.py's fused_ok gate). Kernel applicability (a TPU
+    backend, covered geometry) is forced True so the dtype gate is what
+    is under test."""
+    from fumi_tpu.core.config import Config
+    from fumi_tpu.ops import pallas_kernels
+    from fumi_tpu.train.steps import _use_fused_eval
+
+    monkeypatch.setattr(pallas_kernels, "fused_adapt_applicable",
+                        lambda *a, **k: True)
+    base = dict(
+        model="maml", dataset="synthetic", im_emb_dim=16,
+        im_hid_dim=(8, 8), text_emb_dim=8, num_ways=3, num_shots=2,
+        num_shots_test=3, num_train_adapt_steps=1, num_test_adapt_steps=10,
+        batch_size=2, lr=1e-3, dropout=0.0, text_encoder="precomputed",
+        step_size=0.1, seed=0, pallas_fused_eval=True)
+    assert _use_fused_eval(Config(**base))
+    assert not _use_fused_eval(Config(**base, compute_dtype="bfloat16"))
+    assert not _use_fused_eval(Config(**{**base, "pallas_fused_eval": False}))
