@@ -51,6 +51,10 @@ class FUMI(NamedTuple):
     # accumulation (layers.linear policy); params, activations, inner-loop
     # updates stay fp32. None = pure fp32.
     compute_dtype: Optional[type] = None
+    # resnet12 only: per-stage jax.checkpoint pattern for the backbone
+    # inside the second-order inner loop (resnet12.auto_stage_remat —
+    # remat the high-res early stages, store the cheap late ones)
+    stage_remat: Optional[Tuple[bool, ...]] = None
 
     @property
     def head_in_dim(self) -> int:
@@ -150,10 +154,13 @@ class FUMI(NamedTuple):
                 train: bool) -> jnp.ndarray:
         """Base image net without head: Linear-ReLU-(Dropout) stack
         (ref: fumi.py:88-100), or a raw-image backbone (extension)."""
-        if self.im_encoder_kind in ("conv4", "resnet12"):
-            from fumi_tpu.models import raw_image_net
-            return raw_image_net(self.im_encoder_kind).backbone(
-                im_params, x, self.compute_dtype)
+        if self.im_encoder_kind == "resnet12":
+            from fumi_tpu.models import resnet12
+            return resnet12.backbone(im_params, x, self.compute_dtype,
+                                     self.stage_remat)
+        if self.im_encoder_kind == "conv4":
+            from fumi_tpu.models import conv4
+            return conv4.backbone(im_params, x, self.compute_dtype)
         for i, p in enumerate(im_params):
             x = jax.nn.relu(layers.linear(p, x, self.compute_dtype))
             if self.dropout_rate > 0:

@@ -18,7 +18,8 @@ exists for.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import functools
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,23 @@ from fumi_tpu.models.conv4 import EPS, conv_init, maxpool2x2
 
 CHANNELS: Tuple[int, ...] = (64, 160, 320, 640)
 LEAK = 0.1
+
+# Stage-selective rematerialization — MEASURED NEGATIVE, experiment
+# switch only (scripts/exp_conv_bench.py --stage_remat). The hypothesis
+# was attractive: activation bytes are front-loaded (per image, bf16,
+# default channels at 84x84 the four stages hold ~47/30/15/8% of the
+# stored residuals) while recompute FLOPs are roughly uniform across
+# stages, so checkpointing only the early high-res stages should buy
+# whole-step remat's memory relief at a fraction of its recompute. On
+# the chip it loses (bf16, 84x84, B=4, 5-step second-order MAML):
+# whole-step remat 4.4 eps/s > stages 1100 4.0 > stages 1110 3.8;
+# storing more (1000, or no remat at all) RESOURCE_EXHAUSTs the 16G
+# chip even at bf16. The per-stage checkpoint boundaries force the
+# boundary tensors to materialize in HBM on both passes and fence XLA's
+# cross-stage fusion — costing more traffic than the skipped recompute
+# saves. Numbers in docs/PERFORMANCE.md "Raw-image conv path";
+# `--tpu_remat auto` therefore keeps whole-step remat for resnet12.
+STAGE_REMAT_OVERRIDE: Optional[Tuple[bool, ...]] = None
 
 
 def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
@@ -107,17 +125,29 @@ def init(key: jax.Array, im_size: int = 84, in_channels: int = 3,
     return {"blocks": tuple(blocks), "head": head}
 
 
-def backbone(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def backbone(params, x: jnp.ndarray, compute_dtype=None,
+             stage_remat: Optional[Tuple[bool, ...]] = None) -> jnp.ndarray:
     """(M, H, W, C) images → (M, channels[-1]) globally-pooled features
     (always f32 — the bf16 activation-storage policy ends here; the
-    global-average reduction accumulates f32)."""
-    for p in params["blocks"]:
-        x = res_block(p, x, compute_dtype)
+    global-average reduction accumulates f32).
+
+    ``stage_remat[i]`` wraps stage i in ``jax.checkpoint``: only the
+    stage's INPUT is stored for the backward pass, the intra-stage
+    conv/norm/relu residuals are recomputed (see auto_stage_remat)."""
+    for i, p in enumerate(params["blocks"]):
+        if (stage_remat is not None and i < len(stage_remat)
+                and stage_remat[i]):
+            x = jax.checkpoint(functools.partial(
+                res_block, compute_dtype=compute_dtype))(p, x)
+        else:
+            x = res_block(p, x, compute_dtype)
     return jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
 
 
-def apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def apply(params, x: jnp.ndarray, compute_dtype=None,
+          stage_remat: Optional[Tuple[bool, ...]] = None) -> jnp.ndarray:
     """(M, H, W, C) → (M, n_way) logits. MAML-adaptable end to end."""
     from fumi_tpu.models import layers
-    return layers.linear(params["head"], backbone(params, x, compute_dtype),
+    return layers.linear(params["head"],
+                         backbone(params, x, compute_dtype, stage_remat),
                          compute_dtype)

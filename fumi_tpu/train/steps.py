@@ -102,13 +102,31 @@ def remat_of(cfg: Config):
     (~13% measured on MLPs; conv4's 5-step second-order graph fits at
     default geometry) — but forces remat at EVERY horizon for resnet12:
     its 13-conv second-order step graph holds 18.6G of activations at
-    84x84 B=4 and OOMs a 16G chip without it. "on" is the escape hatch
-    when bigger batches/images push conv4 over the edge too."""
+    84x84 B=4 and OOMs a 16G chip without it, even at bf16 storage.
+    Stage-selective checkpointing was measured as the middle ground and
+    LOST (resnet12.STAGE_REMAT_OVERRIDE — 4.0 vs 4.4 eps/s, numbers in
+    docs/PERFORMANCE.md); whole-step remat stays. "on" is the escape
+    hatch when bigger batches/images push conv4 over the edge too."""
     if cfg.remat == "on":
         return True
     if cfg.remat == "off":
         return False
-    return True if cfg.im_encoder == "resnet12" else None
+    if cfg.im_encoder == "resnet12":
+        from fumi_tpu.models import resnet12
+        # the experiment switch replaces step remat with its own pattern
+        return None if resnet12.STAGE_REMAT_OVERRIDE is not None else True
+    return None
+
+
+def resnet12_stage_remat(cfg: Config):
+    """Per-stage checkpoint pattern for the resnet12 backbone — the
+    measured-negative experiment switch (resnet12.STAGE_REMAT_OVERRIDE,
+    set by scripts/exp_conv_bench.py --stage_remat); None in
+    production."""
+    if cfg.im_encoder != "resnet12" or cfg.remat != "auto":
+        return None
+    from fumi_tpu.models import resnet12
+    return resnet12.STAGE_REMAT_OVERRIDE
 
 
 def plain_full_gd_adaptation(cfg: Config) -> bool:
@@ -164,8 +182,12 @@ def build_maml_family(cfg: Config, key: jax.Array) -> Family:
               if cfg.im_encoder == "resnet12" else {})
         params = net.init(key, cfg.im_size, cfg.im_channels,
                           n_way=cfg.num_ways, **kw)
+        apply_kw = {}
+        if cfg.im_encoder == "resnet12":
+            apply_kw["stage_remat"] = resnet12_stage_remat(cfg)
         apply_fn = functools.partial(net.apply,
-                                     compute_dtype=compute_dtype_of(cfg))
+                                     compute_dtype=compute_dtype_of(cfg),
+                                     **apply_kw)
     else:
         params = mlp.init(key, cfg.im_emb_dim, cfg.num_ways, cfg.im_hid_dim)
         apply_fn = functools.partial(mlp.apply,
@@ -247,7 +269,8 @@ def build_fumi_family(cfg: Config, key: jax.Array,
                          else "mlp"),
         im_size=cfg.im_size, im_channels=cfg.im_channels,
         resnet12_channels=cfg.resnet12_channels,
-        compute_dtype=compute_dtype_of(cfg))
+        compute_dtype=compute_dtype_of(cfg),
+        stage_remat=resnet12_stage_remat(cfg))
     params = model.init_params(k_par)
 
     def loss_for(n_steps, train):

@@ -94,6 +94,11 @@ def main():
                     help="checkpoint each conv block: save block inputs, "
                          "recompute conv/norm/relu/pool in backward "
                          "(conv4.BLOCK_REMAT)")
+    ap.add_argument("--stage_remat", default=None,
+                    help="resnet12 only: force a per-stage checkpoint "
+                         "pattern, e.g. 1100 = remat stages 0-1, store "
+                         "2-3 (resnet12.STAGE_REMAT_OVERRIDE; the auto "
+                         "policy picks by input spatial size)")
     args = ap.parse_args()
 
     if args.pool is not None:
@@ -102,6 +107,10 @@ def main():
     if args.block_remat:
         from fumi_tpu.models import conv4
         conv4.BLOCK_REMAT = True
+    if args.stage_remat is not None:
+        from fumi_tpu.models import resnet12
+        resnet12.STAGE_REMAT_OVERRIDE = tuple(
+            c == "1" for c in args.stage_remat)
 
     import jax
     import numpy as np
@@ -131,7 +140,8 @@ def main():
 
     out = {"encoder": args.encoder, "im_size": args.im_size,
            "dtype": args.dtype, "remat": args.remat,
-           "block_remat": args.block_remat, "eps_per_sec": round(best, 1)}
+           "block_remat": args.block_remat,
+           "stage_remat": args.stage_remat, "eps_per_sec": round(best, 1)}
     if flops_step is not None:
         steps_per_sec = best / BATCH
         achieved = flops_step * steps_per_sec

@@ -108,10 +108,12 @@ def test_am3_resnet12_encoder():
 def test_remat_policy():
     """--tpu_remat auto forces inner-loop rematerialization for resnet12
     at every horizon (its unrolled second-order graph OOMs a 16G chip at
-    production geometry, docs/PERFORMANCE.md "Raw-image conv path") but
-    leaves MLPs/conv4 on the horizon threshold; on/off override both."""
+    production geometry, even at bf16 storage) but leaves MLPs/conv4 on
+    the horizon threshold; on/off override both. The stage-selective
+    experiment switch (measured slower, docs/PERFORMANCE.md) replaces
+    whole-step remat with its own pattern when set."""
     from fumi_tpu.core.config import Config
-    from fumi_tpu.train.steps import remat_of
+    from fumi_tpu.train.steps import remat_of, resnet12_stage_remat
 
     base = dict(
         model="maml", dataset="synthetic", im_emb_dim=16, im_hid_dim=(8,),
@@ -128,3 +130,41 @@ def test_remat_policy():
                            remat="off")) is False
     with pytest.raises(ValueError, match="tpu_remat"):
         Config(**base, remat="maybe").validate()
+
+    # the experiment override routes resnet12 to per-stage checkpoints
+    # (and disables the whole-step remat that would double the recompute)
+    r12 = Config(**base, im_encoder="resnet12", im_size=84)
+    assert resnet12_stage_remat(r12) is None
+    assert resnet12_stage_remat(Config(**base)) is None
+    try:
+        resnet12.STAGE_REMAT_OVERRIDE = (True, True, False, False)
+        assert resnet12_stage_remat(r12) == (True, True, False, False)
+        assert remat_of(r12) is None
+        assert resnet12_stage_remat(
+            Config(**base, im_encoder="resnet12", im_size=84,
+                   remat="on")) is None
+    finally:
+        resnet12.STAGE_REMAT_OVERRIDE = None
+
+
+def test_stage_remat_is_value_preserving():
+    """Per-stage jax.checkpoint changes the memory/recompute schedule,
+    never the math: loss and gradients match the store-everything
+    program to float tolerance."""
+    params = resnet12.init(jax.random.PRNGKey(0), im_size=16, n_way=3,
+                           channels=(8, 12, 16, 24))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 16, 16, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (6,), 0, 3)
+
+    def loss(p, sr):
+        logits = resnet12.apply(p, x, stage_remat=sr)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    l0, g0 = jax.value_and_grad(loss)(params, None)
+    l1, g1 = jax.value_and_grad(loss)(params, (True, True, False, False))
+    assert jnp.allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
