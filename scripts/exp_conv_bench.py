@@ -97,8 +97,9 @@ def main():
     ap.add_argument("--stage_remat", default=None,
                     help="resnet12 only: force a per-stage checkpoint "
                          "pattern, e.g. 1100 = remat stages 0-1, store "
-                         "2-3 (resnet12.STAGE_REMAT_OVERRIDE; the auto "
-                         "policy picks by input spatial size)")
+                         "2-3 (resnet12.STAGE_REMAT_OVERRIDE; measured "
+                         "negative — the auto policy keeps whole-step "
+                         "remat)")
     args = ap.parse_args()
 
     if args.pool is not None:
