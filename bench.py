@@ -74,29 +74,18 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     opt = make_opt(cfg)
     chunked = make_chunked_train(family, opt, sampler, chunk)
 
-    params = family.params
-    opt_state = opt.init(params)
-    key = jax.random.PRNGKey(1)
-
-    # warmup/compile. NOTE: synchronize by FETCHING a value, not
-    # block_until_ready — through the axon remote tunnel the latter can
-    # return before the computation actually finishes.
+    # warm + per-chunk best-of-N with sync-by-fetch: the one shared
+    # timing convention (scripts/mfu.py:timed_chunks has the rationale)
     import numpy as _np
-    params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
-    _ = float(_np.asarray(ms["loss"])[-1])
+    from scripts.mfu import timed_chunks
 
-    # per-chunk timing, best-of-N: each chunk is 1000 fused steps of pure
-    # device work, but the tunneled runtime adds noisy multi-ms RPC jitter
-    # per dispatch — min-time (max-rate) is the standard way to report the
-    # machine's actual throughput under external noise
-    iters = max(1, num_steps // chunk)
-    best = 0.0
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        params, opt_state, key, ms = chunked(params, opt_state, key, chunk)
-        _ = float(_np.asarray(ms["loss"])[-1])  # per-chunk sync fetch
-        best = max(best, chunk * BATCH / (time.perf_counter() - t0))
-    return best
+    state = [family.params, opt.init(family.params), jax.random.PRNGKey(1)]
+
+    def run_chunk(_i):
+        state[0], state[1], state[2], ms = chunked(*state, chunk)
+        return float(_np.asarray(ms["loss"])[-1])  # sync fetch
+
+    return timed_chunks(run_chunk, chunk * BATCH, max(1, num_steps // chunk))
 
 
 def bench_eval(episodes: int = 256, chunk: int = 64,
@@ -122,17 +111,14 @@ def bench_eval(episodes: int = 256, chunk: int = 64,
     sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     run = make_chunked_eval(family, sampler)
-    _, ms = run(family.params, jax.random.PRNGKey(1), chunk)
-    _ = float(_np.asarray(ms["loss"])[-1])
-    iters = max(1, episodes // (chunk * BATCH))
-    iters = max(iters, 2)
-    best = 0.0
-    for i in range(iters):
-        t0 = time.perf_counter()
-        _, ms = run(family.params, jax.random.PRNGKey(2 + i), chunk)
-        _ = float(_np.asarray(ms["loss"])[-1])
-        best = max(best, chunk * BATCH / (time.perf_counter() - t0))
-    return best
+    from scripts.mfu import timed_chunks
+
+    def run_chunk(i):  # warm i=0 uses key 1; scored i>=1 use keys 2..
+        _, ms = run(family.params, jax.random.PRNGKey(1 + i), chunk)
+        return float(_np.asarray(ms["loss"])[-1])  # sync fetch
+
+    return timed_chunks(run_chunk, chunk * BATCH,
+                        max(2, episodes // (chunk * BATCH)))
 
 
 def bench_torch_baseline(num_steps: int = 3) -> float:
@@ -303,8 +289,13 @@ def main():
         time.sleep(60)
         value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     baseline = get_baseline(args.refresh_baseline)
+    # non-default dtype runs record under their own metric name: a bf16
+    # number must not land in the fp32 trend history (the ~0.96x bf16
+    # delta would read as a throughput regression)
+    suffix = ("" if args.compute_dtype == "float32"
+              else f"_{args.compute_dtype}")
     print(json.dumps({
-        "metric": "fumi_5way5shot_train_episodes_per_sec",
+        "metric": f"fumi_5way5shot_train_episodes_per_sec{suffix}",
         "value": round(value, 2),
         "unit": "episodes/sec",
         "vs_baseline": round(value / baseline, 2),

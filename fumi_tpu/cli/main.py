@@ -136,7 +136,12 @@ def _samplers(cfg: Config, splits, image_table, image_ids):
     print(f"host sampler backend: {train_host.backend_name} "
           f"(--tpu_sampler_backend {be}; streams are backend-specific "
           "per seed)")
-    if cfg.num_workers > 1 and train_host.backend_name == "native" \
+    if cfg.evaluate:
+        # --evaluate never reads the train sampler: don't spawn loader
+        # processes / a prefetch thread (with raw-image tables each
+        # forked worker would pickle-copy hundreds of MB for nothing)
+        pass
+    elif cfg.num_workers > 1 and train_host.backend_name == "native" \
             and train_host.augment_scale == 0.0:
         # --num_workers N: N loader PROCESSES (the reference's torch
         # DataLoader workers, ref: utils.py:95-98) — counter-addressed

@@ -1083,11 +1083,15 @@ def warmup(clf, r_buckets=(1,), num_queries=16,
     # the dummy adapt instead of resetting to None
     saved = (clf._state, clf._classify_fn)
     t0 = time.perf_counter()
-    clf.adapt(s_im, s_text, s_y)
-    for q_im in q_ims:
-        np.asarray(clf.classify(q_im))  # fetch = compile + run completed
-    # dummy state must not mask the 409-before-adapt on a fresh server
-    clf._state, clf._classify_fn = saved
+    try:
+        clf.adapt(s_im, s_text, s_y)
+        for q_im in q_ims:
+            np.asarray(clf.classify(q_im))  # fetch = compile+run completed
+    finally:
+        # restore even on a failed warmup: the dummy state must never
+        # survive (it would mask the 409-before-adapt on a fresh server
+        # and silently replace a live adapted state on a re-warm)
+        clf._state, clf._classify_fn = saved
     print(f"warmup: adapt+classify in {time.perf_counter() - t0:.1f}s")
 
     for R in r_buckets:

@@ -62,9 +62,11 @@ _EVAL_FN_CACHE_MAX = 64
 
 
 # module-level jitted sampler for the per-batch path (a fresh jax.jit
-# wrapper per call would re-trace every batch); tables as args, spec static
+# wrapper per call would re-trace every batch); tables as args,
+# spec + augment_scale static (the scale gates a Python-level branch)
 from fumi_tpu.data.sampler import sample_episode as _sample_episode
-_jitted_sample = jax.jit(_sample_episode, static_argnums=(1,))
+_jitted_sample = jax.jit(
+    _sample_episode, static_argnames=("spec", "augment_scale"))
 
 
 def _mesh_mp(mesh) -> int:
@@ -130,7 +132,8 @@ def test_loop(cfg: Config, steps: FamilySteps, params, sampler,
         key = jax.random.fold_in(rng, batch_idx)
         k_ep, k_step = jax.random.split(key)
         if isinstance(sampler, DeviceEpisodeSampler):
-            episode = _jitted_sample(sampler.tables, sampler.spec, k_ep)
+            episode = _jitted_sample(sampler.tables, sampler.spec, k_ep,
+                                     augment_scale=sampler.augment_scale)
         else:
             episode = sampler.sample()
         m = steps.eval_step(params, episode, k_step)
@@ -286,8 +289,13 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                 jax.random.fold_in(k_val, 2 ** 31 - 1), batch_idx)
             k_ep, k_step = jax.random.split(k_w)
             if isinstance(train_sampler, DeviceEpisodeSampler):
-                ep = _jitted_sample(train_sampler.tables,
-                                    train_sampler.spec, k_ep)
+                # same augment_scale as training: the logged gradient
+                # distribution must be measured on the distribution the
+                # model actually trains on (the host path's watch_clone
+                # preserves augmentation the same way)
+                ep = _jitted_sample(
+                    train_sampler.tables, train_sampler.spec, k_ep,
+                    augment_scale=train_sampler.augment_scale)
             else:
                 # host path: NEVER draw from the live training stream —
                 # telemetry must not shift the episodes a watch-off run

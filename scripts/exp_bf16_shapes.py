@@ -14,7 +14,6 @@ Usage: python scripts/exp_bf16_shapes.py  (prints one JSON line)
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -51,20 +50,16 @@ def measure(im_dim, txt_dim, im_hid, txt_hid, proto, batch,
     sampler = DeviceEpisodeSampler(table, jnp.asarray(ids), cs, spec)
     family = build_family(cfg, jax.random.PRNGKey(0))
     opt = make_opt(cfg)
+    from scripts.mfu import timed_chunks
     run = make_chunked_train(family, opt, sampler, chunk)
-    p, s = family.params, opt.init(family.params)
-    k = jax.random.PRNGKey(0)
-    eps_per_chunk = chunk * batch
-    best = 0.0
-    for i in range(warm + (num_steps // chunk)):
-        t0 = time.perf_counter()
-        p, s, k, ms = run(p, s, k)
-        loss = float(np.asarray(ms["loss"])[-1])  # fetch = sync
-        dt = time.perf_counter() - t0
-        if i >= warm:
-            best = max(best, eps_per_chunk / dt)
-        assert np.isfinite(loss)
-    return best
+    state = [family.params, opt.init(family.params), jax.random.PRNGKey(0)]
+
+    def run_chunk(_i):
+        state[0], state[1], state[2], ms = run(*state)
+        return float(np.asarray(ms["loss"])[-1])  # fetch = sync
+
+    return timed_chunks(run_chunk, chunk * batch, num_steps // chunk,
+                        warm=warm)
 
 
 SHAPES = {

@@ -27,7 +27,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -127,17 +126,15 @@ def main():
         flops_step, bytes_step = marginal_cost(family, opt, sampler, 1, 2)
 
     from fumi_tpu.train.steps import make_chunked_train
+    from scripts.mfu import timed_chunks
     chunked = make_chunked_train(family, opt, sampler, args.chunk)
-    p, s = family.params, opt.init(family.params)
-    key = jax.random.PRNGKey(2)
-    p, s, key, ms = chunked(p, s, key, args.chunk)
-    _ = float(np.asarray(ms["loss"])[-1])  # sync fetch (tunnel-safe)
-    best = 0.0
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        p, s, key, ms = chunked(p, s, key, args.chunk)
-        _ = float(np.asarray(ms["loss"])[-1])
-        best = max(best, args.chunk * BATCH / (time.perf_counter() - t0))
+    state = [family.params, opt.init(family.params), jax.random.PRNGKey(2)]
+
+    def run_chunk(_i):
+        state[0], state[1], state[2], ms = chunked(*state, args.chunk)
+        return float(np.asarray(ms["loss"])[-1])  # sync fetch (tunnel-safe)
+
+    best = timed_chunks(run_chunk, args.chunk * BATCH, args.iters)
 
     out = {"encoder": args.encoder, "im_size": args.im_size,
            "dtype": args.dtype, "remat": args.remat,

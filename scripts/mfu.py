@@ -121,6 +121,32 @@ def flops_of_unrolled(family, opt, sampler, n: int):
             float(cost.get("bytes accessed", float("nan"))))
 
 
+def timed_chunks(run_chunk, eps_per_chunk: float, iters: int,
+                 warm: int = 1) -> float:
+    """Best-of-N episodes/sec of a chunked driver — THE timing convention,
+    shared by bench.py and the experiment scripts so a methodology fix
+    lands everywhere at once.
+
+    ``run_chunk(i)`` must dispatch one chunk and SYNCHRONIZE BY FETCHING a
+    scalar from the result (``float(np.asarray(ms["loss"])[-1])``;
+    ``block_until_ready`` can return early through the axon tunnel) and
+    return that fetched loss. The first ``warm`` calls compile/warm the
+    program and are not scored; best-of (min-time) filters the tunneled
+    runtime's multi-ms per-dispatch RPC jitter. Every scored loss is
+    asserted finite — a silent-NaN run must not record a throughput.
+    """
+    import numpy as _np
+    best = 0.0
+    for i in range(warm + iters):
+        t0 = time.perf_counter()
+        loss = run_chunk(i)
+        dt = time.perf_counter() - t0
+        assert _np.isfinite(loss), f"non-finite loss at chunk {i}: {loss}"
+        if i >= warm:
+            best = max(best, eps_per_chunk / dt)
+    return best
+
+
 def marginal_cost(family, opt, sampler, n1: int = 1, n2: int = 2):
     """Marginal (FLOPs, HBM bytes accessed) of ONE fused sample+train step
     by the differencing method (module docstring): two unrolled programs,

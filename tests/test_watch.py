@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fumi_tpu.train.watch import (NUM_BUCKETS, bucket_labels,
                                   component_histograms, watch_record)
@@ -68,10 +69,14 @@ def test_watch_record_params_and_grads():
     assert rec["watch/grads/layer0"].sum() == 6
 
 
-def test_training_run_emits_watch_rows(tmp_path):
+@pytest.mark.parametrize("augment", [False, True])
+def test_training_run_emits_watch_rows(tmp_path, augment):
     """End to end through the harness: --tpu_watch writes one histogram
     row per eval boundary with param AND grad counts summing to the
-    model's parameter count."""
+    model's parameter count. The --augment leg pins the review fix that
+    the watch gradient sample is drawn with the TRAIN sampler's
+    augment_scale (same input distribution as training), not an
+    unaugmented episode."""
     from fumi_tpu.cli.main import main
     from fumi_tpu.core.config import Config
 
@@ -81,7 +86,7 @@ def test_training_run_emits_watch_rows(tmp_path):
         num_train_adapt_steps=1, num_test_adapt_steps=1,
         batch_size=2, dropout=0.0, text_encoder="precomputed",
         epochs=6, eval_freq=3, patience=0, num_ep_test=4, lr=1e-3,
-        watch=True, wandb_offline=True, seed=0,
+        watch=True, wandb_offline=True, seed=0, augment=augment,
         prng_impl="threefry2x32", log_dir=str(tmp_path))
     main(cfg)
 
