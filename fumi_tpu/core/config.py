@@ -202,7 +202,10 @@ class Config:
     # (~13% measured on MLPs; conv4's 5-step second-order graph fits at
     # default geometry) — and EVERY horizon on resnet12, whose 13-conv
     # second-order step graph wants 18.6G HBM at 84x84 B=4 and OOMs a
-    # 16G chip without it (steps.py:remat_of). "on" is the escape hatch
+    # 16G chip without it (steps.py:remat_of). resnet12's auto remat
+    # keeps the named conv outputs and recomputes only the elementwise
+    # chains ("save_convs" — measured 4.6 vs 4.4 eps/s over plain
+    # whole-step). "on" forces plain whole-step remat — the escape hatch
     # when bigger batches/images push conv4 over the edge too; "off"
     # forces storing everywhere.
     remat: str = "auto"

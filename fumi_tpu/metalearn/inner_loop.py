@@ -42,6 +42,21 @@ UNROLL_MAX = 8
 
 
 def _maybe_remat(fn, n_steps, remat):
+    if remat == "save_convs":
+        # checkpoint the step but KEEP the named conv outputs
+        # (layers.conv2d_f32acc tags them "conv_out"): the meta-backward
+        # recomputes only the elementwise norm/relu/pool chains, not the
+        # convs — measured 4.6 vs 4.4 eps/s and 526 vs 541 GB/step over
+        # whole-step remat on resnet12 (docs/PERFORMANCE.md). Stored
+        # bytes scale with n_steps (one set of conv outputs per inner
+        # step), so long horizons fall back to whole-step remat — the
+        # same memory character the threshold below encodes.
+        if n_steps >= REMAT_THRESHOLD:
+            return jax.checkpoint(fn)
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "conv_out"))
     if remat is None:
         remat = n_steps >= REMAT_THRESHOLD
     return jax.checkpoint(fn) if remat else fn

@@ -18,6 +18,7 @@ import math
 from typing import Dict, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 
@@ -95,6 +96,12 @@ def conv2d_f32acc(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None, *,
         x, w, window_strides=window_strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
+    # named for the "save_convs" remat policy (inner_loop._maybe_remat):
+    # under save_only_these_names("conv_out") the checkpointed inner step
+    # stores exactly these conv outputs (pre-cast ⇒ bf16-sized on the
+    # keep_dtype path) and recomputes only the cheap elementwise chains
+    # between them. Identity under every other policy.
+    y = jax.ad_checkpoint.checkpoint_name(y, "conv_out")
     return y.astype(jnp.float32) if cast_back else y
 
 

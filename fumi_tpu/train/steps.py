@@ -103,10 +103,15 @@ def remat_of(cfg: Config):
     default geometry) — but forces remat at EVERY horizon for resnet12:
     its 13-conv second-order step graph holds 18.6G of activations at
     84x84 B=4 and OOMs a 16G chip without it, even at bf16 storage.
-    Stage-selective checkpointing was measured as the middle ground and
+    resnet12's remat is the "save_convs" flavor — whole-step checkpoint
+    keeping the NAMED conv outputs (layers.conv2d_f32acc "conv_out"), so
+    the meta-backward recomputes only the elementwise chains: measured
+    4.6 vs 4.4 eps/s and 526 vs 541 GB/step over plain whole-step.
+    Stage-selective checkpointing was measured as a middle ground and
     LOST (resnet12.STAGE_REMAT_OVERRIDE — 4.0 vs 4.4 eps/s, numbers in
-    docs/PERFORMANCE.md); whole-step remat stays. "on" is the escape
-    hatch when bigger batches/images push conv4 over the edge too."""
+    docs/PERFORMANCE.md). "on" forces plain whole-step remat everywhere —
+    the escape hatch when bigger batches/images push conv4 over the edge,
+    and the A/B partner for save_convs."""
     if cfg.remat == "on":
         return True
     if cfg.remat == "off":
@@ -114,7 +119,13 @@ def remat_of(cfg: Config):
     if cfg.im_encoder == "resnet12":
         from fumi_tpu.models import resnet12
         # the experiment switch replaces step remat with its own pattern
-        return None if resnet12.STAGE_REMAT_OVERRIDE is not None else True
+        if resnet12.STAGE_REMAT_OVERRIDE is not None:
+            return None
+        # auto = save_convs: whole-step checkpoint that KEEPS the named
+        # conv outputs (measured 4.6 vs 4.4 eps/s over plain whole-step;
+        # falls back to whole-step at long horizons inside _maybe_remat).
+        # `--tpu_remat on` above forces plain whole-step everywhere.
+        return "save_convs"
     return None
 
 

@@ -331,7 +331,12 @@ def test_clip_final_accuracy_matches_reference(clip_data_dir, tmp_path):
     from fumi_tpu.train import checkpoint as ckpt_lib, clip_loop
     from fumi_tpu.train.optim import init_optim
 
-    seeds = (1, 2, 3)
+    # 5 seeds/side: with per-seed trained-quality σ ≈ 3pp the 3-seed mean
+    # comparison sat at ~2.5σ of the bound and flapped whenever either
+    # side's numerics legitimately shifted (e.g. pinning the reference
+    # oracle to single-threaded BLAS moved its trained weights); n=5
+    # brings σ of the mean difference to ~1.9pp.
+    seeds = (1, 2, 3, 4, 5)
     ref = [run_reference(
         clip_data_dir, str(tmp_path / "ref"), "clip", s, "BERT",
         extra_flags=["--dataset", "supervised-inat-anim",

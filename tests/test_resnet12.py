@@ -123,9 +123,14 @@ def test_remat_policy():
         seed=0)
     assert remat_of(Config(**base)) is None
     assert remat_of(Config(**base, im_encoder="conv4", im_size=16)) is None
+    # resnet12 auto = save_convs: whole-step checkpoint that keeps the
+    # named conv outputs (measured faster than plain whole-step;
+    # _maybe_remat falls back to plain whole-step at long horizons)
     assert remat_of(Config(**base, im_encoder="resnet12",
-                           im_size=16)) is True
+                           im_size=16)) == "save_convs"
     assert remat_of(Config(**base, remat="on")) is True
+    assert remat_of(Config(**base, im_encoder="resnet12", im_size=16,
+                           remat="on")) is True
     assert remat_of(Config(**base, im_encoder="resnet12", im_size=16,
                            remat="off")) is False
     with pytest.raises(ValueError, match="tpu_remat"):
@@ -145,6 +150,7 @@ def test_remat_policy():
                    remat="on")) is None
     finally:
         resnet12.STAGE_REMAT_OVERRIDE = None
+
 
 
 def test_stage_remat_is_value_preserving():
@@ -168,3 +174,45 @@ def test_stage_remat_is_value_preserving():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_save_convs_remat_is_value_preserving():
+    """The save_convs remat policy (whole-step checkpoint that KEEPS the
+    named conv outputs, layers.conv2d_f32acc "conv_out") changes only the
+    store/recompute schedule: the second-order MAML meta-loss and
+    meta-gradients match whole-step remat to float tolerance."""
+    from jax.flatten_util import ravel_pytree
+
+    from fumi_tpu.core.episode import Episode
+    from fumi_tpu.metalearn.inner_loop import maml_episode_loss
+
+    key = jax.random.PRNGKey(0)
+    params = resnet12.init(key, im_size=16, n_way=2, channels=(4, 6, 8, 8))
+
+    def apply_fn(p, x):
+        return resnet12.apply(p, x.reshape(-1, 16, 16, 3),
+                              compute_dtype=jnp.bfloat16)
+
+    B, N, K, Q = 1, 2, 2, 2
+    ks = jax.random.split(key, 2)
+    ep = Episode(
+        support_im=jax.random.uniform(ks[0], (B, N * K, 16 * 16 * 3)),
+        support_text=jnp.zeros((B, N * K, 4)), support_text_mask=None,
+        support_ids=jnp.zeros((B, N * K), jnp.int32),
+        support_y=jnp.tile(jnp.repeat(jnp.arange(N), K)[None], (B, 1)),
+        query_im=jax.random.uniform(ks[1], (B, N * Q, 16 * 16 * 3)),
+        query_ids=jnp.zeros((B, N * Q), jnp.int32),
+        query_y=jnp.tile(jnp.repeat(jnp.arange(N), Q)[None], (B, 1)))
+
+    def loss(p, remat):
+        return maml_episode_loss(apply_fn, p, ep, n_steps=2,
+                                 step_size=0.01, first_order=False,
+                                 remat=remat)[0]
+
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    l1, g1 = jax.jit(
+        jax.value_and_grad(lambda p: loss(p, "save_convs")))(params)
+    assert jnp.allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ravel_pytree(g0)[0]),
+                               np.asarray(ravel_pytree(g1)[0]),
+                               rtol=1e-5, atol=1e-6)

@@ -1054,7 +1054,16 @@ def test_bf16_covers_extension_families(model, encoder):
     assert np.isfinite([l16, e16]).all()
     assert l16 != l32, "bf16 flag was a silent no-op for this family"
     assert abs(l16 - l32) / max(abs(l32), 1e-3) < 0.05
-    assert abs(e16 - e32) / max(abs(e32), 1e-3) < 0.05
+    # conv backbones additionally STORE activations bf16 (the measured
+    # HBM-roofline policy, docs/PERFORMANCE.md "Raw-image conv path") —
+    # more rounding than the operands-only MLP policy, and the eval leg
+    # amplifies it through a post-update adaptation trajectory on pure
+    # noise data (measured 6.4% here). This test only smoke-checks "the
+    # flag reaches the family"; the tight conv-path numerics contracts
+    # are test_bf16_conv_activation_storage_contract and
+    # test_bf16_resnet12_grad_path.
+    eval_tol = 0.15 if encoder == "conv4" else 0.05
+    assert abs(e16 - e32) / max(abs(e32), 1e-3) < eval_tol
 
 
 def test_bf16_covers_clip():
