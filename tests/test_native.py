@@ -250,12 +250,19 @@ def test_multiprocess_sampler_spawn_stream_parity(lib):
 
 class _BlockingGet:
     """Stands in for an mp queue whose pipe holds a PARTIAL message: get()
-    blocks far past its timeout (recv_bytes has no deadline)."""
+    blocks far past its timeout (recv_bytes has no deadline). `release` is
+    set at test teardown so the absorbed reader thread unblocks and exits
+    through the loop's normal Empty→stop path instead of leaking for 60 s
+    and dying with an unhandled exception after the session ends."""
+
+    def __init__(self):
+        import threading
+        self.release = threading.Event()
 
     def get(self, timeout=None):
-        import threading
-        threading.Event().wait(60.0)
-        raise AssertionError("unreachable")
+        import queue
+        self.release.wait(60.0)
+        raise queue.Empty
 
 
 @pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
@@ -277,7 +284,8 @@ def test_multiprocess_sampler_mid_write_kill_raises_not_hangs(lib):
     try:
         # emulate the partial write: worker 0's queue read now blocks
         # forever, and the worker itself is dead
-        mp._queues[0] = _BlockingGet()
+        blocker = _BlockingGet()
+        mp._queues[0] = blocker
         os.kill(mp._procs[0].pid, signal.SIGKILL)
         time.sleep(0.2)
         t0 = time.monotonic()
@@ -286,4 +294,5 @@ def test_multiprocess_sampler_mid_write_kill_raises_not_hangs(lib):
                 mp.sample()
         assert time.monotonic() - t0 < 30.0
     finally:
+        blocker.release.set()
         mp.close()
