@@ -258,22 +258,30 @@ def main():
     if not args.no_wait:
         _wait_for_tpu()
 
+    # non-default dtype runs record under their own metric names: a bf16
+    # number must not land in the fp32 trend history (the ~0.96x bf16
+    # delta would read as a throughput regression)
+    suffix = ("" if args.compute_dtype == "float32"
+              else f"_{args.compute_dtype}")
+
     if args.all:
         side = {}
         for model in ("fumi", "maml", "am3", "protonet", "matchingnet"):
-            side[f"{model}_train_eps_per_sec"] = round(
+            side[f"{model}_train_eps_per_sec{suffix}"] = round(
                 bench_tpu(args.steps, model=model,
                           compute_dtype=args.compute_dtype), 2)
-        side["eval_fumi_100step_eps_per_sec"] = round(
+        side[f"eval_fumi_100step_eps_per_sec{suffix}"] = round(
             bench_eval(chunk=32, compute_dtype=args.compute_dtype), 2)
         # lockstep multi-seed sweep at the measured sweet spot S=4
         # (docs/PERFORMANCE.md sweep-scaling table)
         import sys as _sys
         _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from scripts.sweep_scaling import bench_sweep
-        side["fumi_sweep4_aggregate_eps_per_sec"] = round(
-            bench_sweep(4, chunk=500, iters=4), 2)
-        with open("bench_all.json", "w") as f:
+        side[f"fumi_sweep4_aggregate_eps_per_sec{suffix}"] = round(
+            bench_sweep(4, chunk=500, iters=4,
+                        compute_dtype=args.compute_dtype), 2)
+        # suffixed filename too: the fp32 bench_all.json is the trend file
+        with open(f"bench_all{suffix}.json", "w") as f:
             json.dump(side, f, indent=1)
         print(json.dumps(side))
         return
@@ -289,11 +297,6 @@ def main():
         time.sleep(60)
         value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     baseline = get_baseline(args.refresh_baseline)
-    # non-default dtype runs record under their own metric name: a bf16
-    # number must not land in the fp32 trend history (the ~0.96x bf16
-    # delta would read as a throughput regression)
-    suffix = ("" if args.compute_dtype == "float32"
-              else f"_{args.compute_dtype}")
     print(json.dumps({
         "metric": f"fumi_5way5shot_train_episodes_per_sec{suffix}",
         "value": round(value, 2),

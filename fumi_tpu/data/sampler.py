@@ -727,6 +727,11 @@ class MultiprocessSampler:
         c, parts = item
         assert c == self._next, (c, self._next)
         self._next += 1
+        # keep the wrapped sampler's counter in step with consumption:
+        # code that later unwraps (loop.py's getattr(..., "sampler")
+        # pattern) and calls .sample() directly must draw counter N,
+        # not replay 0..N-1
+        self.sampler._counter = self._next
         return self.sampler._finish(parts)
 
     def __iter__(self):

@@ -92,6 +92,36 @@ def maxpool2x2(y: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 2, 2, 1), padding="VALID")
 
 
+def batch_stat_norm(y: jnp.ndarray, params: Dict[str, jnp.ndarray],
+                    low_precision: bool) -> jnp.ndarray:
+    """+bias → per-channel (N, H, W) batch-stat normalize → affine.
+
+    The one normalization used by BOTH raw-image backbones (conv4 blocks
+    and resnet12's conv+norm units — a numerics change here changes
+    both). Returns f32 in both modes; callers apply their activation and
+    cast back to the storage dtype on the low-precision path.
+
+    fp32 (``low_precision=False``): classic two-pass (x−mean)² variance
+    over the f32 conv output.
+    low-precision: ``y`` is the storage dtype (bf16); one upcast, then
+    the E[x²]−E[x]² form — both reductions read ``y`` independently, so
+    XLA fuses them into ONE pass over the bf16 conv output (the two-pass
+    form serializes var behind mean; measured +5% on conv4). f32
+    accumulation; the clamp guards the subtraction's rounding."""
+    if not low_precision:
+        y = y + params["b"]
+        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + EPS)
+        return y * params["gamma"] + params["beta"]
+    yb = y.astype(jnp.float32) + params["b"]
+    mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
+    m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
+    return yn * params["gamma"] + params["beta"]
+
+
 def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                compute_dtype=None) -> jnp.ndarray:
     """Conv3×3 (SAME) → batch-stat norm → ReLU → MaxPool2×2 on NHWC.
@@ -103,30 +133,12 @@ def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     path"). Every elementwise/statistics computation still runs in f32
     INSIDE the fused kernels (the upcast fuses into each consumer), so
     only storage rounding differs from the fp32 path; norm statistics
-    accumulate f32. Gradients re-enter fp32 at the param boundaries via
-    the casts' VJPs."""
-    if not _is_low_precision(compute_dtype):
-        y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
-        y = y + params["b"]
-        # batch statistics over (N, H, W) per channel
-        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
-        y = (y - mean) * jax.lax.rsqrt(var + EPS)
-        y = y * params["gamma"] + params["beta"]
-        y = jax.nn.relu(y)
-    else:
-        y = layers.conv2d_f32acc(x, params["w"], compute_dtype,
-                                 keep_dtype=True)
-        yb = y.astype(jnp.float32) + params["b"]
-        # E[x²]−E[x]² form: both reductions read yb independently, so XLA
-        # fuses them into ONE pass over the bf16 conv output (the two-pass
-        # (x−mean)² form serializes var behind mean). f32 accumulation;
-        # clamp guards the subtraction's rounding.
-        mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
-        m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
-        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-        yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
-        y = jax.nn.relu(yn * params["gamma"] + params["beta"])
+    accumulate f32 (see :func:`batch_stat_norm`). Gradients re-enter
+    fp32 at the param boundaries via the casts' VJPs."""
+    low = _is_low_precision(compute_dtype)
+    y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=low)
+    y = jax.nn.relu(batch_stat_norm(y, params, low))
+    if low:
         y = y.astype(compute_dtype)
     return maxpool2x2(y)
 

@@ -52,8 +52,9 @@ class FUMI(NamedTuple):
     # updates stay fp32. None = pure fp32.
     compute_dtype: Optional[type] = None
     # resnet12 only: per-stage jax.checkpoint pattern for the backbone
-    # inside the second-order inner loop (resnet12.auto_stage_remat —
-    # remat the high-res early stages, store the cheap late ones)
+    # inside the second-order inner loop. Measured NEGATIVE (whole-step
+    # remat wins, docs/PERFORMANCE.md); reachable only via the experiment
+    # switch resnet12.STAGE_REMAT_OVERRIDE, None in production.
     stage_remat: Optional[Tuple[bool, ...]] = None
 
     @property

@@ -56,23 +56,13 @@ def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     HBM-resident activations stored bf16 (same activation-storage policy
     as conv4.conv_block — the raw-image path is HBM-bound on this
     traffic); statistics and all elementwise math still run f32 inside
-    the fused kernels, so only storage rounding differs."""
-    from fumi_tpu.models.conv4 import _is_low_precision
-    if not _is_low_precision(compute_dtype):
-        y = layers.conv2d_f32acc(x, params["w"], compute_dtype)
-        y = y + params["b"]
-        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
-        y = (y - mean) * jax.lax.rsqrt(var + EPS)
-        return y * params["gamma"] + params["beta"]
-    y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=True)
-    yb = y.astype(jnp.float32) + params["b"]
-    # one-pass statistics, as in conv4.conv_block (measured +5% there)
-    mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
-    m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-    yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
-    return (yn * params["gamma"] + params["beta"]).astype(compute_dtype)
+    the fused kernels (conv4.batch_stat_norm, shared with conv4's
+    blocks), so only storage rounding differs."""
+    from fumi_tpu.models.conv4 import _is_low_precision, batch_stat_norm
+    low = _is_low_precision(compute_dtype)
+    y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=low)
+    y = batch_stat_norm(y, params, low)
+    return y.astype(compute_dtype) if low else y
 
 
 def block_init(key: jax.Array, in_ch: int, out_ch: int) -> Dict:
@@ -133,7 +123,9 @@ def backbone(params, x: jnp.ndarray, compute_dtype=None,
 
     ``stage_remat[i]`` wraps stage i in ``jax.checkpoint``: only the
     stage's INPUT is stored for the backward pass, the intra-stage
-    conv/norm/relu residuals are recomputed (see auto_stage_remat)."""
+    conv/norm/relu residuals are recomputed. Measured negative vs
+    whole-step remat (docs/PERFORMANCE.md "Stage-selective remat");
+    driven only by the STAGE_REMAT_OVERRIDE experiment switch."""
     for i, p in enumerate(params["blocks"]):
         if (stage_remat is not None and i < len(stage_remat)
                 and stage_remat[i]):

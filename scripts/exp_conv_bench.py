@@ -111,6 +111,14 @@ def main():
         from fumi_tpu.models import conv4
         conv4.BLOCK_REMAT = True
     if args.stage_remat is not None:
+        # the override only reaches the backbone through the auto policy
+        # (train/steps.py:resnet12_stage_remat returns None otherwise);
+        # refuse the combination rather than record a mislabeled datapoint
+        if args.remat != "auto" or args.encoder != "resnet12":
+            ap.error("--stage_remat requires --encoder resnet12 --remat "
+                     "auto (train/steps.py:resnet12_stage_remat routes the "
+                     "pattern only there; otherwise it would be silently "
+                     "ignored and the datapoint mislabeled)")
         from fumi_tpu.models import resnet12
         resnet12.STAGE_REMAT_OVERRIDE = tuple(
             c == "1" for c in args.stage_remat)

@@ -23,24 +23,26 @@ from bench import (BATCH, IM_DIM, K_SHOT, N_WAY, Q_TRAIN,  # noqa: E402
                    TXT_DIM, _bench_cfg)
 
 
-def bench_sweep(S: int, chunk: int, iters: int) -> float:
+def bench_sweep(S: int, chunk: int, iters: int,
+                compute_dtype: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
     from fumi_tpu.core.episode import EpisodeSpec
-    from fumi_tpu.data.sampler import DeviceEpisodeSampler
+    from fumi_tpu.data.sampler import DeviceEpisodeSampler, table_storage
     from fumi_tpu.data.synthetic import synthetic_class_set
     from fumi_tpu.train.steps import make_opt
     from fumi_tpu.train.sweep import (build_sweep_family,
                                       make_sweep_chunked_train)
 
-    cfg = _bench_cfg("fumi").replace(seed_sweep=S, seed=0)
+    cfg = _bench_cfg("fumi", compute_dtype).replace(seed_sweep=S, seed=0)
     cs, table, ids = synthetic_class_set(
         num_classes=64, images_per_class=64, im_dim=IM_DIM,
         text_dim=TXT_DIM, seed=0)
     spec = EpisodeSpec(BATCH, N_WAY, K_SHOT, Q_TRAIN, IM_DIM, TXT_DIM)
-    sampler = DeviceEpisodeSampler(jnp.asarray(table), jnp.asarray(ids),
-                                   cs, spec)
+    sampler = DeviceEpisodeSampler(
+        table_storage(jnp.asarray(table), compute_dtype),
+        jnp.asarray(ids), cs, spec)
     family = build_sweep_family(cfg)
     opt = make_opt(cfg)
     params = family.params

@@ -151,6 +151,34 @@ def test_multiprocess_sampler_stream_parity(lib):
 
 @pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
                             "ignore::DeprecationWarning")
+def test_multiprocess_sampler_keeps_wrapped_counter_in_step(lib):
+    """Consuming N episodes through the multiprocess wrapper advances the
+    wrapped sampler's counter too: unwrapping (loop.py's
+    getattr(..., 'sampler') pattern) and calling .sample() directly must
+    continue the stream at counter N, not replay episodes 0..N-1."""
+    from fumi_tpu.data.sampler import HostEpisodeSampler, MultiprocessSampler
+
+    table, ids, cs, spec = _mp_fixtures()
+    solo = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    ref = [solo.sample() for _ in range(5)]
+
+    base = HostEpisodeSampler(table, ids, cs, spec, seed=5, backend="native")
+    mp = MultiprocessSampler(base, num_workers=2)
+    try:
+        for _ in range(4):
+            mp.sample()
+    finally:
+        mp.close()
+    assert base._counter == 4
+    cont = base.sample()  # direct draw after unwrapping
+    np.testing.assert_array_equal(np.asarray(ref[4].support_ids),
+                                  np.asarray(cont.support_ids))
+    np.testing.assert_array_equal(np.asarray(ref[4].query_ids),
+                                  np.asarray(cont.query_ids))
+
+
+@pytest.mark.filterwarnings("ignore:os.fork():RuntimeWarning",
+                            "ignore::DeprecationWarning")
 def test_multiprocess_sampler_propagates_worker_exception(lib):
     """A worker exception surfaces in sample() at its counter position —
     earlier episodes flow, later calls keep raising (torch DataLoader
