@@ -16,6 +16,10 @@ Usage:
 
   # inspect a dataset directory (splits, class sizes, artifact status)
   python -m fumi_tpu.data.prepare inspect --data_dir ./data
+
+  # validate the artifact CONTRACT before a first real-data run
+  # (schema/keys/geometry/id-alignment/split fingerprint; exit 0 = pass)
+  python -m fumi_tpu.data.prepare verify --data_dir ./data
 """
 
 from __future__ import annotations
@@ -85,6 +89,13 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    from fumi_tpu.data.verify import verify_dataset
+    rep = verify_dataset(args.data_dir)
+    print(rep.render())
+    return 1 if rep.failed else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="fumi-tpu offline data prep")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +135,14 @@ def main(argv=None) -> int:
     i = sub.add_parser("inspect", help="inspect dataset dir")
     i.add_argument("--data_dir", type=str, default="./data")
     i.set_defaults(fn=cmd_inspect)
+
+    vf = sub.add_parser(
+        "verify",
+        help="validate the dataset artifact contract (schema, hdf5 keys, "
+             "id↔row alignment, geometry, split fingerprint); exit 0 iff "
+             "every check passes")
+    vf.add_argument("--data_dir", type=str, default="./data")
+    vf.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)
