@@ -75,9 +75,11 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
     chunked = make_chunked_train(family, opt, sampler, chunk)
 
     # warm + per-chunk best-of-N with sync-by-fetch: the one shared
-    # timing convention (scripts/mfu.py:timed_chunks has the rationale)
+    # timing convention (scripts/mfu.py:timed_chunks has the rationale);
+    # full sample returned so the headline can carry median/spread
+    # alongside the best-of (tunnel-wedge robustness, VERDICT r4 weak #5)
     import numpy as _np
-    from scripts.mfu import timed_chunks
+    from scripts.mfu import timed_chunks_stats
 
     state = [family.params, opt.init(family.params), jax.random.PRNGKey(1)]
 
@@ -85,7 +87,8 @@ def bench_tpu(num_steps: int = 3000, chunk: int = 1000,
         state[0], state[1], state[2], ms = chunked(*state, chunk)
         return float(_np.asarray(ms["loss"])[-1])  # sync fetch
 
-    return timed_chunks(run_chunk, chunk * BATCH, max(1, num_steps // chunk))
+    return timed_chunks_stats(run_chunk, chunk * BATCH,
+                              max(1, num_steps // chunk))
 
 
 def bench_eval(episodes: int = 256, chunk: int = 64,
@@ -245,7 +248,10 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--all", action="store_true",
-                    help="bench all families + eval; write bench_all.json")
+                    help="bench all families + eval; write "
+                         "bench_all{_dtype}.json (dtype-suffixed for "
+                         "non-default --compute_dtype, e.g. "
+                         "bench_all_bfloat16.json)")
     ap.add_argument("--no-wait", action="store_true",
                     help="skip the tunnel-wedge probe loop")
     ap.add_argument("--compute_dtype", type=str, default="float32",
@@ -269,7 +275,7 @@ def main():
         for model in ("fumi", "maml", "am3", "protonet", "matchingnet"):
             side[f"{model}_train_eps_per_sec{suffix}"] = round(
                 bench_tpu(args.steps, model=model,
-                          compute_dtype=args.compute_dtype), 2)
+                          compute_dtype=args.compute_dtype)["value"], 2)
         side[f"eval_fumi_100step_eps_per_sec{suffix}"] = round(
             bench_eval(chunk=32, compute_dtype=args.compute_dtype), 2)
         # lockstep multi-seed sweep at the measured sweet spot S=4
@@ -290,18 +296,24 @@ def main():
     # INTERNAL errors (see docs/PERFORMANCE.md platform caveats); one retry
     # keeps unattended driver runs from recording nothing
     try:
-        value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
+        stats = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     except Exception as e:
         print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(60)
-        value = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
+        stats = bench_tpu(args.steps, compute_dtype=args.compute_dtype)
     baseline = get_baseline(args.refresh_baseline)
+    # value stays best-of (comparable to every prior round's number);
+    # median/n/spread expose a run whose best-of rode one lucky chunk
+    # through a wedged tunnel (scripts/mfu.py:timed_chunks_stats)
     print(json.dumps({
         "metric": f"fumi_5way5shot_train_episodes_per_sec{suffix}",
-        "value": round(value, 2),
+        "value": round(stats["value"], 2),
         "unit": "episodes/sec",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(stats["value"] / baseline, 2),
+        "median": stats["median"],
+        "n": stats["n"],
+        "spread": stats["spread"],
     }))
 
 

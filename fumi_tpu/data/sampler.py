@@ -726,11 +726,20 @@ class MultiprocessSampler:
             raise item.exc
         c, parts = item
         assert c == self._next, (c, self._next)
-        self._next += 1
         # keep the wrapped sampler's counter in step with consumption:
         # code that later unwraps (loop.py's getattr(..., "sampler")
         # pattern) and calls .sample() directly must draw counter N,
-        # not replay 0..N-1
+        # not replay 0..N-1. Interleaved direct draws from the base
+        # sampler while this wrapper is live would be silently REWOUND
+        # by that sync (the directly-drawn episode delivered again by
+        # the mp stream) — fail loudly instead: direct draws are valid
+        # only after the wrapper is closed/drained.
+        if self.sampler._counter != self._next:
+            raise RuntimeError(
+                f"base sampler drawn directly while MultiprocessSampler "
+                f"is live (base counter {self.sampler._counter}, stream "
+                f"at {self._next}) — unwrap only after close()")
+        self._next += 1
         self.sampler._counter = self._next
         return self.sampler._finish(parts)
 

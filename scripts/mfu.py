@@ -135,16 +135,33 @@ def timed_chunks(run_chunk, eps_per_chunk: float, iters: int,
     runtime's multi-ms per-dispatch RPC jitter. Every scored loss is
     asserted finite — a silent-NaN run must not record a throughput.
     """
+    return timed_chunks_stats(run_chunk, eps_per_chunk, iters,
+                              warm)["value"]
+
+
+def timed_chunks_stats(run_chunk, eps_per_chunk: float, iters: int,
+                       warm: int = 1) -> dict:
+    """timed_chunks with the full sample: ``{value, median, n, spread}``
+    where ``value`` is the best-of (the historical headline statistic —
+    kept so vs_baseline stays comparable across rounds), ``median`` is
+    robust to tunnel-wedge outliers, and ``spread`` is
+    (max − min)/median of the per-chunk rates. A wedged-tunnel retry
+    then cannot silently BECOME the headline: the median/spread expose a
+    run whose best-of rode one lucky chunk (VERDICT r4 weak #5)."""
     import numpy as _np
-    best = 0.0
+    rates = []
     for i in range(warm + iters):
         t0 = time.perf_counter()
         loss = run_chunk(i)
         dt = time.perf_counter() - t0
         assert _np.isfinite(loss), f"non-finite loss at chunk {i}: {loss}"
         if i >= warm:
-            best = max(best, eps_per_chunk / dt)
-    return best
+            rates.append(eps_per_chunk / dt)
+    med = float(_np.median(rates))
+    return {"value": float(max(rates)), "median": round(med, 2),
+            "n": len(rates),
+            "spread": round((max(rates) - min(rates)) / med, 4) if med
+            else None}
 
 
 def marginal_cost(family, opt, sampler, n1: int = 1, n2: int = 2):
