@@ -234,6 +234,28 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
     device_path = (isinstance(train_sampler, DeviceEpisodeSampler)
                    and steps.family is not None)
     chunk = cfg.chunk or CHUNK  # --tpu_chunk override (autotune output)
+    # --tpu_watch gradient histograms: on the chunked drivers (serial +
+    # dp engine) counts are accumulated on device from every
+    # WATCH_STRIDE-th training step of the chunk (train/watch.py — a
+    # systematic sample of the actual training stream at ~2% cost,
+    # strictly more fidelity than wandb.watch's log_freq point samples);
+    # the 2-D (mp) engine and host-sampler path fall back to a
+    # per-boundary point sample.
+    accumulate_watch = bool(cfg.watch) and device_path and not (
+        steps.mesh is not None and _mesh_mp(steps.mesh) > 1)
+    watch_accum: Dict[str, np.ndarray] = {}
+    watch_steps = [0]
+
+    def _absorb_watch(ms):
+        if not accumulate_watch:
+            return ms
+        from fumi_tpu.train.watch import split_watch_counts
+        ms, counts, steps = split_watch_counts(ms)
+        for k, v in counts.items():
+            watch_accum[k] = watch_accum.get(k, 0) + v
+        watch_steps[0] += steps
+        return ms
+
     if device_path:
         if steps.mesh is not None and _mesh_mp(steps.mesh) > 1:
             if cfg.grad_accum > 1:
@@ -254,12 +276,13 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
             from fumi_tpu.parallel.engine import make_parallel_chunked_train
             chunked = make_parallel_chunked_train(
                 cfg, steps.family, steps.opt, train_sampler, steps.mesh,
-                chunk)
+                chunk, watch=accumulate_watch)
         else:
             chunked = make_chunked_train(steps.family, steps.opt,
                                          train_sampler, chunk,
                                          unroll=cfg.train_unroll,
-                                         accum=cfg.grad_accum)
+                                         accum=cfg.grad_accum,
+                                         watch=accumulate_watch)
         train_key = k_train
     else:
         fused = (fuse_sampler(steps.train_step, train_sampler)
@@ -267,11 +290,12 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                  else None)
 
     watch_grad = None
-    if cfg.watch and steps.family is not None:
-        # --tpu_watch gradient sample: the meta-gradient of ONE fresh
-        # meta-batch at each eval boundary (the chunked drivers never
-        # materialize per-step grads on the host; a point sample is the
-        # distribution telemetry wandb.watch provides, at eval cadence)
+    if cfg.watch and steps.family is not None and not accumulate_watch:
+        # --tpu_watch gradient FALLBACK sample (host-sampler / 2-D-mesh
+        # paths only — the chunked drivers accumulate the real stream,
+        # see accumulate_watch above): the meta-gradient of ONE fresh
+        # meta-batch at each eval boundary, the distribution telemetry
+        # wandb.watch provides at its log_freq cadence
         _fam_loss = steps.family.train_loss
         watch_grad = jax.jit(lambda p, ep, k: jax.grad(
             lambda p_: _fam_loss(p_, ep, k)[0])(p))
@@ -282,6 +306,16 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
         if not cfg.watch:
             return
         from fumi_tpu.train.watch import log_watch, watch_record
+        if accumulate_watch:
+            # counts summed over EVERY train step since the last
+            # boundary; watch/grad_steps records how many, so consumers
+            # can normalize (counts sum to n_params x steps)
+            rec = watch_record(params, grad_counts=dict(watch_accum))
+            rec["watch/grad_steps"] = np.int64(watch_steps[0])
+            watch_accum.clear()
+            watch_steps[0] = 0
+            log_watch(writer, rec, step=batch_idx)
+            return
         grads = None
         if watch_grad is not None:
             # a stream distinct from the eval fold_in(k_val, batch_idx)
@@ -336,6 +370,7 @@ def training_run(cfg: Config, steps: FamilySteps, train_sampler, val_sampler,
                     c = min(chunk, n - done)
                     params, opt_state, train_key, ms = chunked(
                         params, opt_state, train_key, c)
+                    ms = _absorb_watch(ms)
                     _log_train_stack(writer, cfg, batch_idx + done, ms,
                                      is_am3)
                     done += c
