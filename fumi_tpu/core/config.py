@@ -238,6 +238,16 @@ class Config:
     # ride the idle MXU). Per-seed trajectories match standalone runs
     # (tests/test_sweep.py). 0/1 = off.
     seed_sweep: int = 0
+    # Seed-accumulation for sweeps — the grad-accum analogue on the SEED
+    # axis: the S replicas are processed as G sequential groups of S/G
+    # per training step (lax.map over groups, vmap within), so a
+    # single-chip sweep past the working-set sweet spot (the measured
+    # S=8 cliff, docs/PERFORMANCE.md "Multi-seed sweep scaling") runs at
+    # the S/G sweet spot x G serial instead of falling off. Per-seed
+    # trajectories equal the unaccumulated sweep's to the last ulp of
+    # XLA's batch-shape codegen (vmap is elementwise over seeds; key
+    # chains bitwise — test_sweep.py). 1 = off.
+    seed_accum: int = 1
     # Extension modules imported at CLI/server startup (before config
     # validation), so out-of-tree `register_family` builders — and their
     # Family.serve hooks — are usable via `--model <name>` without
@@ -443,6 +453,28 @@ class Config:
                 raise NotImplementedError(
                     "--tpu_seed_sweep does not support multi-host "
                     "(--tpu_dist_*) runs; launch per-host sweeps instead")
+        if self.seed_accum < 1:
+            raise ValueError("--tpu_seed_accum must be >= 1")
+        if self.seed_accum > 1:
+            if self.seed_sweep <= 1:
+                raise ValueError(
+                    "--tpu_seed_accum groups a sweep's seed axis; it "
+                    "needs --tpu_seed_sweep > 1")
+            if self.seed_sweep % self.seed_accum != 0:
+                raise ValueError(
+                    f"--tpu_seed_accum {self.seed_accum} must divide "
+                    f"--tpu_seed_sweep {self.seed_sweep}")
+            if self.mesh_dp > 1:
+                # the single-chip escape hatch: grouping reshapes the
+                # seed axis, which would interleave a dp-sharded layout
+                # across devices (serializing them). Multi-chip sweeps
+                # shard seeds over dp instead — they don't need this.
+                # (mesh_dp 0 auto-pick is pinned to the single-device
+                # layout by sweep_mesh when seed_accum > 1.)
+                raise NotImplementedError(
+                    "--tpu_seed_accum is the single-device sweep's "
+                    "working-set lever; drop --tpu_mesh_dp (multi-chip "
+                    "sweeps shard seeds over dp instead)")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -617,6 +649,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train S seed replicas (seed..seed+S-1) in "
                         "lockstep inside one vmapped program; reports "
                         "mean +/- CI over seeds (0/1 = off)")
+    p.add_argument("--tpu_seed_accum", type=int, default=1,
+                   help="process a sweep's S seeds as G sequential "
+                        "groups of S/G per step (single-device "
+                        "working-set lever past the S sweet spot; "
+                        "trajectories bitwise-equal to G=1); must "
+                        "divide --tpu_seed_sweep")
     p.add_argument("--tpu_import", type=str, nargs="+", default=[],
                    help="python modules to import at startup (register "
                         "out-of-tree model families / serving hooks)")
@@ -716,6 +754,7 @@ def config_from_args(argv=None) -> Config:
         profile_dir=args.tpu_profile_dir,
         auto_resume=args.tpu_auto_resume,
         seed_sweep=args.tpu_seed_sweep,
+        seed_accum=args.tpu_seed_accum,
         import_modules=tuple(args.tpu_import),
         dist_coordinator=args.tpu_dist_coordinator,
         dist_num_processes=args.tpu_dist_num_processes,

@@ -87,9 +87,15 @@ def sweep_mesh(cfg: Config):
     divide S; ``1`` PINS the single-device layout, matching the
     standalone driver's convention), ``0`` auto-picks the largest device
     count dividing S. None for a single-device layout — the vmap is the
-    same program either way; the mesh only changes placement."""
+    same program either way; the mesh only changes placement.
+    ``--tpu_seed_accum`` pins the single-device layout: grouping
+    reshapes the seed axis, which would interleave a dp-sharded
+    placement across devices (config.py validation rejects explicit
+    dp > 1 with it)."""
     import jax
     from fumi_tpu.core import mesh as mesh_lib
+    if cfg.seed_accum > 1:
+        return None
     dp = cfg.mesh_dp
     if dp == 0:
         dp = mesh_lib.largest_divisor_leq(cfg.seed_sweep,
@@ -133,7 +139,7 @@ def build_sweep_family(cfg: Config, dictionary=None):
 def make_sweep_chunked_train(family: Family,
                              opt: optax.GradientTransformation,
                              sampler, chunk: int, unroll: int = 0,
-                             accum: int = 1):
+                             accum: int = 1, seed_accum: int = 1):
     """jitted (params, opt_state, keys, live) ->
     (params, opt_state, keys, metrics) running ``chunk`` lockstep steps.
 
@@ -142,6 +148,17 @@ def make_sweep_chunked_train(family: Family,
     Per seed the body is byte-for-byte the single-seed chunked driver's
     (steps.py make_chunked_train): split(3) -> sample -> grad -> update
     (incl. --tpu_grad_accum micro-batching via ``accum``).
+
+    ``seed_accum`` G > 1 (``--tpu_seed_accum``): each training step
+    processes the S seeds as G SEQUENTIAL groups of S/G (``lax.map``
+    over groups, the same vmapped body within a group), so the
+    per-moment working set scales with S/G — the grad-accum trick on
+    the seed axis. S=8 on one chip then runs at the S/G sweet spot x G
+    serial instead of falling off the measured working-set cliff
+    (docs/PERFORMANCE.md "Multi-seed sweep scaling"). vmap is
+    elementwise over seeds, so per-seed trajectories equal the
+    unaccumulated sweep's to the last ulp of XLA's batch-shape codegen
+    (key chains bitwise; floats ~1e-7 rel — pinned in test_sweep.py).
     """
     from fumi_tpu.train.steps import accum_value_and_grad
     grad_fn = accum_value_and_grad(family, accum)
@@ -167,7 +184,21 @@ def make_sweep_chunked_train(family: Family,
                 m = _train_metrics(family, loss, aux, episode, grads)
                 return p_new, s_new, k_i, m
 
-            p, s, k, m = jax.vmap(one)(p, s, k, live)
+            if seed_accum <= 1:
+                p, s, k, m = jax.vmap(one)(p, s, k, live)
+            else:
+                # (S, ...) -> (G, S/G, ...); lax.map (a scan) forces the
+                # groups SEQUENTIAL — a Python loop would leave XLA free
+                # to overlap them, defeating the working-set reduction
+                G = seed_accum
+                group = lambda t: jax.tree.map(
+                    lambda x: x.reshape((G, x.shape[0] // G)
+                                        + x.shape[1:]), t)
+                ungroup = lambda t: jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), t)
+                p, s, k, m = (ungroup(t) for t in jax.lax.map(
+                    lambda args: jax.vmap(one)(*args),
+                    (group(p), group(s), group(k), group(live))))
             return (p, s, k), m
 
         (params, opt_state, keys), ms = jax.lax.scan(
@@ -382,7 +413,8 @@ def sweep_training_run(cfg: Config, family: Family,
     chunk = cfg.chunk or CHUNK
     chunked = make_sweep_chunked_train(family, opt, train_sampler, chunk,
                                        unroll=cfg.train_unroll,
-                                       accum=cfg.grad_accum)
+                                       accum=cfg.grad_accum,
+                                       seed_accum=cfg.seed_accum)
 
     def next_stop(batch_idx: int) -> int:
         stops = [cfg.epochs]

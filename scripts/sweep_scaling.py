@@ -24,7 +24,8 @@ from bench import (BATCH, IM_DIM, K_SHOT, N_WAY, Q_TRAIN,  # noqa: E402
 
 
 def bench_sweep(S: int, chunk: int, iters: int,
-                compute_dtype: str = "float32") -> float:
+                compute_dtype: str = "float32",
+                seed_accum: int = 1) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +50,8 @@ def bench_sweep(S: int, chunk: int, iters: int,
     opt_state = jax.vmap(opt.init)(params)
     keys = jnp.stack([jax.random.PRNGKey(i) for i in range(S)])
     live = jnp.ones(S, dtype=bool)
-    run = make_sweep_chunked_train(family, opt, sampler, chunk)
+    run = make_sweep_chunked_train(family, opt, sampler, chunk,
+                                   seed_accum=seed_accum)
 
     params, opt_state, keys, ms = run(params, opt_state, keys, live)
     _ = float(np.asarray(ms["loss"])[-1].mean())  # sync fetch
@@ -68,6 +70,10 @@ def main():
     ap.add_argument("--sweeps", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--seed_accum", type=int, default=1,
+                    help="--tpu_seed_accum G: each step runs the S seeds "
+                         "as G sequential groups of S/G (the single-chip "
+                         "working-set lever past the S sweet spot)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,8 @@ def main():
 
     rows = {}
     for S in args.sweeps:
-        rate = bench_sweep(S, args.chunk, args.iters)
+        rate = bench_sweep(S, args.chunk, args.iters,
+                           seed_accum=args.seed_accum)
         rows[S] = rate
         base = rows.get(1)
         speedup = rate / base if base else float("nan")
