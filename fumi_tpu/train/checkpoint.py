@@ -21,17 +21,73 @@ import orbax.checkpoint as ocp
 
 
 def _checkpointer():
-    import jax
-    if jax.process_count() > 1:
-        # multi-host: every process saves its own complete local copy
-        # (trees are host-local numpy by then — see _host_local); with the
-        # default primary_host=0 orbax would skip writing on other hosts,
-        # leaving their per-process run dirs empty
-        opts = ocp.options.MultiprocessingOptions(primary_host=None)
-        return ocp.Checkpointer(
-            ocp.PyTreeCheckpointHandler(multiprocessing_options=opts),
-            multiprocessing_options=opts)
     return ocp.PyTreeCheckpointer()
+
+
+# ---------------------------------------------------------------------------
+# Multi-host checkpoint format: one self-describing .npz per host.
+#
+# The artifact policy is "every process saves its own COMPLETE copy into
+# its own run dir" (trees are host-local numpy by then — _host_local).
+# Orbax cannot express that: its multi-process save treats the save as a
+# POD-WIDE collective over one shared directory and distributes the
+# array writes across processes (under OCDBT, routes them through a
+# coordinator into process 0's database) — so every host except one got
+# a metadata-only "checkpoint" that failed with NOT_FOUND on first
+# read. This went unnoticed while multi-host checkpoints were only ever
+# WRITTEN; the pod kill/resume test (tests/test_distributed.py:
+# test_four_process_kill_then_auto_resume) is the first reader.
+# Multi-host runs therefore serialize the host-local tree directly:
+# leaves keyed by flatten order + key-path string (validated against
+# the restore template), no cross-process coordination at all.
+# load_checkpoint sniffs the format, so single-process tools (serve,
+# interop export, --checkpoint) read pod-written checkpoints unchanged.
+# ---------------------------------------------------------------------------
+
+_NP_TREE_FILE = "np_tree.npz"
+
+
+def _leaf_key(i: int, path) -> str:
+    import jax
+    return f"{i:05d}|" + jax.tree_util.keystr(path)
+
+
+def _save_np_tree(dirpath: str, tree) -> None:
+    import jax
+    import numpy as np
+    os.makedirs(dirpath, exist_ok=True)
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {_leaf_key(i, p): np.asarray(leaf)
+              for i, (p, leaf) in enumerate(flat)}
+    np.savez_compressed(os.path.join(dirpath, _NP_TREE_FILE), **arrays)
+
+
+def np_tree_path(dirpath: str) -> str:
+    return os.path.join(dirpath, _NP_TREE_FILE)
+
+
+def _restore_np_tree(dirpath: str, template):
+    import jax
+    import numpy as np
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    with np.load(np_tree_path(dirpath)) as data:
+        leaves = []
+        for i, (path, like) in enumerate(flat):
+            key = _leaf_key(i, path)
+            if key not in data:
+                raise ValueError(
+                    f"checkpoint {dirpath} has no leaf {key!r} — the "
+                    "saved tree structure does not match the restore "
+                    f"template (template leaf count {len(flat)}, saved "
+                    f"{len(data.files)})")
+            arr = data[key]
+            if hasattr(like, "shape") and tuple(arr.shape) != \
+                    tuple(np.shape(like)):
+                raise ValueError(
+                    f"checkpoint {dirpath} leaf {key!r}: saved shape "
+                    f"{arr.shape} != template {np.shape(like)}")
+            leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _host_local(tree):
@@ -51,30 +107,69 @@ def _host_local(tree):
 def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
                     best_loss: float, is_best: bool,
                     extra_meta: Optional[dict] = None) -> None:
-    """Save ckpt/, copy to best/ when improved (ref: utils.py:406-419)."""
+    """Save ckpt/, copy to best/ when improved (ref: utils.py:406-419).
+
+    CRASH-ATOMIC: the new state is written to a ``.new`` staging dir,
+    the previous dir is renamed ASIDE (never rmtree'd in place — a kill
+    mid-rmtree leaves a partially-deleted tensorstore under a stale
+    meta, exactly what the pod kill/resume test caught), the staging dir
+    is renamed in (rename is atomic on POSIX), the meta file is replaced
+    last, and only then is the old state deleted. A SIGKILL at ANY point
+    leaves either a complete (ckpt, meta) pair — possibly one save old —
+    or no ckpt dir at all (resumable discovery requires the dir, so a
+    mid-swap run is skipped, never half-restored). Before this,
+    --tpu_auto_resume could hit the gutted dir and silently start FRESH
+    on every host — losing the run's progress exactly when recovery
+    mattered (tests/test_distributed.py:
+    test_four_process_kill_then_auto_resume)."""
+    import jax
     run_dir = os.path.abspath(run_dir)
     os.makedirs(run_dir, exist_ok=True)
     ckpt_dir = os.path.join(run_dir, "ckpt")
-    cp = _checkpointer()
     tree = _host_local({"params": params, "opt_state": opt_state})
-    if os.path.exists(ckpt_dir):
-        shutil.rmtree(ckpt_dir)
-    cp.save(ckpt_dir, tree)
+    if jax.process_count() > 1:
+        # per-host self-contained format — see the block comment above
+        write = lambda staging: _save_np_tree(staging, tree)
+    else:
+        cp = _checkpointer()
+        write = lambda staging: cp.save(staging, tree)
+    _atomic_swap_in(ckpt_dir, write)
     meta = {"batch_idx": int(batch_idx), "best_loss": float(best_loss)}
     if extra_meta:
         meta.update(extra_meta)
-    with open(os.path.join(run_dir, "ckpt.meta.json"), "w") as f:
+    meta_tmp = os.path.join(run_dir, "ckpt.meta.json.new")
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(meta_tmp, os.path.join(run_dir, "ckpt.meta.json"))
 
     if is_best:
         best_dir = os.path.join(run_dir, "best")
-        if os.path.exists(best_dir):
-            shutil.rmtree(best_dir)
-        shutil.copytree(ckpt_dir, best_dir)
+        _atomic_swap_in(best_dir,
+                        lambda staging: shutil.copytree(ckpt_dir, staging))
         shutil.copyfile(os.path.join(run_dir, "ckpt.meta.json"),
                         os.path.join(run_dir, "best.meta.json"))
 
     _wandb_save(run_dir, is_best)
+
+
+def _atomic_swap_in(final_dir: str, write_to) -> None:
+    """Populate ``final_dir`` crash-atomically: ``write_to(staging)``
+    builds the content in ``<final>.new``, the old dir is renamed aside
+    to ``<final>.old``, the staging dir renamed in, and the old content
+    deleted last. Every transition of ``final_dir`` itself is a rename;
+    stale ``.new``/``.old`` leftovers from a previous crash are cleared
+    first (and are never matched by resumable discovery, which looks for
+    the exact ``ckpt``/``best`` names)."""
+    staging, old = final_dir + ".new", final_dir + ".old"
+    for leftover in (staging, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    write_to(staging)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(staging, final_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _wandb_save(run_dir: str, is_best: bool) -> None:
@@ -259,16 +354,20 @@ def load_checkpoint(run_dir: str, params_like, opt_state_like,
         print(f"no best/ under {run_dir}; loading ckpt/ instead")
         name = "ckpt"
     path = os.path.join(run_dir, name)
-    cp = _checkpointer()
     meta_path = os.path.join(run_dir, f"{name}.meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
     try:
-        restored = cp.restore(
-            path, item=_host_local({"params": params_like,
-                                    "opt_state": opt_state_like}))
+        template = _host_local({"params": params_like,
+                                "opt_state": opt_state_like})
+        if os.path.exists(np_tree_path(path)):
+            # pod-written per-host format (multi-host runs) — readable
+            # from any process count
+            restored = _restore_np_tree(path, template)
+        else:
+            restored = _checkpointer().restore(path, item=template)
     except Exception as e:
         # a structure mismatch is usually a config mismatch between the
         # saving and restoring runs — surface the saved flags alongside
