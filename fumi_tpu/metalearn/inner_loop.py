@@ -41,22 +41,37 @@ REMAT_THRESHOLD = 16
 UNROLL_MAX = 8
 
 
+# What the save_convs policy keeps: the conv outputs
+# (layers.conv2d_f32acc "conv_out"). Saving the per-channel norm
+# statistics too (conv4.batch_stat_norm "norm_stat") looked like a free
+# win — C floats each, and keeping them should let the backward's
+# recompute of each normalize chain skip the reduction pass over the
+# full conv output — but MEASURED NEGATIVE on the chip (resnet12 bf16
+# 84x84 B=4: 4.5 vs 4.6 eps/s, XLA-counted traffic UP 549 vs 526
+# GB/step): pinning the tiny stat tensors as checkpoint outputs fences
+# the fusion of the stats pass into the surrounding chain, the same
+# boundary-materialization failure mode as stage-selective remat
+# (docs/PERFORMANCE.md "Raw-image conv path"). A/B via
+# scripts/exp_conv_bench.py --save_names conv_out,norm_stat.
+SAVE_CONVS_NAMES = ("conv_out",)
+
+
 def _maybe_remat(fn, n_steps, remat):
     if remat == "save_convs":
-        # checkpoint the step but KEEP the named conv outputs
-        # (layers.conv2d_f32acc tags them "conv_out"): the meta-backward
-        # recomputes only the elementwise norm/relu/pool chains, not the
-        # convs — measured 4.6 vs 4.4 eps/s and 526 vs 541 GB/step over
-        # whole-step remat on resnet12 (docs/PERFORMANCE.md). Stored
-        # bytes scale with n_steps (one set of conv outputs per inner
-        # step), so long horizons fall back to whole-step remat — the
-        # same memory character the threshold below encodes.
+        # checkpoint the step but KEEP the named conv outputs + norm
+        # stats (SAVE_CONVS_NAMES): the meta-backward recomputes only
+        # the elementwise norm/relu/pool chains, not the convs and not
+        # the statistics reductions — measured on resnet12 vs plain
+        # whole-step remat (docs/PERFORMANCE.md "Raw-image conv path").
+        # Stored bytes scale with n_steps (one set of conv outputs per
+        # inner step), so long horizons fall back to whole-step remat —
+        # the same memory character the threshold below encodes.
         if n_steps >= REMAT_THRESHOLD:
             return jax.checkpoint(fn)
         return jax.checkpoint(
             fn,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "conv_out"))
+                *SAVE_CONVS_NAMES))
     if remat is None:
         remat = n_steps >= REMAT_THRESHOLD
     return jax.checkpoint(fn) if remat else fn

@@ -108,16 +108,28 @@ def batch_stat_norm(y: jnp.ndarray, params: Dict[str, jnp.ndarray],
     XLA fuses them into ONE pass over the bf16 conv output (the two-pass
     form serializes var behind mean; measured +5% on conv4). f32
     accumulation; the clamp guards the subtraction's rounding."""
+    # the per-channel statistics are NAMED so the save_convs remat
+    # policy CAN checkpoint them (inner_loop.SAVE_CONVS_NAMES) — an A/B
+    # that measured NEGATIVE on chip (the saved-stat boundary fences the
+    # stats pass's fusion; numbers at inner_loop.SAVE_CONVS_NAMES), so
+    # the shipped policy keeps conv outputs only and these names are
+    # inert. Identity under every policy that doesn't list them.
+    from jax.ad_checkpoint import checkpoint_name
     if not low_precision:
         y = y + params["b"]
-        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True)
+        mean = checkpoint_name(
+            jnp.mean(y, axis=(0, 1, 2), keepdims=True), "norm_stat")
+        var = checkpoint_name(
+            jnp.mean(jnp.square(y - mean), axis=(0, 1, 2), keepdims=True),
+            "norm_stat")
         y = (y - mean) * jax.lax.rsqrt(var + EPS)
         return y * params["gamma"] + params["beta"]
     yb = y.astype(jnp.float32) + params["b"]
     mean = jnp.mean(yb, axis=(0, 1, 2), keepdims=True)
     m2 = jnp.mean(jnp.square(yb), axis=(0, 1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    mean = checkpoint_name(mean, "norm_stat")
+    var = checkpoint_name(jnp.maximum(m2 - jnp.square(mean), 0.0),
+                          "norm_stat")
     yn = (yb - mean) * jax.lax.rsqrt(var + EPS)
     return yn * params["gamma"] + params["beta"]
 
@@ -132,9 +144,11 @@ def conv_block(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     bound on exactly this traffic (docs/PERFORMANCE.md "Raw-image conv
     path"). Every elementwise/statistics computation still runs in f32
     INSIDE the fused kernels (the upcast fuses into each consumer), so
-    only storage rounding differs from the fp32 path; norm statistics
-    accumulate f32 (see :func:`batch_stat_norm`). Gradients re-enter
-    fp32 at the param boundaries via the casts' VJPs."""
+    storage rounding — plus the norm's variance FORMULATION (one-pass
+    E[x²]−E[x]² vs the fp32 path's two-pass (x−mean)², see
+    :func:`batch_stat_norm`) — are the only differences from the fp32
+    path; norm statistics accumulate f32. Gradients re-enter fp32 at
+    the param boundaries via the casts' VJPs."""
     low = _is_low_precision(compute_dtype)
     y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=low)
     y = jax.nn.relu(batch_stat_norm(y, params, low))

@@ -57,7 +57,9 @@ def _conv_bn(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     as conv4.conv_block — the raw-image path is HBM-bound on this
     traffic); statistics and all elementwise math still run f32 inside
     the fused kernels (conv4.batch_stat_norm, shared with conv4's
-    blocks), so only storage rounding differs."""
+    blocks), so the differences from the fp32 path are storage rounding
+    plus the norm's variance formulation (one-pass E[x²]−E[x]² vs
+    two-pass (x−mean)² — batch_stat_norm documents both)."""
     from fumi_tpu.models.conv4 import _is_low_precision, batch_stat_norm
     low = _is_low_precision(compute_dtype)
     y = layers.conv2d_f32acc(x, params["w"], compute_dtype, keep_dtype=low)

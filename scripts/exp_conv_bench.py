@@ -33,12 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.mfu import find_peak, marginal_cost  # noqa: E402
 
 N_WAY, K_SHOT, Q_TRAIN = 5, 5, 15
-BATCH = 4
+BATCH = 4  # default; --batch overrides (module-level so helpers agree)
 INNER_STEPS = 5
 
 
 def build_pieces(encoder: str, im_size: int, dtype: str,
-                 remat: str = "auto"):
+                 remat: str = "auto", channels=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,12 +48,16 @@ def build_pieces(encoder: str, im_size: int, dtype: str,
     from fumi_tpu.data.synthetic import synthetic_raw_image_set
     from fumi_tpu.train.steps import build_family, make_opt
 
+    kw = {}
+    if channels is not None:
+        kw["resnet12_channels"] = tuple(channels)
     cfg = Config(model="maml", im_encoder=encoder, im_size=im_size,
                  im_emb_dim=im_size * im_size * 3, text_emb_dim=32,
                  num_ways=N_WAY, num_shots=K_SHOT, num_shots_test=Q_TRAIN,
                  num_train_adapt_steps=INNER_STEPS, batch_size=BATCH,
                  dropout=0.0, text_encoder="precomputed", step_size=0.01,
-                 lr=1e-3, optim="adam", compute_dtype=dtype, remat=remat)
+                 lr=1e-3, optim="adam", compute_dtype=dtype, remat=remat,
+                 **kw)
     cs, table, ids = synthetic_raw_image_set(
         num_classes=32, images_per_class=40, im_size=im_size, text_dim=32,
         seed=0)
@@ -102,7 +106,28 @@ def main():
                          "2-3 (resnet12.STAGE_REMAT_OVERRIDE; measured "
                          "negative — the auto policy keeps whole-step "
                          "remat)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="meta-batch size B (default 4, the production "
+                         "protocol; episode-width ablation)")
+    ap.add_argument("--save_names", default=None,
+                    help="comma list overriding the save_convs policy's "
+                         "kept names (inner_loop.SAVE_CONVS_NAMES), e.g. "
+                         "'conv_out' to A/B without the norm stats")
+    ap.add_argument("--channels", default=None,
+                    help="resnet12 only: comma stage widths (DIAGNOSTIC "
+                         "— a lane-aligned set like 128,256,384,640 "
+                         "isolates physical tile padding of the standard "
+                         "64/160/320/640 widths from the cost model's "
+                         "logical bytes; not a shipping configuration)")
     args = ap.parse_args()
+
+    if args.batch is not None:
+        global BATCH
+        BATCH = args.batch
+    if args.save_names is not None:
+        from fumi_tpu.metalearn import inner_loop
+        inner_loop.SAVE_CONVS_NAMES = tuple(
+            s for s in args.save_names.split(",") if s)
 
     if args.pool is not None:
         from fumi_tpu.models import conv4
@@ -129,8 +154,12 @@ def main():
     setup_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    channels = (tuple(int(c) for c in args.channels.split(","))
+                if args.channels else None)
+    if channels and args.encoder != "resnet12":
+        ap.error("--channels is a resnet12 diagnostic")
     family, opt, sampler = build_pieces(args.encoder, args.im_size,
-                                        args.dtype, args.remat)
+                                        args.dtype, args.remat, channels)
 
     flops_step = bytes_step = None
     if not args.skip_mfu:
@@ -150,7 +179,9 @@ def main():
     out = {"encoder": args.encoder, "im_size": args.im_size,
            "dtype": args.dtype, "remat": args.remat,
            "block_remat": args.block_remat,
-           "stage_remat": args.stage_remat, "eps_per_sec": round(best, 1)}
+           "stage_remat": args.stage_remat, "batch": BATCH,
+           "save_names": args.save_names, "channels": args.channels,
+           "eps_per_sec": round(best, 1)}
     if flops_step is not None:
         steps_per_sec = best / BATCH
         achieved = flops_step * steps_per_sec
