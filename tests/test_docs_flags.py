@@ -20,6 +20,7 @@ NON_CLI = {
     "--no-build-isolation",  # pip
     "--src", "--kind", "--raw_dir", "--splits",  # data.prepare subcommands
     "--x",  # prose fragment
+    "--save_names", "--channels",  # exp_conv_bench.py experiment switches
 }
 
 
