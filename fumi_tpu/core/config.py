@@ -653,7 +653,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process a sweep's S seeds as G sequential "
                         "groups of S/G per step (single-device "
                         "working-set lever past the S sweet spot; "
-                        "trajectories bitwise-equal to G=1); must "
+                        "per-seed key streams bitwise-equal to G=1, "
+                        "float trajectories to ~1e-7 rel); must "
                         "divide --tpu_seed_sweep")
     p.add_argument("--tpu_import", type=str, nargs="+", default=[],
                    help="python modules to import at startup (register "

@@ -269,10 +269,15 @@ def _check_splits(ann: dict, rep: Report) -> None:
     from fumi_tpu.data.inat_anim import category_image_map, split_categories
 
     C = len(ann["categories"])
-    if C < FLAGSHIP_N * 3:
+    # the smallest fold is 20% of C, so N-way episodes in every fold
+    # need C >= 5N (C=20 splits 12/4/4 — val/test cannot host a 5-way
+    # episode even though each fold is non-empty)
+    if C < FLAGSHIP_N * 5:
         rep.warn("split geometry",
-                 f"{C} categories — each 60/20/20 fold needs >= "
-                 f"{FLAGSHIP_N} classes for {FLAGSHIP_N}-way episodes")
+                 f"{C} categories — the 20% val/test folds hold "
+                 f"{int(0.8 * C) - int(0.6 * C)}/{C - int(0.8 * C)} "
+                 f"classes; {FLAGSHIP_N}-way episodes need >= "
+                 f"{FLAGSHIP_N * 5} categories")
     parts, digest = {}, hashlib.sha256()
     for split in ("train", "val", "test"):
         cats = split_categories(C, split)
@@ -313,17 +318,33 @@ def _check_splits(ann: dict, rep: Report) -> None:
 
 
 def verify_dataset(data_dir: str) -> Report:
-    """Run every check; returns the report (callers decide exit code)."""
+    """Run every check; returns the report (callers decide exit code).
+
+    The split/occupancy checks INDEX the annotations the way the
+    loaders do, so they only run when the json checks passed — on a
+    malformed file they would crash with the very traceback this
+    command exists to replace. A defensive catch turns any residual
+    surprise into a FAIL row rather than a crash."""
     from fumi_tpu.data.inat_anim import dataset_root
     root = dataset_root(data_dir)
     rep = Report()
     rep.add("INFO", "dataset root", root)
+    json_fails_before = sum(1 for s, _, _ in rep.rows if s == "FAIL")
     ann = _check_json(root, rep)
+    json_ok = ann is not None and not any(
+        s == "FAIL" for s, _, _ in rep.rows[json_fails_before:])
     M = len(ann["images"]) if ann else None
     C = len(ann["categories"]) if ann else None
     _check_embeddings(root, M, rep)
     _check_raw(root, M, rep)
     _check_text_artifacts(root, C, rep)
-    if ann:
-        _check_splits(ann, rep)
+    if ann and json_ok:
+        try:
+            _check_splits(ann, rep)
+        except Exception as e:  # pragma: no cover — belt and braces
+            rep.fail("split checks", f"crashed: {type(e).__name__}: {e}")
+    elif ann:
+        rep.add("SKIP", "split checks",
+                "skipped: the json checks above failed, and the split "
+                "walk indexes annotations the way the loaders do")
     return rep

@@ -195,52 +195,13 @@ def make_parallel_chunked_train(cfg: Config, family: Family,
                 length=n_steps, unroll=un)
             return params, opt_state, ms
 
-        # --tpu_watch: blocks of WATCH_STRIDE plain steps; bucketize each
-        # block's LAST pmean'd (global) meta-gradient between blocks —
-        # identical on every shard, so the replicated out_spec is
-        # consistent and counts match the serial driver's. Same nested
-        # form as steps.py:run_watch (a per-step lax.cond measured ~6%
-        # even when never sampling).
-        from fumi_tpu.train import watch as watch_mod
-        from fumi_tpu.train.watch import grad_histogram_metrics
-        K = max(1, min(int(watch_mod.WATCH_STRIDE), n_steps))
-        n_blocks, rem = divmod(n_steps, K)
-
-        def plain(carry, _):
-            p, s, k = carry
-            p, s, k, _, m = _step(p, s, k)
-            return (p, s, k), m
-
-        def outer(carry, _):
-            # K-1 plain steps + one explicit step whose (global, pmean'd)
-            # gradient is bucketized — same no-grads-carry form as
-            # steps.py:run_watch
-            ms = None
-            if K > 1:
-                carry, ms = jax.lax.scan(plain, carry, None,
-                                         length=K - 1,
-                                         unroll=min(un, K - 1))
-            p, s, k = carry
-            p, s, k, g, m_last = _step(p, s, k)
-            m_last = jax.tree.map(lambda x: x[None], m_last)
-            ms = (m_last if ms is None else
-                  jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                               ms, m_last))
-            return (p, s, k), (ms, grad_histogram_metrics(g))
-
-        carry = (params, opt_state, shard_key)
-        carry, (ms, counts) = jax.lax.scan(outer, carry, None,
-                                           length=n_blocks)
-        ms = jax.tree.map(
-            lambda x: x.reshape((n_blocks * K,) + x.shape[2:]), ms)
-        params, opt_state, shard_key = carry
-        if rem:
-            (params, opt_state, shard_key), ms_tail = jax.lax.scan(
-                plain, (params, opt_state, shard_key), None, length=rem,
-                unroll=min(un, rem))
-            ms = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                              ms, ms_tail)
-        ms.update(counts)
+        # --tpu_watch: the shared block-sampling harness over this
+        # engine's step — each sampled gradient is the pmean'd GLOBAL
+        # meta-gradient, identical on every shard, so the replicated
+        # out_spec is consistent and counts match the serial driver's
+        from fumi_tpu.train.watch import scan_with_watch
+        (params, opt_state, shard_key), ms = scan_with_watch(
+            _step, (params, opt_state, shard_key), n_steps, un)
         return params, opt_state, ms
 
     @functools.partial(jax.jit, static_argnums=(4,))

@@ -146,8 +146,13 @@ def save_checkpoint(run_dir: str, params, opt_state, batch_idx: int,
         best_dir = os.path.join(run_dir, "best")
         _atomic_swap_in(best_dir,
                         lambda staging: shutil.copytree(ckpt_dir, staging))
+        # copy-to-tmp + atomic replace, like ckpt.meta.json: a kill mid
+        # plain copyfile would leave a truncated best.meta.json that
+        # crashes a later best-restore's json.load
+        best_meta_tmp = os.path.join(run_dir, "best.meta.json.new")
         shutil.copyfile(os.path.join(run_dir, "ckpt.meta.json"),
-                        os.path.join(run_dir, "best.meta.json"))
+                        best_meta_tmp)
+        os.replace(best_meta_tmp, os.path.join(run_dir, "best.meta.json"))
 
     _wandb_save(run_dir, is_best)
 
@@ -161,6 +166,12 @@ def _atomic_swap_in(final_dir: str, write_to) -> None:
     first (and are never matched by resumable discovery, which looks for
     the exact ``ckpt``/``best`` names)."""
     staging, old = final_dir + ".new", final_dir + ".old"
+    if os.path.exists(old) and not os.path.exists(final_dir):
+        # crash landed between the two renames of a previous save: the
+        # aside-renamed dir IS the last good state — restore it rather
+        # than deleting it as a stale leftover (it would otherwise be
+        # the only intact copy)
+        os.rename(old, final_dir)
     for leftover in (staging, old):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)

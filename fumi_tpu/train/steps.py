@@ -867,62 +867,15 @@ def make_chunked_train(family: Family, opt: optax.GradientTransformation,
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def run_watch(params, opt_state, key, tables, n_steps):
-        # --tpu_watch stream histograms WITHOUT touching the step body:
-        # an outer scan over blocks of WATCH_STRIDE plain inner steps,
-        # bucketizing each block's LAST meta-gradient (carried out of
-        # the inner scan) between blocks. A per-step lax.cond was
-        # measured to cost ~6% throughput even when it never sampled
-        # (the branch fences the tiny step program's scheduling); this
-        # form keeps the inner body identical to the watch-off driver
-        # and pays only the 1-in-K histogram itself (~2% at K=8,
-        # docs/PERFORMANCE.md).
-        from fumi_tpu.train import watch as watch_mod
-        from fumi_tpu.train.watch import grad_histogram_metrics
-        # read the stride through the module attribute at trace time so
-        # tests can pin it
-        K = max(1, min(int(watch_mod.WATCH_STRIDE), n_steps))
-        n_blocks, rem = divmod(n_steps, K)
-        un = train_scan_unroll(n_steps, unroll)
-
-        def plain(carry, _):
-            p, s, k = carry
-            p, s, k, _, m = _step(p, s, k, tables)
-            return (p, s, k), m
-
-        def outer(carry, _):
-            # K-1 plain steps, then ONE explicit step whose gradient is
-            # bucketized — no per-step grads carry (carrying the grad
-            # pytree through the inner scan cost an extra params-sized
-            # write per step)
-            ms = None
-            if K > 1:
-                carry, ms = jax.lax.scan(plain, carry, None,
-                                         length=K - 1,
-                                         unroll=min(un, K - 1))
-            p, s, k = carry
-            p, s, k, g, m_last = _step(p, s, k, tables)
-            m_last = jax.tree.map(lambda x: x[None], m_last)
-            ms = (m_last if ms is None else
-                  jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                               ms, m_last))
-            return (p, s, k), (ms, grad_histogram_metrics(g))
-
-        carry = (params, opt_state, key)
-        carry, (ms, counts) = jax.lax.scan(outer, carry, None,
-                                           length=n_blocks)
-        # (n_blocks, K, ...) -> (n_blocks*K, ...) per-step rows
-        ms = jax.tree.map(
-            lambda x: x.reshape((n_blocks * K,) + x.shape[2:]), ms)
+        # --tpu_watch stream histograms WITHOUT touching the step body
+        # (the shared block-sampling harness; measured cost ladder in
+        # docs/PERFORMANCE.md — shipped form ~2.4%)
+        from fumi_tpu.train.watch import scan_with_watch
+        carry, ms = scan_with_watch(
+            lambda p, s, k: _step(p, s, k, tables),
+            (params, opt_state, key), n_steps,
+            train_scan_unroll(n_steps, unroll))
         params, opt_state, key = carry
-        if rem:
-            (params, opt_state, key), ms_tail = jax.lax.scan(
-                plain, (params, opt_state, key), None, length=rem,
-                unroll=min(un, rem))
-            ms = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                              ms, ms_tail)
-        # watch rows are PER BLOCK, not per step (split_watch_counts
-        # sums the leading axis and counts rows, so any length works)
-        ms.update(counts)
         return params, opt_state, key, ms
 
     runner = run_watch if watch else run

@@ -146,6 +146,54 @@ def grad_histogram_metrics(grads) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def scan_with_watch(step, carry, n_steps: int, unroll: int):
+    """The chunked drivers' watch-sampling scan harness — ONE
+    implementation shared by the serial driver (steps.py:run_watch) and
+    the dp engine (parallel/engine.py), which differ only in their step
+    function.
+
+    ``step(p, s, k) -> (p, s, k, grads, metrics)``; ``carry`` is
+    ``(p, s, k)``. Runs ``n_steps`` steps as blocks of
+    :data:`WATCH_STRIDE`: K−1 plain scanned steps, then ONE explicit
+    step whose gradient is bucketized between blocks — no per-step
+    ``lax.cond`` (measured ~6% fixed cost even when never sampling) and
+    no grads carry through the inner scan (one params-sized write per
+    step). Returns ``(carry, ms)`` where ``ms`` holds per-step metric
+    rows plus ``watch_counts/*`` rows, one per block."""
+    K = max(1, min(int(WATCH_STRIDE), n_steps))
+    n_blocks, rem = divmod(n_steps, K)
+
+    def plain(c, _):
+        p, s, k = c
+        p, s, k, _, m = step(p, s, k)
+        return (p, s, k), m
+
+    def outer(c, _):
+        ms = None
+        if K > 1:
+            c, ms = jax.lax.scan(plain, c, None, length=K - 1,
+                                 unroll=min(unroll, K - 1))
+        p, s, k = c
+        p, s, k, g, m_last = step(p, s, k)
+        m_last = jax.tree.map(lambda x: x[None], m_last)
+        ms = (m_last if ms is None else
+              jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                           ms, m_last))
+        return (p, s, k), (ms, grad_histogram_metrics(g))
+
+    carry, (ms, counts) = jax.lax.scan(outer, carry, None,
+                                       length=n_blocks)
+    ms = jax.tree.map(
+        lambda x: x.reshape((n_blocks * K,) + x.shape[2:]), ms)
+    if rem:
+        carry, ms_tail = jax.lax.scan(plain, carry, None, length=rem,
+                                      unroll=min(unroll, rem))
+        ms = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                          ms, ms_tail)
+    ms.update(counts)
+    return carry, ms
+
+
 def split_watch_counts(ms: Dict
                        ) -> Tuple[Dict, Dict[str, np.ndarray], int]:
     """Split a chunked driver's stacked metrics into (plain metrics,

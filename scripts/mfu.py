@@ -149,6 +149,10 @@ def timed_chunks_stats(run_chunk, eps_per_chunk: float, iters: int,
     then cannot silently BECOME the headline: the median/spread expose a
     run whose best-of rode one lucky chunk (VERDICT r4 weak #5)."""
     import numpy as _np
+    # iters can reach 0 through integer division at call sites
+    # (num_steps // chunk); one scored chunk beats burning the warmup
+    # and then crashing on max([]) after the TPU time is already spent
+    iters = max(1, iters)
     rates = []
     for i in range(warm + iters):
         t0 = time.perf_counter()

@@ -232,3 +232,35 @@ def test_ckpt_only_reference_run(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     out = resolve_checkpoint("ent/proj/r2", "fumi")
     assert out.endswith("ckpt.pth.tar")
+
+
+def test_atomic_swap_restores_aside_renamed_state(tmp_path):
+    """Review regression: a crash between _atomic_swap_in's two renames
+    leaves the last good state at <dir>.old; the NEXT save must restore
+    it as the current state before anything else — not delete it as a
+    stale leftover (it is the only intact copy)."""
+    import os
+
+    import pytest
+
+    from fumi_tpu.train.checkpoint import _atomic_swap_in
+
+    final = os.path.join(str(tmp_path), "ckpt")
+
+    def write_marker(staging):
+        os.makedirs(staging)
+        with open(os.path.join(staging, "state.txt"), "w") as f:
+            f.write("good")
+
+    _atomic_swap_in(final, write_marker)
+    # simulate the crash window: old renamed aside, new never landed
+    os.rename(final, final + ".old")
+
+    def failing_write(staging):
+        raise RuntimeError("simulated crash during the next save")
+
+    with pytest.raises(RuntimeError):
+        _atomic_swap_in(final, failing_write)
+    # the aside-renamed good state was restored before the failed write
+    with open(os.path.join(final, "state.txt")) as f:
+        assert f.read() == "good"

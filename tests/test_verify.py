@@ -172,3 +172,25 @@ def test_verify_warns_on_thin_classes(tmp_path):
     warn = [d for s, n, d in rep.rows
             if n == "train class occupancy" and s == "WARN"]
     assert warn and "25" in warn[0]  # K=5 + 100//5
+
+
+def test_verify_survives_malformed_annotations(good_dir):
+    """Review regression: a json whose annotation list is shorter than
+    the image list must produce a FAIL report, not an IndexError from
+    the split walk (which indexes annotations the way the loaders do)."""
+    _corrupt_json(good_dir,
+                  lambda ann: ann.update(annotations=ann["annotations"][:5]))
+    rep = verify_dataset(good_dir)  # must not raise
+    assert rep.failed
+    assert _statuses(rep)["annotations per image id"] == "FAIL"
+    assert _statuses(rep).get("split checks") == "SKIP"
+
+
+def test_verify_warns_on_too_few_categories_for_flagship_ways(tmp_path):
+    """C=20 splits 12/4/4 — every fold non-empty yet val/test cannot
+    host a 5-way episode; verify must warn (bound C >= 5N)."""
+    data_dir = build(tmp_path, num_classes=20, images_per_class=40)
+    rep = verify_dataset(data_dir)
+    warn = [d for s, n, d in rep.rows
+            if n == "split geometry" and s == "WARN"]
+    assert warn and "25" in warn[0]
