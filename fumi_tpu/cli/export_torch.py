@@ -50,14 +50,21 @@ def main(argv=None) -> str:
             f"(exportable: {interop.FAMILIES})")
 
     import jax
-    from fumi_tpu.serve import serving_dictionary
-    # vocab.json shipped with token-encoder runs, else the --data_dir
-    # pipeline (same resolution serving uses)
-    dictionary = serving_dictionary(cfg, args.run_dir)
-    family = build_family(cfg, jax.random.PRNGKey(cfg.seed), dictionary)
+    if cfg.model == "clip":
+        # CLIP is not a Family (it has its own supervised loop); its
+        # params template comes from clip_loop
+        from fumi_tpu.train import clip_loop
+        _, params_like = clip_loop.make_clip(cfg, jax.random.PRNGKey(0))
+    else:
+        from fumi_tpu.serve import serving_dictionary
+        # vocab.json shipped with token-encoder runs, else the
+        # --data_dir pipeline (same resolution serving uses)
+        dictionary = serving_dictionary(cfg, args.run_dir)
+        params_like = build_family(cfg, jax.random.PRNGKey(cfg.seed),
+                                   dictionary).params
     opt = make_opt(cfg)
     params, opt_state, meta = ckpt_lib.load_checkpoint(
-        args.run_dir, family.params, opt.init(family.params),
+        args.run_dir, params_like, opt.init(params_like),
         best=not args.ckpt)
     # --tpu_ema runs are validated/selected/served on the SMOOTHED weights
     # (train/loop.py:eval_view) — export those, so the reference user's
